@@ -1,0 +1,281 @@
+"""Vectorized k-mer encoding: the TPU replacement for bonsai's Encoder.
+
+The reference encoder (bonsai/encoder.h, missing submodule; call sites at
+reference src/sketch_and_cmp.h:180-206,296-297,338-352) streams one base at a
+time through a rolling 2-bit window and fires a callback per k-mer.  Here a
+whole tile of sequence is encoded at once:
+
+    bases  (R, C) uint8 ASCII   ->   k-mer codes (R, C-k+1) as u64 pairs
+                                     + validity mask
+
+Semantics replicated from the reference ("BONSAI" encoding, exact k<=32):
+  * 2-bit codes A=0, C=1, G=2, T=3 (case-insensitive); any other byte
+    (N, IUPAC, gaps) invalidates every k-mer window containing it.
+  * k-mer integer = first base in the most-significant bits
+    (kmer = (kmer << 2) | code, the universal convention).
+  * canonical k-mer = min(kmer, revcomp(kmer)) when canonicalization is on
+    (reference default; `-C/--no-canon` disables, src/dashing.h:52).
+  * window minimization (w > k): emit only the minimum-valued k-mer of each
+    w-base window (bonsai's score::Lex minimizer; flag -w).
+  * spaced seeds: only pattern-selected positions contribute 2 bits each
+    (bonsai Spacer; flag -s, parsed by `parse_spacing`).
+
+Tiling contract: callers pass rows that OVERLAP by (span-1) bases (the halo),
+so every k-mer of the original sequence appears in exactly one row's output.
+Record boundaries are handled by joining records with (span-1) invalid bytes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import u64
+from ..u64 import U64
+
+# ---------------------------------------------------------------------------
+# Base -> 2-bit code lookup.
+# ---------------------------------------------------------------------------
+
+_A, _C, _G, _T = 65, 67, 71, 84  # ASCII, uppercase
+
+
+def base_codes(tile: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ASCII bases (any shape, uint8) -> (code in {0..3} uint8, valid bool)."""
+    up = tile & 0xDF  # cheap uppercase for ASCII letters
+    code = jnp.zeros(tile.shape, jnp.uint8)
+    code = jnp.where(up == _C, jnp.uint8(1), code)
+    code = jnp.where(up == _G, jnp.uint8(2), code)
+    code = jnp.where(up == _T, jnp.uint8(3), code)
+    valid = (up == _A) | (up == _C) | (up == _G) | (up == _T)
+    return code, valid
+
+
+# ---------------------------------------------------------------------------
+# Spacing (spaced seeds).  Mirrors bonsai's Spacer / parse_spacing:
+# the CLI string "<skip>x<times>,<skip>x<times>,..." lists gaps inserted
+# after successive k-mer positions (reference src/dashing.cpp:58-60 usage;
+# src/distmain.cpp:121 `Spacer sp(k, wsz, parse_spacing(spacing, k))`).
+# ---------------------------------------------------------------------------
+
+def parse_spacing(spacing: str, k: int) -> List[int]:
+    """Parse the -s spacing string into a list of k-1 inter-position gaps."""
+    if not spacing:
+        return [0] * (k - 1)
+    gaps: List[int] = []
+    for part in spacing.split(","):
+        if not part:
+            continue
+        if "x" in part:
+            skip, times = part.split("x")
+            gaps.extend([int(skip)] * int(times))
+        else:
+            gaps.append(int(part))
+    if len(gaps) > k - 1:
+        raise ValueError(f"spacing defines {len(gaps)} gaps but k={k} allows {k - 1}")
+    gaps.extend([0] * (k - 1 - len(gaps)))
+    return gaps
+
+
+class Spacer:
+    """k-mer shape: k sampled positions over a span of c bases, window w.
+
+    Mirrors bonsai's Spacer(k, w, spvec): span c = k + sum(gaps); the
+    effective window w is max(w, c) (reference src/dashing.cpp:370
+    `if(wsz < sp.c_) wsz = sp.c_`).
+    """
+
+    def __init__(self, k: int, w: int = 0, gaps: Optional[List[int]] = None):
+        if k < 1 or k > 32:
+            raise ValueError("BONSAI exact encoding requires 1 <= k <= 32")
+        gaps = gaps if gaps is not None else [0] * (k - 1)
+        self.k = k
+        self.positions = [0]
+        for g in gaps:
+            self.positions.append(self.positions[-1] + 1 + g)
+        self.c = self.positions[-1] + 1  # span in bases
+        self.w = max(w, self.c)
+        self.spaced = any(g for g in gaps)
+
+    @property
+    def halo(self) -> int:
+        """Bases of overlap adjacent tiles need so no k-mer is missed."""
+        return self.w - 1
+
+
+# ---------------------------------------------------------------------------
+# Core tile encoder.
+# ---------------------------------------------------------------------------
+
+def _shift_or_kmers(code: jnp.ndarray, valid: jnp.ndarray, positions: Tuple[int, ...],
+                    span: int) -> Tuple[U64, U64, jnp.ndarray]:
+    """Build forward and reverse-complement k-mer codes for every window.
+
+    code/valid: (R, C).  Output arrays have width W = C - span + 1; window i
+    covers bases [i, i+span).  Returns (fwd, rc, window_valid).
+    """
+    C = code.shape[-1]
+    W = C - span + 1
+    k = len(positions)
+    zeros = jnp.zeros(code.shape[:-1] + (W,), jnp.uint32)
+    fwd: U64 = (zeros, zeros)
+    rc: U64 = (zeros, zeros)
+    wvalid = jnp.ones(code.shape[:-1] + (W,), bool)
+    for t in range(k):
+        p = positions[t]
+        c_t = code[..., p:p + W].astype(jnp.uint32)
+        v_t = valid[..., p:p + W]
+        wvalid = wvalid & v_t
+        # forward: position t lands at bit offset 2*(k-1-t)
+        fwd = u64.or_(fwd, u64.shl((jnp.zeros_like(c_t), c_t), 2 * (k - 1 - t)))
+        # reverse complement: the rc window reads back-to-front, so slot t of
+        # the rc k-mer samples the complement of the base at the mirrored
+        # offset span-1-positions[t].  (For spaced seeds this assumes a
+        # mirror-symmetric pattern, which contiguous k-mers always satisfy.)
+        p_rc = span - 1 - positions[t]
+        c_rc = (3 - code[..., p_rc:p_rc + W]).astype(jnp.uint32)
+        rc = u64.or_(rc, u64.shl((jnp.zeros_like(c_rc), c_rc), 2 * (k - 1 - t)))
+    return fwd, rc, wvalid
+
+
+_SENTINEL = 0xFFFFFFFFFFFFFFFF  # larger than any 2k-bit k-mer code (k<=32 ok
+# because canonical codes use at most 64 bits; invalid windows get this so
+# they never win a minimizer comparison and are filterable afterwards)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span", "canon"))
+def encode_tile(tile: jnp.ndarray, *, k: int, w: int, positions: Tuple[int, ...],
+                span: int, canon: bool) -> Tuple[U64, jnp.ndarray]:
+    """Encode one (R, C) uint8 ASCII tile into k-mer codes.
+
+    Returns ((hi, lo), valid) of shape (R, C - w + 1): one output per
+    w-window (for w == span this is one per k-mer position).  Invalid
+    entries carry the sentinel value 2^64-1.
+    """
+    code, valid = base_codes(tile)
+    fwd, rc, wvalid = _shift_or_kmers(code, valid, positions, span)
+    if canon:
+        km = u64.min_(fwd, rc)
+    else:
+        km = fwd
+    sent = u64.full(km[0].shape, _SENTINEL)
+    km = u64.select(wvalid, km, sent)
+    if w > span:
+        win = w - span + 1
+        km = sliding_min(km, win)
+        # A w-window emits only when every k-mer inside it is valid (fully
+        # in-record, no ambiguous bases).  This matches the reference's
+        # full-window minimizer emission for clean sequence; windows touching
+        # Ns or record edges are dropped rather than emitting subset minima.
+        inv = (~wvalid).astype(jnp.int32)
+        csum = jnp.cumsum(inv, axis=-1)
+        pad = jnp.zeros(csum.shape[:-1] + (1,), jnp.int32)
+        csum = jnp.concatenate([pad, csum], axis=-1)
+        wvalid = (csum[..., win:] - csum[..., :-win]) == 0
+    return km, wvalid
+
+
+def sliding_min(x: U64, win: int) -> U64:
+    """Sliding-window minimum over the last axis, output width W-win+1.
+
+    Log-doubling: combine shifted copies to cover the window with
+    O(log2 win) min ops instead of win-1.
+    """
+    if win <= 1:
+        return x
+    # Build mins over power-of-two spans, then combine two overlapping spans.
+    spans = [x]  # spans[j] = min over [i, i+2^j)
+    length = x[0].shape[-1]
+    j = 1
+    while (1 << j) <= win:
+        prev = spans[-1]
+        off = 1 << (j - 1)
+        cur = u64.min_((prev[0][..., :length - off], prev[1][..., :length - off]),
+                       (prev[0][..., off:], prev[1][..., off:]))
+        spans.append(cur)
+        length -= off
+        j += 1
+    p = j - 1
+    big = spans[p]  # covers 2^p <= win
+    rem = win - (1 << p)
+    W = x[0].shape[-1] - win + 1
+    lo_part = (big[0][..., :W], big[1][..., :W])
+    hi_part = (big[0][..., rem:rem + W], big[1][..., rem:rem + W])
+    return u64.min_(lo_part, hi_part)
+
+
+# ---------------------------------------------------------------------------
+# Host-side tiling helpers.
+# ---------------------------------------------------------------------------
+
+def tile_sequence(seq: np.ndarray, content: int, halo: int,
+                  pad_byte: int = ord("N")) -> np.ndarray:
+    """Chop a flat uint8 sequence into overlapping rows.
+
+    Row r covers seq[r*content : r*content + content + halo]; trailing
+    positions are padded with an invalid byte so windows there are masked.
+    """
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    n = seq.shape[0]
+    if n == 0:
+        return np.zeros((0, content + halo), np.uint8)
+    rows = max(1, -(-n // content))
+    padded = np.full(rows * content + halo, pad_byte, np.uint8)
+    padded[:n] = seq
+    stride = padded.strides[0]
+    return np.lib.stride_tricks.as_strided(
+        padded, shape=(rows, content + halo),
+        strides=(content * stride, stride)).copy()
+
+
+def join_records(seqs: List[bytes], sep_len: int) -> np.ndarray:
+    """Concatenate sequence records with `sep_len` invalid bytes between them
+    so no k-mer window spans a record boundary (replaces the reference's
+    per-record kseq streaming)."""
+    if not seqs:
+        return np.zeros(0, np.uint8)
+    sep = b"\x00" * sep_len
+    return np.frombuffer(sep.join(seqs), dtype=np.uint8).copy()
+
+
+# ---------------------------------------------------------------------------
+# Oracle (slow, host) — used by tests and the exact-set backend.
+# ---------------------------------------------------------------------------
+
+_CODE_LUT = np.full(256, 255, np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _CODE_LUT[b] = i
+    _CODE_LUT[ord(chr(b).lower())] = i
+
+
+def encode_oracle(seq: bytes, sp: Spacer, canon: bool = True) -> np.ndarray:
+    """Reference-semantics python/numpy k-mer extraction (one record)."""
+    arr = _CODE_LUT[np.frombuffer(seq, np.uint8)]
+    n = arr.shape[0]
+    out = []
+    k = sp.k
+    for i in range(n - sp.c + 1):
+        window = arr[i:i + sp.c]
+        picks = window[np.array(sp.positions)]
+        if (picks == 255).any():
+            out.append(None)
+            continue
+        fwd = 0
+        for v in picks:
+            fwd = (fwd << 2) | int(v)
+        rcv = 0
+        for v in picks[::-1]:
+            rcv = (rcv << 2) | (3 - int(v))
+        out.append(min(fwd, rcv) if canon else fwd)
+    # windowed minimization: emit only fully-valid windows (see encode_tile)
+    if sp.w > sp.c:
+        wlen = sp.w - sp.c + 1
+        mins = []
+        for i in range(max(0, len(out) - wlen + 1)):
+            vals = out[i:i + wlen]
+            mins.append(min(vals) if None not in vals else None)
+        out = mins
+    return np.array([v for v in out if v is not None], dtype=np.uint64)

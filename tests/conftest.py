@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; the sharding strategy is
+validated on a virtual CPU mesh exactly as the driver's dryrun does.
+
+Note: this image registers a TPU ("axon") PJRT plugin from sitecustomize at
+interpreter startup, so JAX_PLATFORMS in the environment is already consumed;
+we must switch platforms through jax.config before any backend initializes.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xDA5)

@@ -1,0 +1,107 @@
+import numpy as np
+import pytest
+
+from dashing_tpu import u64
+from dashing_tpu.ops import encode
+from dashing_tpu.ops.encode import Spacer, encode_tile, parse_spacing
+
+
+def _extract(tile_np, sp, canon=True):
+    km, valid = encode_tile(
+        tile_np, k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+        canon=canon)
+    vals = u64.to_np(km)
+    mask = np.asarray(valid)
+    return vals, mask
+
+
+def _device_kmers(seq: bytes, sp, canon=True, content=64):
+    seq_arr = np.frombuffer(seq, np.uint8)
+    tile = encode.tile_sequence(seq_arr, content, sp.halo)
+    vals, mask = _extract(tile, sp, canon)
+    return vals[mask]
+
+
+@pytest.mark.parametrize("k", [4, 15, 16, 17, 31, 32])
+@pytest.mark.parametrize("canon", [True, False])
+def test_matches_oracle(rng, k, canon):
+    bases = rng.choice(list(b"ACGT"), size=500).astype(np.uint8)
+    seq = bases.tobytes()
+    sp = Spacer(k)
+    got = np.sort(_device_kmers(seq, sp, canon))
+    want = np.sort(encode.encode_oracle(seq, sp, canon))
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_n_masking(rng):
+    seq = b"ACGTACGTNNACGTACGTACGT" * 10
+    sp = Spacer(7)
+    got = np.sort(_device_kmers(seq, sp))
+    want = np.sort(encode.encode_oracle(seq, sp))
+    assert (got == want).all()
+
+
+def test_lowercase_and_iupac():
+    seq = b"acgtACGTrymkACGTacgt"
+    sp = Spacer(5)
+    got = np.sort(_device_kmers(seq, sp))
+    want = np.sort(encode.encode_oracle(seq, sp))
+    assert (got == want).all()
+
+
+def test_canonical_is_strand_independent(rng):
+    bases = rng.choice(list(b"ACGT"), size=300).astype(np.uint8)
+    seq = bases.tobytes()
+    comp = {65: 84, 67: 71, 71: 67, 84: 65}
+    rc = bytes(comp[b] for b in seq[::-1])
+    sp = Spacer(21)
+    a = np.sort(_device_kmers(seq, sp, canon=True))
+    b = np.sort(_device_kmers(rc, sp, canon=True))
+    assert (a == b).all()
+
+
+def test_minimizers_match_oracle(rng):
+    bases = rng.choice(list(b"ACGT"), size=400).astype(np.uint8)
+    seq = bases.tobytes()
+    sp = Spacer(11, w=19)
+    got = np.sort(_device_kmers(seq, sp))
+    want = np.sort(encode.encode_oracle(seq, sp))
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_spaced_seed_matches_oracle(rng):
+    bases = rng.choice(list(b"ACGT"), size=300).astype(np.uint8)
+    seq = bases.tobytes()
+    gaps = parse_spacing("1x2", 9)  # two single-base gaps
+    sp = Spacer(9, gaps=gaps)
+    got = np.sort(_device_kmers(seq, sp, canon=False))
+    want = np.sort(encode.encode_oracle(seq, sp, canon=False))
+    assert (got == want).all()
+
+
+def test_parse_spacing():
+    assert parse_spacing("", 5) == [0, 0, 0, 0]
+    assert parse_spacing("1x2", 5) == [1, 1, 0, 0]
+    assert parse_spacing("2,1x3", 7) == [2, 1, 1, 1, 0, 0]
+
+
+def test_tile_halo_covers_every_kmer(rng):
+    # With tiny content width, every k-mer must still appear exactly once.
+    bases = rng.choice(list(b"ACGT"), size=257).astype(np.uint8)
+    seq = bases.tobytes()
+    sp = Spacer(13)
+    got = np.sort(_device_kmers(seq, sp, content=32))
+    want = np.sort(encode.encode_oracle(seq, sp))
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_join_records_blocks_spanning_kmers():
+    recs = [b"ACGTACGTACGT", b"TTTTGGGG"]
+    sp = Spacer(6)
+    joined = encode.join_records(recs, sp.halo)
+    got = np.sort(_device_kmers(joined.tobytes(), sp))
+    want = np.sort(np.concatenate([encode.encode_oracle(r, sp) for r in recs]))
+    assert (got == want).all()

