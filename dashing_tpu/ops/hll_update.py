@@ -1,0 +1,77 @@
+"""HLL register updates: hashed k-mers -> 2^p registers, on device.
+
+Replaces the reference's per-element `hll_t::addh` hot loop (call sites
+reference src/sketch_and_cmp.h:500-512).  Register semantics replicated from
+the reference (observable at src/readfilt.cpp:86-89):
+
+    index = h >> (64 - p)                    (top p bits)
+    rank  = clz( ((h << 1) | 1) << (p - 1) ) + 1
+          = (leading zeros of the low 64-p bits) + 1, saturating at q+1
+    reg[index] = max(reg[index], rank)
+
+Merging registers is an elementwise max, which is what makes the whole
+pipeline embarrassingly parallel: chunks, tiles, rows, and devices all
+combine with jnp.maximum / a max all-reduce.
+
+Two implementations:
+  * `update_registers` — XLA scatter-max.  Always correct; the baseline.
+  * `update_registers_matmul` — MXU path: one-hot bucket matrix against a
+    rank>=level indicator matrix; a bucket's register is the number of
+    levels with a nonzero hit count.  Turns the scatter into dense matmuls.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import u64
+from ..u64 import U64
+
+
+def bucket_rank(h: U64, p: int):
+    """Split hashes into (bucket index, rank); invalid lanes handled by caller."""
+    q = 64 - p
+    idx = (h[0] >> (32 - p)).astype(jnp.int32) if p <= 32 else None
+    if idx is None:
+        raise ValueError("p must be <= 32")
+    rest = u64.or_(u64.shl(h, p), u64.const(1 << (p - 1)))
+    rank = (u64.clz(rest) + 1).astype(jnp.int32)  # in [1, q+1]
+    del q
+    return idx, rank
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def update_registers(regs: jnp.ndarray, h: U64, valid: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Scatter-max a batch of hashes into (m,) int32 registers."""
+    idx, rank = bucket_rank(h, p)
+    rank = jnp.where(valid, rank, 0)
+    return regs.at[idx.reshape(-1)].max(rank.reshape(-1), mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("p", "max_rank"))
+def update_registers_matmul(regs: jnp.ndarray, h: U64, valid: jnp.ndarray,
+                            p: int, max_rank: int = 40) -> jnp.ndarray:
+    """MXU path.  counts[j, r] = #hashes in bucket j with rank >= r computed
+    as onehot(idx)^T @ indicator(rank >= r); register = #levels with count>0.
+
+    Ranks above `max_rank` occur with probability 2^-max_rank per k-mer; they
+    are clamped, which for max_rank=40 changes an estimate only beyond ~1e12
+    distinct elements per bucket.  Accuracy-critical callers use the scatter
+    path; this one exists for raw throughput on MXU-rich chips.
+    """
+    m = regs.shape[0]
+    idx, rank = bucket_rank(h, p)
+    q1 = min(64 - p + 1, max_rank)
+    rank = jnp.minimum(jnp.where(valid, rank, 0), q1)
+    flat_idx = idx.reshape(-1)
+    flat_rank = rank.reshape(-1)
+    onehot = (flat_idx[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :])
+    ind = (flat_rank[:, None] >= jnp.arange(1, q1 + 1, dtype=jnp.int32)[None, :])
+    counts = jax.lax.dot_general(
+        onehot.astype(jnp.bfloat16), ind.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (m, q1)
+    new = (counts > 0).astype(jnp.int32).sum(-1)
+    return jnp.maximum(regs, new)

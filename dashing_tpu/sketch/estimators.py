@@ -1,0 +1,345 @@
+"""HyperLogLog cardinality estimators (Ertl family), vectorized for TPU.
+
+The reference exposes four estimation modes, selected by -E/-I/-m/-J
+(reference src/distmain.cpp:59-62, src/dashing.cpp:298-314):
+
+  ORIGINAL        Flajolet et al.'s estimator with range corrections
+  ERTL_IMPROVED   Ertl's improved raw estimator (sigma/tau corrections)
+  ERTL_MLE        Poisson-model maximum-likelihood estimate   [default]
+  ERTL_JOINT_MLE  joint MLE over register PAIRS -> (|A\\B|, |B\\A|, |A&B|)
+
+The math follows Ertl, "New Cardinality Estimation Methods for HyperLogLog
+Sketches" (arXiv:1706.07290).  Unlike the reference's scalar secant loops,
+the MLE and joint MLE here are fixed-iteration damped Newton solvers on the
+exact Poisson log-likelihood, written so that a single jit/vmap evaluates
+thousands of pairs in parallel on the VPU.
+
+Everything consumes REGISTER HISTOGRAMS, not registers: C[k] = #registers
+with value k, k = 0..q+1 (q = 64 - p).  Histograms are tiny (<= 64 bins), so
+the estimator cost is independent of sketch size; the expensive histogram
+construction is done on the MXU (see ops/pairwise.py).
+
+Joint-MLE likelihood derivation (documented here because it differs from the
+reference's implementation strategy while estimating the same model):
+under Ertl's Poisson model with unknowns (la, lb, lx) = cardinalities of
+A-only, B-only, A&B, register pairs (K_A, K_B) have CDF
+    F(a, b) = exp(-(la*z_a + lb*z_b + lx*z_min(a,b)) / m),   z_k = 2^-k
+(z_{q+1} = 0).  The pmf by 2-D finite differencing factorizes off-diagonal:
+    b < a:  P(a,b) = f(a; la) * f(b; lb+lx)
+    a < b:  P(a,b) = f(b; lb) * f(a; la+lx)
+where f(k; l) is the single-sketch register pmf, and on the diagonal
+    P(k,k) = e1(z_k) - g_a(k) - g_b(k) + e1(z_{k-1}),
+    e1(z)  = exp(-(la+lb+lx) z / m)
+    g_a(k) = exp(-((la+lx) z_{k-1} + lb z_k) / m)   (and g_b symmetric).
+Hence the sufficient statistics are five small histograms: c_gt_a, c_lt_a,
+c_gt_b, c_lt_b, c_eq (same ones Ertl's Algorithm 9 builds).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Estimation-method codes, numerically matching the reference CLI semantics.
+ORIGINAL = 0
+ERTL_IMPROVED = 1
+ERTL_MLE = 2
+ERTL_JOINT_MLE = 3
+
+_ALPHA_INF = 1.0 / (2.0 * math.log(2.0))
+
+
+# ---------------------------------------------------------------------------
+# Histograms
+# ---------------------------------------------------------------------------
+
+def register_histogram(regs: jnp.ndarray, q: int) -> jnp.ndarray:
+    """Histogram of register values along the last axis -> (..., q+2) f32.
+
+    Built as a one-hot contraction so batched calls become a single matmul.
+    """
+    levels = jnp.arange(q + 2, dtype=regs.dtype)
+    onehot = (regs[..., :, None] == levels).astype(jnp.float32)
+    return onehot.sum(axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# sigma / tau (Ertl eq. 29-30) — used by the improved estimator.
+# ---------------------------------------------------------------------------
+
+def _sigma(x, iters: int = 64):
+    """sigma(x) = x + sum_{k>=1} x^(2^k) * 2^(k-1); sigma(1) = +inf."""
+    def body(_, st):
+        xx, y, z = st
+        xx2 = xx * xx
+        return xx2, y * 2.0, z + xx2 * y
+    x0 = x
+    _, _, z = jax.lax.fori_loop(0, iters, body, (x0, jnp.ones_like(x), x0))
+    return jnp.where(x >= 1.0, jnp.inf, z)
+
+
+def _tau(x, iters: int = 64):
+    """tau(x) = (1/3)(1 - x - sum_{k>=1} (1 - x^(2^-k))^2 * 2^-k)."""
+    def body(_, st):
+        xx, y, z = st
+        xx = jnp.sqrt(xx)
+        y = y * 0.5
+        z = z - (1.0 - xx) ** 2 * y
+        return xx, y, z
+    _, _, z = jax.lax.fori_loop(0, iters, body, (x, jnp.ones_like(x), 1.0 - x))
+    z = z / 3.0
+    return jnp.where((x <= 0.0) | (x >= 1.0), 0.0, z)
+
+
+# ---------------------------------------------------------------------------
+# Single-sketch estimators.  All take C: (..., q+2) float32 histogram.
+# ---------------------------------------------------------------------------
+
+def original_estimate(C: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Flajolet's classic estimator with the small-range correction."""
+    m = float(1 << p)
+    q = C.shape[-1] - 2
+    k = jnp.arange(q + 2, dtype=jnp.float32)
+    denom = (C * jnp.exp2(-k)).sum(-1)
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(int(m), 0.7213 / (1.0 + 1.079 / m))
+    e = alpha * m * m / denom
+    c0 = C[..., 0]
+    small = (e <= 2.5 * m) & (c0 > 0)
+    e_small = m * jnp.log(m / jnp.maximum(c0, 1e-9))
+    return jnp.where(small, e_small, e)
+
+
+def improved_estimate(C: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Ertl's improved raw estimator (arXiv:1706.07290 eq. 28)."""
+    m = float(1 << p)
+    q = C.shape[-1] - 2
+    k = jnp.arange(1, q + 1, dtype=jnp.float32)
+    mid = (C[..., 1:q + 1] * jnp.exp2(-k)).sum(-1)
+    denom = (m * _sigma(C[..., 0] / m)
+             + mid
+             + m * _tau(1.0 - C[..., q + 1] / m) * (2.0 ** -q))
+    return _ALPHA_INF * m * m / denom
+
+
+def _mle_dlogl(x, C, q):
+    """d/dx of the Poisson log-likelihood at rate-per-register x = lambda/m."""
+    # k = 0 term: C0 * d(-x)/dx = -C0
+    k = jnp.arange(1, q + 1, dtype=jnp.float32)
+    zk = jnp.exp2(-k)
+    a = x[..., None] * zk
+    # d/dx [ -a + log(1 - e^-a) ] = z_k * (-1 + 1/(e^a - 1))
+    mid = (C[..., 1:q + 1] * zk * (-1.0 + 1.0 / jnp.expm1(jnp.maximum(a, 1e-30)))).sum(-1)
+    zq = 2.0 ** -q
+    aq = x * zq
+    top = C[..., q + 1] * zq / jnp.expm1(jnp.maximum(aq, 1e-30))
+    return -C[..., 0] + mid + top
+
+
+def mle_estimate(C: jnp.ndarray, p: int, iters: int = 40) -> jnp.ndarray:
+    """Poisson MLE (the reference's default ERTL_MLE), by damped Newton on
+    u = log(x).  Initialized from the improved estimator."""
+    m = float(1 << p)
+    q = C.shape[-1] - 2
+    mtot = C.sum(-1)
+    empty = C[..., 0] >= mtot          # all registers zero -> 0
+    full = C[..., q + 1] >= mtot       # all saturated -> inf
+
+    x0 = jnp.clip(improved_estimate(C, p) / m, 1e-12, 2.0 ** (q + 1))
+    u0 = jnp.log(x0)
+
+    def body(_, u):
+        x = jnp.exp(u)
+        g = _mle_dlogl(x, C, q)
+        # numeric second derivative in u (cheap, robust, branch-free)
+        eps = 1e-3
+        gp = _mle_dlogl(jnp.exp(u + eps), C, q)
+        # dL/du = x*g ; d2L/du2 approx (x+ * g+ - x * g)/eps
+        dldu = x * g
+        d2 = (jnp.exp(u + eps) * gp - dldu) / eps
+        step = dldu / jnp.minimum(d2, -1e-9)
+        step = jnp.clip(step, -1.0, 1.0)
+        return u - step
+
+    u = jax.lax.fori_loop(0, iters, body, u0)
+    est = jnp.exp(u) * m
+    est = jnp.where(empty, 0.0, est)
+    return jnp.where(full, jnp.inf, est)
+
+
+def estimate(C: jnp.ndarray, p: int, method: int = ERTL_MLE) -> jnp.ndarray:
+    if method == ORIGINAL:
+        return original_estimate(C, p)
+    if method == ERTL_IMPROVED:
+        return improved_estimate(C, p)
+    return mle_estimate(C, p)
+
+
+# ---------------------------------------------------------------------------
+# Joint MLE over register pairs.
+# ---------------------------------------------------------------------------
+
+def pair_statistics(a: jnp.ndarray, b: jnp.ndarray, q: int):
+    """Sufficient statistics for one register pair (each (..., m) int).
+
+    Returns dict of (..., q+2) float32 histograms: gt_a, lt_a, gt_b, lt_b, eq,
+    plus the marginal histograms and the union (max) histogram.
+    """
+    levels = jnp.arange(q + 2, dtype=a.dtype)
+    oa = (a[..., :, None] == levels)
+    ob = (b[..., :, None] == levels)
+    agtb = (a > b)[..., None]
+    altb = (a < b)[..., None]
+    aeqb = (a == b)[..., None]
+    f32 = jnp.float32
+    return dict(
+        gt_a=(oa & agtb).astype(f32).sum(-2),
+        lt_a=(oa & altb).astype(f32).sum(-2),
+        gt_b=(ob & altb).astype(f32).sum(-2),
+        lt_b=(ob & agtb).astype(f32).sum(-2),
+        eq=(oa & aeqb).astype(f32).sum(-2),
+        hist_a=oa.astype(f32).sum(-2),
+        hist_b=ob.astype(f32).sum(-2),
+        hist_u=((jnp.maximum(a, b))[..., :, None] == levels).astype(f32).sum(-2),
+    )
+
+
+def _log_f(k_hist: jnp.ndarray, lam, m: float, q: int):
+    """sum_k hist[k] * log f(k; lam): single-register pmf log-likelihood."""
+    x = lam / m
+    k = jnp.arange(1, q + 1, dtype=jnp.float32)
+    zk = jnp.exp2(-k)
+    a = x[..., None] * zk
+    log_mid = -a + jnp.log(-jnp.expm1(-jnp.maximum(a, 1e-38)))
+    aq = x * (2.0 ** -q)
+    log_top = jnp.log(-jnp.expm1(-jnp.maximum(aq, 1e-38)))
+    return (k_hist[..., 0] * (-x)
+            + (k_hist[..., 1:q + 1] * log_mid).sum(-1)
+            + k_hist[..., q + 1] * log_top)
+
+
+def _joint_logl(theta, stats, m: float, q: int):
+    """Joint Poisson log-likelihood at theta = (log la, log lb, log lx)."""
+    la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
+    L = _log_f(stats["gt_a"], la, m, q)
+    L += _log_f(stats["lt_b"], lb + lx, m, q)
+    L += _log_f(stats["gt_b"], lb, m, q)
+    L += _log_f(stats["lt_a"], la + lx, m, q)
+    # diagonal terms
+    kk = jnp.arange(0, q + 2, dtype=jnp.float32)
+    zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)           # z_k, z_{q+1}=0
+    zk1 = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), jnp.inf)  # z_{k-1}, z_-1=inf
+    zk1 = jnp.where(kk - 1.0 > q, 2.0 ** -q, zk1)          # (never hit: k<=q+1)
+    labx = la + lb + lx
+    e_kk = jnp.exp(-labx * zk / m)
+    e_k1 = jnp.where(jnp.isinf(zk1), 0.0, jnp.exp(-labx * zk1 / m))
+    g_a = jnp.where(jnp.isinf(zk1), 0.0,
+                    jnp.exp(-((la + lx) * zk1 + lb * zk) / m))
+    g_b = jnp.where(jnp.isinf(zk1), 0.0,
+                    jnp.exp(-((lb + lx) * zk1 + la * zk) / m))
+    p_eq = jnp.maximum(e_kk - g_a - g_b + e_k1, 1e-38)
+    L += (stats["eq"] * jnp.log(p_eq)).sum(-1)
+    return L
+
+
+@partial(jax.jit, static_argnames=("p", "iters"))
+def joint_mle(stats, p: int, iters: int = 24) -> jnp.ndarray:
+    """Maximize the joint likelihood; returns (|A\\B|, |B\\A|, |A&B|).
+
+    `stats` is a dict of (q+2,) histograms (vmap over leading axes for
+    batches).  Mirrors the contract of hll_t::full_set_comparison /
+    ertl_joint (reference src/dashing.h:190, src/readfilt.cpp:118).
+    """
+    m = float(1 << p)
+    q = stats["eq"].shape[-1] - 2
+
+    c_a = mle_estimate(stats["hist_a"], p)
+    c_b = mle_estimate(stats["hist_b"], p)
+    c_u = mle_estimate(stats["hist_u"], p)
+    # disjoint / degenerate initializations, clamped to a tiny positive rate
+    tiny = 1e-3
+    la0 = jnp.maximum(c_u - c_b, tiny)
+    lb0 = jnp.maximum(c_u - c_a, tiny)
+    lx0 = jnp.maximum(c_a + c_b - c_u, tiny)
+    theta0 = jnp.stack([jnp.log(la0), jnp.log(lb0), jnp.log(lx0)])
+
+    grad_fn = jax.grad(_joint_logl)
+    hess_fn = jax.hessian(_joint_logl)
+
+    def body(_, theta):
+        g = grad_fn(theta, stats, m, q)
+        H = hess_fn(theta, stats, m, q)
+        H = H - 1e-4 * jnp.eye(3)
+        step = jnp.linalg.solve(H, g)
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        norm = jnp.sqrt((step ** 2).sum())
+        step = step * jnp.minimum(1.0, 2.0 / jnp.maximum(norm, 1e-9))
+        new = theta - step
+        better = _joint_logl(new, stats, m, q) >= _joint_logl(theta, stats, m, q)
+        return jnp.where(better & jnp.all(jnp.isfinite(new)), new, theta)
+
+    theta = jax.lax.fori_loop(0, iters, body, theta0)
+    la, lb, lx = jnp.exp(theta)
+    # Degenerate cases: empty sketches.
+    a_empty = c_a <= 0.0
+    b_empty = c_b <= 0.0
+    la = jnp.where(a_empty, 0.0, la)
+    lx = jnp.where(a_empty | b_empty, 0.0, lx)
+    lb = jnp.where(b_empty, 0.0, lb)
+    return jnp.stack([la, lb, lx])
+
+
+# ---------------------------------------------------------------------------
+# Set-operation helpers used by the measures layer.
+# ---------------------------------------------------------------------------
+
+def union_triple_incl_excl(hist_a, hist_b, hist_u, p: int, method: int = ERTL_MLE):
+    """(onlyA, onlyB, shared) by inclusion-exclusion on three cardinalities
+    (the reference's non-JMLE path: us::intersection_size,
+    reference src/dashing.h:550-552)."""
+    c_a = estimate(hist_a, p, method)
+    c_b = estimate(hist_b, p, method)
+    c_u = estimate(hist_u, p, method)
+    shared = jnp.maximum(0.0, c_a + c_b - c_u)
+    return jnp.stack([jnp.maximum(c_a - shared, 0.0),
+                      jnp.maximum(c_b - shared, 0.0),
+                      shared], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy, float64) reference implementations, used by the test-suite to
+# bound the f32 device error and as documentation of the math.
+# ---------------------------------------------------------------------------
+
+def mle_estimate_np(C: np.ndarray, p: int) -> float:
+    m = float(1 << p)
+    q = len(C) - 2
+    C = np.asarray(C, np.float64)
+    if C[0] >= C.sum():
+        return 0.0
+    if C[-1] >= C.sum():
+        return float("inf")
+
+    def dlogl(x):
+        k = np.arange(1, q + 1)
+        zk = 2.0 ** -k
+        a = x * zk
+        mid = (C[1:q + 1] * zk * (-1.0 + 1.0 / np.expm1(np.maximum(a, 1e-300)))).sum()
+        zq = 2.0 ** -q
+        top = C[q + 1] * zq / np.expm1(max(x * zq, 1e-300))
+        return -C[0] + mid + top
+
+    lo, hi = 1e-12, 2.0 ** (q + 4)
+    for _ in range(200):
+        mid = math.sqrt(lo * hi)
+        if dlogl(mid) > 0:
+            lo = mid
+        else:
+            hi = mid
+    return math.sqrt(lo * hi) * m

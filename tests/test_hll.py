@@ -1,0 +1,191 @@
+import gzip
+import io
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dashing_tpu import u64
+from dashing_tpu.hashes import wang_hash_np
+from dashing_tpu.ops import hll_update
+from dashing_tpu.sketch import estimators as est
+from dashing_tpu.sketch.hll import HLL, ertl_joint
+
+
+def _fill(p, values, estim=est.ERTL_MLE, jestim=est.ERTL_MLE):
+    h = HLL(p, estim, jestim)
+    h.addh_np(np.asarray(values, np.uint64))
+    return h
+
+
+def test_device_scatter_matches_host(rng):
+    p = 12
+    vals = rng.integers(0, 2**63, 20000, dtype=np.uint64)
+    hashes = wang_hash_np(vals)
+    host = HLL(p)
+    host.add_np(hashes)
+    dev = HLL(p)
+    hh = u64.from_np(hashes)
+    dev.add_device(hh, jnp.ones(hashes.shape, bool), backend="scatter")
+    assert (host.regs == dev.regs).all()
+
+
+def test_device_matmul_matches_host(rng):
+    p = 10
+    vals = rng.integers(0, 2**63, 4096, dtype=np.uint64)
+    hashes = wang_hash_np(vals)
+    host = HLL(p)
+    host.add_np(hashes)
+    dev = HLL(p)
+    dev.add_device(u64.from_np(hashes), jnp.ones(hashes.shape, bool),
+                   backend="matmul")
+    assert (host.regs == dev.regs).all()
+
+
+def test_invalid_lanes_ignored(rng):
+    p = 10
+    hashes = wang_hash_np(rng.integers(0, 2**63, 1000, dtype=np.uint64))
+    valid = np.zeros(1000, bool)
+    valid[:500] = True
+    dev = HLL(p)
+    dev.add_device(u64.from_np(hashes), jnp.asarray(valid))
+    host = HLL(p)
+    host.add_np(hashes[:500])
+    assert (host.regs == dev.regs).all()
+
+
+@pytest.mark.parametrize("method", [est.ORIGINAL, est.ERTL_IMPROVED, est.ERTL_MLE])
+@pytest.mark.parametrize("n", [100, 10_000, 1_000_000])
+def test_cardinality_accuracy(rng, method, n):
+    p = 14
+    h = _fill(p, rng.integers(0, 2**63, n, dtype=np.uint64), estim=method)
+    got = h.report()
+    # expected relative error ~ 1.04/sqrt(2^14) ~ 0.8%; allow 5 sigma
+    rel = abs(got - n) / n
+    assert rel < 0.05, (method, n, got)
+
+
+def test_mle_matches_numpy_reference(rng):
+    p = 12
+    for n in [50, 5000, 200_000]:
+        h = _fill(p, rng.integers(0, 2**63, n, dtype=np.uint64))
+        want = est.mle_estimate_np(h.histogram(), p)
+        got = float(est.mle_estimate(jnp.asarray(h.histogram()), p))
+        assert abs(got - want) / want < 1e-3, (n, got, want)
+
+
+def test_empty_and_degenerate():
+    h = HLL(10)
+    assert h.report() == 0.0
+    h2 = HLL(10)
+    h2.addh_np(np.arange(5, dtype=np.uint64))
+    assert 1 <= h2.report() <= 10
+
+
+def test_merge_is_union(rng):
+    p = 12
+    a_vals = rng.integers(0, 2**62, 30000, dtype=np.uint64)
+    b_vals = rng.integers(0, 2**62, 30000, dtype=np.uint64)
+    a = _fill(p, a_vals)
+    b = _fill(p, b_vals)
+    ab = _fill(p, np.concatenate([a_vals, b_vals]))
+    a += b
+    assert (a.regs == ab.regs).all()
+
+
+def test_fold_matches_direct(rng):
+    vals = rng.integers(0, 2**63, 50000, dtype=np.uint64)
+    big = _fill(14, vals)
+    small_direct = _fill(11, vals)
+    folded = big.compress(11)
+    assert (folded.regs == small_direct.regs).all()
+
+
+def test_jaccard_vs_truth(rng):
+    p = 14
+    n = 40000
+    shared = rng.integers(0, 2**62, n, dtype=np.uint64)
+    only_a = rng.integers(2**62, 2**63, n, dtype=np.uint64)
+    only_b = rng.integers(2**63, 2**64 - 1, n, dtype=np.uint64)
+    a = _fill(p, np.concatenate([shared, only_a]))
+    b = _fill(p, np.concatenate([shared, only_b]))
+    true_ji = n / (3 * n)
+    ji = a.jaccard_index(b)
+    assert abs(ji - true_ji) / true_ji < 0.08, ji
+
+
+def test_joint_mle_triple(rng):
+    p = 14
+    n = 30000
+    shared = rng.integers(0, 2**62, n, dtype=np.uint64)
+    only_a = rng.integers(2**62, 2**63, 2 * n, dtype=np.uint64)
+    only_b = rng.integers(2**63, 2**64 - 1, n // 2, dtype=np.uint64)
+    a = _fill(p, np.concatenate([shared, only_a]), jestim=est.ERTL_JOINT_MLE)
+    b = _fill(p, np.concatenate([shared, only_b]), jestim=est.ERTL_JOINT_MLE)
+    oa, ob, x = a.full_set_comparison(b)
+    assert abs(x - n) / n < 0.1, (oa, ob, x)
+    assert abs(oa - 2 * n) / (2 * n) < 0.1, (oa, ob, x)
+    assert abs(ob - n / 2) / (n / 2) < 0.15, (oa, ob, x)
+
+
+def test_joint_mle_disjoint(rng):
+    p = 12
+    a = _fill(p, rng.integers(0, 2**61, 20000, dtype=np.uint64),
+              jestim=est.ERTL_JOINT_MLE)
+    b = _fill(p, rng.integers(2**63, 2**64 - 1, 20000, dtype=np.uint64),
+              jestim=est.ERTL_JOINT_MLE)
+    _, _, x = a.full_set_comparison(b)
+    # disjoint sets: shared should be a small fraction of either set
+    assert x < 2000, x
+    assert a.jaccard_index(b) < 0.05
+
+
+def test_joint_mle_identical(rng):
+    p = 12
+    vals = rng.integers(0, 2**63, 20000, dtype=np.uint64)
+    a = _fill(p, vals, jestim=est.ERTL_JOINT_MLE)
+    b = _fill(p, vals, jestim=est.ERTL_JOINT_MLE)
+    assert a.jaccard_index(b) > 0.95
+    tri = ertl_joint(a, b)
+    assert tri[2] > 0.9 * 20000
+
+
+def test_serialization_roundtrip(rng, tmp_path):
+    h = _fill(12, rng.integers(0, 2**63, 5000, dtype=np.uint64))
+    path = str(tmp_path / "x.hll")
+    h.write(path)
+    back = HLL.read(path)
+    assert back.p == h.p and (back.regs == h.regs).all()
+    # streamed records in one gz stream
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb") as fp:
+        h.write_record(fp)
+        h.compress(10).write_record(fp)
+    buf.seek(0)
+    with gzip.GzipFile(fileobj=buf, mode="rb") as fp:
+        r1 = HLL.read_record(fp)
+        r2 = HLL.read_record(fp)
+        with pytest.raises(EOFError):
+            HLL.read_record(fp)
+    assert r1.p == 12 and r2.p == 10
+
+
+def test_truncated_file_raises(tmp_path):
+    path = str(tmp_path / "t.hll")
+    h = HLL(10)
+    h.write(path)
+    raw = gzip.open(path, "rb").read()
+    with gzip.open(path, "wb") as fp:
+        fp.write(raw[:100])
+    with pytest.raises(EOFError):
+        HLL.read(path)
+
+
+def test_union_size_consistency(rng):
+    p = 13
+    va = rng.integers(0, 2**62, 25000, dtype=np.uint64)
+    vb = rng.integers(2**61, 2**63, 25000, dtype=np.uint64)
+    a, b = _fill(p, va), _fill(p, vb)
+    u = a.union_size(b)
+    direct = _fill(p, np.concatenate([va, vb])).report()
+    assert abs(u - direct) / direct < 1e-6
