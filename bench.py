@@ -1,0 +1,105 @@
+"""Headline benchmark: k-mers sketched per second per chip.
+
+Measures the fused device pipeline (2-bit canonical encode -> WangHash ->
+HLL register scatter-max) on device-resident tiles — the hot loop that
+dominates `dashing sketch` (reference src/sketch_and_cmp.h:484-528).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N}
+
+vs_baseline compares against a single-thread numpy host implementation of
+the identical pipeline measured in-process (the reference binary is not
+buildable here: its bonsai submodule is absent from the mount and the
+environment has no network; SURVEY.md sec 0/6).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+K = 31
+P = 14
+ROWS = 64
+CONTENT = 1 << 16          # 64 KiB payload per row
+ITERS = 20
+
+
+def device_rate() -> float:
+    import jax
+    import jax.numpy as jnp
+    from dashing_tpu.ops.encode import encode_tile
+    from dashing_tpu.ops.hll_update import update_registers
+    from dashing_tpu.hashes import wang_hash
+
+    positions = tuple(range(K))
+
+    @jax.jit
+    def step(tiles, regs):
+        km, valid = encode_tile(tiles, k=K, w=K, positions=positions, span=K,
+                                canon=True)
+        h = wang_hash(km)
+        return update_registers(regs, h, valid, P)
+
+    rng = np.random.default_rng(0)
+    C = CONTENT + K - 1
+    tiles = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                   size=(ROWS, C)))
+    regs = jnp.zeros(1 << P, jnp.int32)
+    regs = step(tiles, regs)
+    regs.block_until_ready()                      # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        regs = step(tiles, regs)
+    regs.block_until_ready()
+    dt = time.perf_counter() - t0
+    kmers = ROWS * CONTENT * ITERS
+    return kmers / dt
+
+
+def host_baseline_rate() -> float:
+    """Single-thread numpy version of the same pipeline (measured, then
+    treated as the per-core CPU baseline)."""
+    from dashing_tpu.hashes import wang_hash_np
+
+    rng = np.random.default_rng(0)
+    n = 1 << 20
+    seq = rng.integers(0, 4, n + K - 1, dtype=np.uint64)
+    t0 = time.perf_counter()
+    # shift-or encode (forward + rc + canonical), hash, bucket/rank, scatter
+    fwd = np.zeros(n, np.uint64)
+    rc = np.zeros(n, np.uint64)
+    for t in range(K):
+        fwd = (fwd << np.uint64(2)) | seq[t:t + n]
+        rc |= (np.uint64(3) - seq[t:t + n]) << np.uint64(2 * t)
+    km = np.minimum(fwd, rc)
+    h = wang_hash_np(km)
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    rest = (h << np.uint64(P)) | np.uint64(1 << (P - 1))
+    cnt = np.zeros(n, np.int64)
+    y = rest.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        zt = (y >> np.uint64(64 - s)) == 0
+        cnt += np.where(zt, s, 0)
+        y = np.where(zt, y << np.uint64(s), y)
+    regs = np.zeros(1 << P, np.uint8)
+    np.maximum.at(regs, idx, (cnt + 1).astype(np.uint8))
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    dev = device_rate()
+    base = host_baseline_rate()
+    print(json.dumps({
+        "metric": "kmers_sketched_per_sec_per_chip",
+        "value": round(dev, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(dev / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

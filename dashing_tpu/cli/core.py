@@ -1,0 +1,261 @@
+"""Shared CLI machinery: option tables, sketch-or-load, comparison driver.
+
+Flag names, defaults and output formats mirror the reference CLI
+(src/distmain.cpp:28-204, src/dashing.cpp:294-409, src/dashing.h:44-104).
+"""
+from __future__ import annotations
+
+import dataclasses
+import getopt
+import gzip
+import os
+import sys
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .. import pipeline
+from ..io import cache, distmat, fasta, paths
+from ..ops import pairwise as pw
+from ..sketch import estimators as est
+from ..sketch.hll import HLL
+from ..sketch.khset import KSet
+
+# Sketch-type registry.  `arg` mirrors bytesl2_to_arg (reference
+# src/sketch_and_cmp.h:40-74): one -S log2-bytes knob mapped per structure.
+SKETCH_EXTS = {"hll": ".hll", "khset": ".khs", "bf": ".bf", "rmh": ".rmh",
+               "bbmh": ".bmh", "crmh": ".crmh", "superminhash": ".bbs",
+               "hmh": ".hmh", "wide_hll": ".whll"}
+
+
+def eprint(*a, **kw):
+    print(*a, file=sys.stderr, **kw)
+
+
+@dataclasses.dataclass
+class CommonOpts:
+    k: int = 31
+    wsz: int = 0
+    spacing: str = ""
+    sketch_size: int = 10          # -S, log2 bytes
+    canon: bool = True
+    encoding: str = "bonsai"
+    estim: int = est.ERTL_MLE
+    jestim: int = est.ERTL_MLE
+    sketch_type: str = "hll"
+    nthreads: int = 1
+    paths_file: str = ""
+    prefix: str = ""
+    suffix: str = ""
+    cache_sketch: bool = False
+    presketched: bool = False
+    avoid_sorting: bool = False
+    entropy_min: bool = False
+    mincount: int = 5
+    nhashes: int = 1
+    cmsketchsize: int = -1
+    use_counting_filter: bool = False
+    sketch_by_fname: bool = False
+    seed: int = 1337
+    weighted_jaccard: bool = False
+    exact_weighted: bool = False
+    bbnbits: int = 16
+    number_neighbors: int = 0
+    nperbatch: int = 16
+
+
+def hll_p_from_S(S: int) -> int:
+    """HLL: p == -S (log2 bytes, 1 byte/register)."""
+    return S
+
+
+def parse_common(opts: CommonOpts, flag: str, val: str) -> bool:
+    """Apply one long/short option shared across subcommands.  Returns True
+    if consumed."""
+    m = {
+        "-k": ("k", int), "--kmer-length": ("k", int),
+        "-w": ("wsz", int), "--window-size": ("wsz", int),
+        "-s": ("spacing", str), "--spacing": ("spacing", str),
+        "-S": ("sketch_size", int), "--sketch-size": ("sketch_size", int),
+        "-p": ("nthreads", int), "--nthreads": ("nthreads", int),
+        "-F": ("paths_file", str), "--paths": ("paths_file", str),
+        "-P": ("prefix", str), "--prefix": ("prefix", str),
+        "-x": ("suffix", str), "--suffix": ("suffix", str),
+        "-c": ("mincount", int), "--min-count": ("mincount", int),
+        "-q": ("nhashes", int), "--nhashes": ("nhashes", int),
+        "-t": ("cmsketchsize", int), "--cm-sketch-size": ("cmsketchsize", int),
+        "-R": ("seed", int), "--seed": ("seed", int),
+        "-B": ("bbnbits", int), "--bbits": ("bbnbits", int),
+    }
+    if flag in m:
+        name, conv = m[flag]
+        setattr(opts, name, conv(val))
+        return True
+    flags = {
+        "-C": ("canon", False), "--no-canon": ("canon", False),
+        "-W": ("cache_sketch", True), "--cache-sketches": ("cache_sketch", True),
+        "-H": ("presketched", True), "--presketched": ("presketched", True),
+        "-n": ("avoid_sorting", True), "--avoid-sorting": ("avoid_sorting", True),
+        "-g": ("entropy_min", True), "--by-entropy": ("entropy_min", True),
+        "-y": ("use_counting_filter", True), "--countmin": ("use_counting_filter", True),
+        "-N": ("sketch_by_fname", True), "--sketch-by-fname": ("sketch_by_fname", True),
+        "--use-nthash": ("encoding", "nthash"),
+        "--use-cyclic-hash": ("encoding", "cyclic"),
+        "--wj": ("weighted_jaccard", True),
+        "--wj-exact": ("exact_weighted", True),
+        "--use-bb-minhash": ("sketch_type", "bbmh"), "-8": ("sketch_type", "bbmh"),
+        "--use-range-minhash": ("sketch_type", "rmh"),
+        "--use-bloom-filter": ("sketch_type", "bf"),
+        "--use-full-khash-sets": ("sketch_type", "khset"),
+        "--use-full-hash-sets": ("sketch_type", "khset"),
+        "--use-hash-sets": ("sketch_type", "khset"),
+        "--hash-sets": ("sketch_type", "khset"),
+        "--use-full-sets": ("sketch_type", "khset"),
+        "--use-wide-hll": ("sketch_type", "wide_hll"),
+        "--use-superminhash": ("sketch_type", "superminhash"),
+        "-E": ("estim", est.ORIGINAL), "--original": ("estim", est.ORIGINAL),
+        "-I": ("estim", est.ERTL_IMPROVED), "--improved": ("estim", est.ERTL_IMPROVED),
+        "-m": ("estim", est.ERTL_MLE), "--ertl-mle": ("estim", est.ERTL_MLE),
+    }
+    if flag in flags:
+        name, v = flags[flag]
+        setattr(opts, name, v)
+        if name == "estim":
+            opts.jestim = v
+        return True
+    if flag in ("-J", "--ertl-joint-mle"):
+        opts.jestim = est.ERTL_JOINT_MLE
+        return True
+    if flag == "--nearest-neighbors":
+        opts.number_neighbors = int(val)
+        return True
+    if flag == "--nperbatch":
+        opts.nperbatch = max(int(val), 1)
+        return True
+    return False
+
+
+def validate_k(opts: CommonOpts):
+    if opts.k > 32 and opts.encoding == "bonsai":
+        raise SystemExit("k must be <= 32 for non-rolling hashes.")
+    if opts.k > 32 and opts.spacing:
+        raise SystemExit("kmers must be unspaced for k > 32")
+
+
+def sketch_params(opts: CommonOpts, rehash: bool = True) -> pipeline.SketchParams:
+    return pipeline.SketchParams(
+        k=opts.k, w=opts.wsz, spacing=opts.spacing, canon=opts.canon,
+        encoding=opts.encoding, rehash=rehash,
+        min_count=opts.mincount,
+        use_counting_filter=opts.use_counting_filter)
+
+
+def gather_inpaths(opts: CommonOpts, positional: List[str]) -> List[str]:
+    inp = (paths.get_paths(opts.paths_file) if opts.paths_file
+           else list(positional))
+    return inp
+
+
+def read_sketch_auto(path: str, sketch_type: str):
+    if sketch_type == "hll":
+        return HLL.read(path)
+    if sketch_type == "khset":
+        return KSet.read(path)
+    from ..sketch.setsketches import read_typed
+    return read_typed(path, sketch_type)
+
+
+def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
+    """One logical path -> a sketch, honoring --presketched and -W cache."""
+    params = sketch_params(opts)
+    if use_filter or opts.use_counting_filter:
+        params = dataclasses.replace(
+            params, use_counting_filter=True,
+            min_count=opts.mincount if opts.mincount > 1 else 2)
+    if opts.presketched:
+        return read_sketch_auto(path, opts.sketch_type)
+    sp = params.spacer()
+    ext = SKETCH_EXTS[opts.sketch_type]
+    fname = cache.make_fname(path, hll_p_from_S(opts.sketch_size), sp.w,
+                             opts.k, sp.c, opts.spacing, opts.suffix,
+                             opts.prefix, opts.encoding, ext)
+    if opts.cache_sketch and os.path.isfile(fname):
+        return read_sketch_auto(fname, opts.sketch_type)
+    sk = build_sketch(path, opts, params)
+    if opts.cache_sketch:
+        sk.write(fname)
+    return sk
+
+
+def build_sketch(path: str, opts: CommonOpts, params: pipeline.SketchParams):
+    if opts.sketch_type == "hll":
+        p = hll_p_from_S(opts.sketch_size)
+        regs = pipeline.sketch_file_hll(path, params, p)
+        h = HLL(p, opts.estim, opts.jestim, regs)
+        return h
+    if opts.sketch_type == "khset":
+        import dataclasses as _dc
+        kmers = pipeline.file_raw_kmers(path, params)
+        return KSet.from_values(kmers)
+    from ..sketch.setsketches import build_typed
+    return build_typed(opts.sketch_type, path, opts, params)
+
+
+def compare_condensed(sketches, result_type: int, k: int, estim: int,
+                      jestim: int) -> np.ndarray:
+    """Symmetric all-pairs condensed vector; MXU engine for HLLs, host loop
+    for everything else."""
+    if isinstance(sketches[0], HLL):
+        return pw.all_pairs_condensed(sketches, result_type, k, estim, jestim)
+    n = len(sketches)
+    ksinv = 1.0 / k
+    out = np.empty(n * (n - 1) // 2, np.float32)
+    pos = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            tri = np.asarray(sketches[i].full_set_comparison(sketches[j]),
+                             np.float64)[None, :]
+            out[pos] = host_measure(tri, result_type, ksinv)[0]
+            pos += 1
+    return out
+
+
+def compare_rect(refs, queries, result_type: int, k: int, estim: int,
+                 jestim: int) -> np.ndarray:
+    if isinstance(refs[0], HLL):
+        return pw.rect_pairs(refs, queries, result_type, k, estim, jestim)
+    ksinv = 1.0 / k
+    out = np.empty((len(queries), len(refs)), np.float32)
+    for qi, qs in enumerate(queries):
+        for rj, rs in enumerate(refs):
+            tri = np.asarray(rs.full_set_comparison(qs), np.float64)[None, :]
+            out[qi, rj] = host_measure(tri, result_type, ksinv)[0]
+    return out
+
+
+def host_measure(tri: np.ndarray, result_type: int, ksinv: float) -> np.ndarray:
+    """numpy mirror of pw.measure_from_triples for host-side sketch types."""
+    import jax.numpy as jnp
+    return np.asarray(pw.measure_from_triples(jnp.asarray(tri, jnp.float32),
+                                              result_type, ksinv))
+
+
+def emit_cardinalities(fp, names: Sequence[str], sketches, integer: bool = True,
+                       use_scientific: bool = False):
+    """dist-phase cardinality TSV: '#Path\\tSize (est.)' then '%s\\t%zu'
+    (reference src/sketch_and_cmp.h:372-385; card uses float formats)."""
+    fp.write("#Path\tSize (est.)\n")
+    for name, sk in zip(names, sketches):
+        card = sk.report()
+        if integer:
+            fp.write(f"{name}\t{int(card)}\n")
+        elif use_scientific:
+            fp.write(f"{name}\t{card:0.12g}\n")
+        else:
+            fp.write(f"{name}\t{card:0.8f}\n")
+
+
+def open_output(path: Optional[str], binary: bool = False):
+    if not path or path == "-" or path == "/dev/stdout":
+        return (sys.stdout.buffer if binary else sys.stdout), False
+    return open(path, "wb" if binary else "w"), True

@@ -1,0 +1,995 @@
+"""dashing_tpu command-line interface.
+
+Subcommand surface mirrors the reference binary (reference src/main.cpp:22-39):
+sketch, dist/cmp/setdist, hll, union, view, fold, panel, card, printmat,
+dist_by_seq/cmp_by_seq, sketch_by_seq/sbs — plus mkdist (--multik) and
+flatten, and the readfilt side tool as a subcommand.
+
+Run:  python -m dashing_tpu.cli <subcommand> [options...]
+"""
+from __future__ import annotations
+
+import getopt
+import gzip
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from .. import __version__, pipeline
+from ..io import cache, distmat, fasta, paths
+from ..ops import pairwise as pw
+from ..sketch import estimators as est
+from ..sketch.hll import HLL, ertl_joint
+from ..sketch.khset import KSet
+from . import core
+from .core import CommonOpts, eprint
+
+RESULT_TYPES = {
+    "mash": pw.MASH_DIST, "ji": pw.JI, "sizes": pw.SIZES,
+    "full_mash": pw.FULL_MASH_DIST,
+    "full_containment_dist": pw.FULL_CONTAINMENT_DIST,
+    "containment_index": pw.CONTAINMENT_INDEX,
+    "containment_dist": pw.CONTAINMENT_DIST,
+    "sym_containment_index": pw.SYMMETRIC_CONTAINMENT_INDEX,
+    "sym_containment_dist": pw.SYMMETRIC_CONTAINMENT_DIST,
+}
+
+UT_TSV, BINARY, PHYLIP, FULL_TSV = 0, 1, 2, 3
+
+DIST_LONG = [
+    "avoid-sorting", "by-entropy", "cache-sketches", "countmin",
+    "emit-binary", "full-mash-dist", "full-tsv", "no-canon", "phylip",
+    "presketched", "sizes", "sketch-by-fname", "use-bb-minhash",
+    "use-scientific", "bbits=", "cm-sketch-size=", "ertl-joint-mle",
+    "ertl-mle", "improved", "kmer-length=", "min-count=", "nhashes=",
+    "nthreads=", "original", "out-dists=", "out-sizes=", "paths=",
+    "prefix=", "query-paths=", "seed=", "sketch-size=", "spacing=",
+    "suffix=", "window-size=", "help", "use-range-minhash",
+    "use-full-khash-sets", "use-full-hash-sets", "use-hash-sets",
+    "hash-sets", "use-full-sets", "full-containment-dist",
+    "use-bloom-filter", "use-nthash", "containment-index",
+    "containment-dist", "mash-dist", "symmetric-containment-index",
+    "symmetric-containment-dist", "use-cyclic-hash", "wj-cm-sketch-size=",
+    "wj-cm-nhashes=", "wj", "nearest-neighbors=", "wj-exact",
+    "use-wide-hll", "defer-hll", "nperbatch=", "multik=",
+]
+
+DIST_SHORT = "n"  # no-arg -n (avoid-sorting) per DIST_LONG_OPTS
+DIST_SHORT_OPTS = "Q:P:x:F:c:p:o:s:w:O:S:k:t:R:q:B:8TglICbMEeHJhZNyUmW?hn"
+
+
+def _getopts(argv, short, long_):
+    try:
+        return getopt.gnu_getopt(argv, short, long_)
+    except getopt.GetoptError as e:
+        raise SystemExit(f"option error: {e}")
+
+
+# ===========================================================================
+# dist / cmp
+# ===========================================================================
+
+def dist_main(argv: List[str]) -> int:
+    o = CommonOpts()
+    result_type = pw.JI
+    emit_fmt = UT_TSV
+    use_scientific = False
+    out_sizes: Optional[str] = None
+    out_dists: Optional[str] = None
+    querypaths: List[str] = []
+    if not argv:
+        _dist_usage()
+    optlist, positional = _getopts(argv, DIST_SHORT_OPTS, DIST_LONG)
+    for flag, val in optlist:
+        if core.parse_common(o, flag, val):
+            continue
+        if flag in ("-M", "--mash-dist"):
+            result_type = pw.MASH_DIST
+        elif flag in ("-l", "--full-mash-dist"):
+            result_type = pw.FULL_MASH_DIST
+        elif flag in ("-Z", "--sizes"):
+            result_type = pw.SIZES
+        elif flag == "--containment-index":
+            result_type = pw.CONTAINMENT_INDEX
+        elif flag == "--containment-dist":
+            result_type = pw.CONTAINMENT_DIST
+        elif flag == "--full-containment-dist":
+            result_type = pw.FULL_CONTAINMENT_DIST
+        elif flag == "--symmetric-containment-index":
+            result_type = pw.SYMMETRIC_CONTAINMENT_INDEX
+        elif flag == "--symmetric-containment-dist":
+            result_type = pw.SYMMETRIC_CONTAINMENT_DIST
+        elif flag in ("-b", "--emit-binary"):
+            emit_fmt = BINARY
+        elif flag in ("-U", "--phylip"):
+            emit_fmt = PHYLIP
+        elif flag in ("-T", "--full-tsv"):
+            emit_fmt = FULL_TSV
+        elif flag in ("-e", "--use-scientific"):
+            use_scientific = True
+        elif flag == "-o":
+            out_sizes = val
+        elif flag == "-O":
+            out_dists = val
+        elif flag in ("-Q", "--query-paths"):
+            querypaths = paths.get_paths(val)
+        elif flag in ("-n", "--avoid-sorting"):
+            o.avoid_sorting = True
+        elif flag in ("-h", "-?", "--help"):
+            _dist_usage()
+    core.validate_k(o)
+    inpaths = core.gather_inpaths(o, positional)
+    if not inpaths:
+        eprint("No paths. See usage.")
+        _dist_usage()
+    nq = len(querypaths)
+    if nq == 0 and not pw.is_symmetric(result_type):
+        eprint("Note: No query files provided, but an asymmetric distance was "
+               "requested. Switching to a query/reference format with all "
+               "references as queries.")
+        querypaths = list(inpaths)
+        nq = len(querypaths)
+    if not o.presketched and not o.avoid_sorting:
+        inpaths = paths.sort_paths_by_fsize(inpaths)
+        querypaths = paths.sort_paths_by_fsize(querypaths)
+    allpaths = inpaths + querypaths
+
+    # special case: one presketched file may be a stream of many sketches
+    # (reference src/sketch_and_cmp.h:298-309)
+    sketches = []
+    names = list(allpaths)
+    if o.presketched and len(allpaths) == 1:
+        with gzip.open(allpaths[0], "rb") as fp:
+            idx = 0
+            while True:
+                try:
+                    sketches.append(core.read_sketch_auto(fp, o.sketch_type))
+                except EOFError:
+                    break
+                idx += 1
+        names = [str(i) for i in range(len(sketches))]
+    else:
+        for path in allpaths:
+            sketches.append(core.sketch_or_load(path, o))
+    for sk in sketches:
+        if isinstance(sk, HLL):
+            sk.estim, sk.jestim = o.estim, o.jestim
+
+    fp_sizes, close_sizes = core.open_output(out_sizes)
+    core.emit_cardinalities(fp_sizes, names, sketches)
+    if close_sizes:
+        fp_sizes.close()
+
+    if o.number_neighbors > 0:
+        return _nn_emit(sketches, names, o, result_type, emit_fmt, out_dists, nq)
+
+    ref_sketches = sketches[:len(sketches) - nq] if nq else sketches
+    ref_names = names[:len(names) - nq] if nq else names
+
+    if nq:
+        mat = core.compare_rect(ref_sketches, sketches[len(sketches) - nq:],
+                                result_type, o.k, o.estim, o.jestim)
+        q_names = names[len(names) - nq:]
+        if emit_fmt == BINARY:
+            fp, close = core.open_output(out_dists, binary=True)
+            fp.write(np.ascontiguousarray(mat, np.float32).tobytes())
+            if close:
+                fp.close()
+            _write_labels(out_dists, names)
+        else:
+            fp, close = core.open_output(out_dists)
+            for qi, qn in enumerate(q_names):
+                fp.write(qn + "".join("\t%g" % v for v in mat[qi]) + "\n")
+            if close:
+                fp.close()
+        return 0
+
+    cond = core.compare_condensed(sketches, result_type, o.k, o.estim, o.jestim)
+    n = len(sketches)
+    if emit_fmt == BINARY:
+        fp, close = core.open_output(out_dists, binary=True)
+        distmat.write_binary(fp, cond, n)
+        if close:
+            fp.close()
+        _write_labels(out_dists, names)
+    elif emit_fmt == PHYLIP:
+        fp, close = core.open_output(out_dists)
+        distmat.emit_phylip(fp, names, cond)
+        if close:
+            fp.close()
+    elif emit_fmt == FULL_TSV:
+        fp, close = core.open_output(out_dists)
+        distmat.emit_full_tsv(fp, names, distmat.condensed_to_square(cond, n))
+        if close:
+            fp.close()
+    else:
+        fp, close = core.open_output(out_dists)
+        distmat.emit_ut_tsv(fp, names, cond)
+        if close:
+            fp.close()
+    return 0
+
+
+def _write_labels(out_dists: Optional[str], names):
+    """Binary emission writes a .labels sidecar (reference
+    src/distmain.cpp:191-202)."""
+    label_path = (out_dists + ".labels") if out_dists else "unspecified"
+    try:
+        with open(label_path, "w") as fp:
+            for nm in names:
+                fp.write(nm + "\n")
+    except OSError as e:
+        eprint(f"warning: could not write labels file {label_path}: {e}")
+
+
+def _nn_emit(sketches, names, o: CommonOpts, result_type: int, emit_fmt: int,
+             out_dists: Optional[str], nq: int) -> int:
+    """k-NN mode (reference nndist_loop, src/sketch_and_cmp.h:712-783).
+    TSV rows 'name\\tid:dist...' or binary (u32 n, u32 k, (f32,u32)[n*k])."""
+    nn = o.number_neighbors
+    sim = pw.is_similarity(result_type)
+    n = len(sketches)
+    nref = n - nq if nq else n
+    npairs = nq if nq else n
+    possible = nref if nq else n
+    if nn > possible:
+        eprint(f"Only reporting {possible} rather than {nn} neighbors due to "
+               "their being only that many sets.")
+        nn = possible
+    refs = sketches[:nref]
+    queries = sketches[nref:] if nq else sketches
+    mat = core.compare_rect(refs, queries, result_type, o.k, o.estim, o.jestim)
+    if not nq:
+        # exclude self-comparisons
+        for i in range(n):
+            mat[i, i] = -np.inf if sim else np.inf
+    order = np.argsort(-mat if sim else mat, axis=1, kind="stable")[:, :nn]
+    vals = np.take_along_axis(mat, order, axis=1)
+    if emit_fmt == BINARY:
+        fp, close = core.open_output(out_dists, binary=True)
+        fp.write(np.uint32(n).tobytes())
+        fp.write(np.uint32(nn).tobytes())
+        rec = np.zeros(npairs * nn, dtype=[("v", "<f4"), ("i", "<u4")])
+        rec["v"] = vals.reshape(-1)
+        rec["i"] = order.reshape(-1).astype(np.uint32)
+        fp.write(rec.tobytes())
+        if close:
+            fp.close()
+    else:
+        fp, close = core.open_output(out_dists)
+        fp.write("#File\tNeighbor ID:distance\t...\n")
+        qoff = nref if nq else 0
+        for i in range(npairs):
+            row = names[qoff + i]
+            for j in range(nn):
+                row += "\t%d:%g" % (order[i, j], vals[i, j])
+            fp.write(row + "\n")
+        if close:
+            fp.close()
+    return 0
+
+
+# ===========================================================================
+# sketch
+# ===========================================================================
+
+SKETCH_LONG = [
+    "countmin", "sketch-by-fname", "no-canon", "skip-cached", "by-entropy",
+    "use-bb-minhash", "bbits=", "paths=", "prefix=", "nhashes=", "original",
+    "improved", "ertl-joint-mle", "seed=", "sketch-size=", "kmer-length=",
+    "min-count=", "nthreads=", "cm-sketch-size=", "spacing=", "window-size=",
+    "suffix=", "wj-cm-sketch-size=", "wj-cm-nhashes=", "use-range-minhash",
+    "use-full-khash-sets", "use-bloom-filter", "use-nthash",
+    "use-cyclic-hash", "avoid-sorting", "wj", "wj-exact", "use-wide-hll",
+    "defer-hll", "help",
+]
+
+
+def sketch_main(argv: List[str]) -> int:
+    o = CommonOpts()
+    o.mincount = 1
+    skip_cached = False
+    output_file = ""
+    optlist, positional = _getopts(
+        argv, "n:P:F:o:p:x:R:s:S:k:w:H:q:B:8JbfjEIcCeh?", SKETCH_LONG)
+    for flag, val in optlist:
+        # sketch_main's short letters differ from dist_main's
+        # (reference src/dashing.cpp:253-291): -b=countmin, -f=by-fname,
+        # -c=skip-cached, -n=min-count, -q=cm size, -H=nhashes, -o=output.
+        if flag == "-b":
+            o.use_counting_filter = True
+            continue
+        if flag == "-f":
+            o.sketch_by_fname = True
+            continue
+        if flag in ("-c", "--skip-cached"):
+            skip_cached = True
+            continue
+        if flag == "-n":
+            o.mincount = int(val)
+            continue
+        if flag == "-q":
+            o.cmsketchsize = int(val)
+            continue
+        if flag == "-H":
+            o.nhashes = int(val)
+            continue
+        if flag == "-o":
+            output_file = val
+            continue
+        if flag == "--countmin":
+            o.use_counting_filter = True
+            continue
+        if flag == "--sketch-by-fname":
+            o.sketch_by_fname = True
+            continue
+        if flag == "--min-count":
+            o.mincount = int(val)
+            continue
+        if core.parse_common(o, flag, val):
+            continue
+        if flag in ("-h", "-?", "--help"):
+            _sketch_usage()
+    core.validate_k(o)
+    inpaths = core.gather_inpaths(o, positional)
+    if not inpaths:
+        eprint("No paths. See usage.")
+        _sketch_usage()
+    if not o.avoid_sorting:
+        inpaths = paths.sort_paths_by_fsize(inpaths)
+    params = core.sketch_params(o)
+    sp = params.spacer()
+    ext = core.SKETCH_EXTS[o.sketch_type]
+
+    use_filter = [o.use_counting_filter or
+                  (o.sketch_by_fname and fasta.fname_is_fq(p))
+                  for p in inpaths]
+
+    sketches = []
+    for i, path in enumerate(inpaths):
+        fname = cache.make_fname(path, core.hll_p_from_S(o.sketch_size),
+                                 sp.w, o.k, sp.c, o.spacing, o.suffix,
+                                 o.prefix, o.encoding, ext)
+        if skip_cached and os.path.isfile(fname):
+            if output_file:
+                sketches.append(core.read_sketch_auto(fname, o.sketch_type))
+            continue
+        import dataclasses as _dc
+        pp = _dc.replace(params, use_counting_filter=use_filter[i],
+                         min_count=o.mincount)
+        sk = core.build_sketch(path, o, pp)
+        if output_file:
+            sketches.append(sk)
+        else:
+            sk.write(fname)
+    if output_file:
+        with gzip.open(output_file + ".labels.gz", "wt") as fp:
+            for path in inpaths:
+                fp.write(path + "\n")
+        with gzip.open(output_file, "wb") as fp:
+            for sk in sketches:
+                sk.write_record(fp)
+    eprint(f"Successfully finished sketching from {len(inpaths)} files")
+    return 0
+
+
+# ===========================================================================
+# card / hll / union / view / fold / printmat / flatten
+# ===========================================================================
+
+def card_main(argv: List[str]) -> int:
+    o = CommonOpts()
+    use_scientific = False
+    emit_binary = False
+    out: Optional[str] = None
+    querypaths: List[str] = []
+    optlist, positional = _getopts(argv, DIST_SHORT_OPTS, DIST_LONG)
+    for flag, val in optlist:
+        if core.parse_common(o, flag, val):
+            continue
+        if flag in ("-b", "--emit-binary"):
+            emit_binary = True
+        elif flag in ("-e", "--use-scientific"):
+            use_scientific = True
+        elif flag == "-o":
+            out = val
+        elif flag in ("-Q", "--query-paths"):
+            querypaths = paths.get_paths(val)
+        elif flag in ("-n", "--avoid-sorting"):
+            o.avoid_sorting = True
+        elif flag in ("-h", "-?", "--help"):
+            _dist_usage()
+    core.validate_k(o)
+    inpaths = core.gather_inpaths(o, positional)
+    if not inpaths:
+        eprint("No paths. See usage.")
+        return 1
+    if not o.presketched and not o.avoid_sorting:
+        inpaths = paths.sort_paths_by_fsize(inpaths)
+        querypaths = paths.sort_paths_by_fsize(querypaths)
+    inpaths += querypaths
+    sketches = [core.sketch_or_load(p, o) for p in inpaths]
+    if emit_binary:
+        fp, close = core.open_output(out, binary=True)
+        cards = np.asarray([s.report() for s in sketches], np.float32)
+        fp.write(cards.tobytes())
+        if close:
+            fp.close()
+    else:
+        fp, close = core.open_output(out)
+        core.emit_cardinalities(fp, inpaths, sketches, integer=False,
+                                use_scientific=use_scientific)
+        if close:
+            fp.close()
+    return 0
+
+
+def hll_main(argv: List[str]) -> int:
+    """One merged HLL over ALL inputs -> single cardinality
+    (reference src/hllmain.cpp:4-39; default -S 24)."""
+    o = CommonOpts()
+    o.sketch_size = 24
+    optlist, positional = _getopts(argv, "Cw:s:S:p:k:F:tfh?", ["help"])
+    for flag, val in optlist:
+        if core.parse_common(o, flag, val):
+            continue
+        if flag in ("-h", "-?", "--help"):
+            eprint("usage: hll [-k k] [-S p] [-F paths] files...")
+            return 1
+    inpaths = core.gather_inpaths(o, positional)
+    if not inpaths:
+        eprint("usage: hll [-k k] [-S p] [-F paths] files...")
+        return 1
+    params = core.sketch_params(o)
+    p = core.hll_p_from_S(o.sketch_size)
+    regs = np.zeros(1 << p, np.uint8)
+    for path in inpaths:
+        np.maximum(regs, pipeline.sketch_file_hll(path, params, p), out=regs)
+    h = HLL(p, o.estim, o.jestim, regs)
+    print(f"Estimated number of unique exact matches: {h.report():f}")
+    return 0
+
+
+def union_main(argv: List[str]) -> int:
+    opath = "/dev/stdout"
+    plist: List[str] = []
+    sketch_type = "hll"
+    compression_level = 6
+    optlist, positional = _getopts(argv, "p:b:o:F:zZ:rHh?", ["help"])
+    for flag, val in optlist:
+        if flag in ("-h", "--help", "-?"):
+            _union_usage()
+        elif flag == "-Z":
+            compression_level = int(val)
+        elif flag == "-o":
+            opath = val
+        elif flag == "-F":
+            plist = paths.get_paths(val)
+        elif flag == "-r":
+            sketch_type = "rmh"
+        elif flag == "-H":
+            sketch_type = "khset"
+        elif flag == "-b":
+            sketch_type = "bf"  # NB: reference -b takes the sketch path arg
+    plist += positional
+    if not plist:
+        _union_usage()
+    merged = core.read_sketch_auto(plist[0], sketch_type)
+    for path in plist[1:]:
+        merged += core.read_sketch_auto(path, sketch_type)
+    if opath in ("-", "/dev/stdout"):
+        merged.write_record(sys.stdout.buffer)
+    else:
+        merged.write(opath)
+    return 0
+
+
+def view_main(argv: List[str]) -> int:
+    if not argv:
+        raise SystemExit("Usage: view f1.hll [f2.hll ...]. "
+                         "Only HLLs currently supported.")
+    for path in argv:
+        HLL.read(path).printf(sys.stdout)
+    return 0
+
+
+def fold_main(argv: List[str]) -> int:
+    out, inp, destp = "/dev/stdout", "/dev/stdin", -1
+    optlist, positional = _getopts(argv, "p:o:h?", ["help"])
+    for flag, val in optlist:
+        if flag == "-o":
+            out = val
+        elif flag == "-p":
+            destp = int(val)
+        else:
+            eprint("Usage: fold [-o out] [-p destp] in.hll")
+            return 1
+    if positional:
+        inp = positional[0]
+    h = HLL.read(inp)
+    if destp <= 0:
+        destp = h.p - 1
+    h.compress(destp).write(out if out != "-" else "/dev/stdout")
+    return 0
+
+
+def printmat_main(argv: List[str]) -> int:
+    use_scientific = False
+    outpath = ""
+    optlist, positional = _getopts(argv, "o:sh?", ["help"])
+    for flag, val in optlist:
+        if flag == "-o":
+            outpath = val
+        elif flag == "-s":
+            use_scientific = True
+        else:
+            eprint("printmat <binary matrix> [-o out] [-s]")
+            return 1
+    if not positional:
+        eprint("printmat <binary matrix> [-o out] [-s]")
+        return 1
+    fp, close = core.open_output(outpath or None)
+    distmat.print_binary(positional[0], fp, use_scientific)
+    if close:
+        fp.close()
+    return 0
+
+
+def flatten_main(argv: List[str]) -> int:
+    optlist, positional = _getopts(argv, "o:k:h?", ["help"])
+    out = "flattened.bin"
+    ks: List[int] = []
+    for flag, val in optlist:
+        if flag == "-o":
+            out = val
+        elif flag == "-k":
+            ks = [int(x) for x in val.split(",")]
+    if not positional or len(ks) != len(positional):
+        eprint("flatten -o out -k k1,k2,... mat1 mat2 ...")
+        return 1
+    return distmat.flatten_all(positional, out, ks)
+
+
+# ===========================================================================
+# mkdist (--multik): per-k matrices + flatten, in-process (the reference
+# shells out to itself per k, reference src/mkdistmain.cpp:106-114).
+# ===========================================================================
+
+def mkdist_main(argv: List[str]) -> int:
+    multik = None
+    rest = []
+    it = iter(range(len(argv)))
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--multik":
+            multik = argv[i + 1]
+            i += 2
+            continue
+        if a.startswith("--multik="):
+            multik = a.split("=", 1)[1]
+            i += 1
+            continue
+        rest.append(a)
+        i += 1
+    if not multik:
+        eprint("mkdist: --multik <outpref>,<start>,<end>[,<step>] plus dist "
+               "options")
+        return 1
+    parts = multik.split(",")
+    outpref, s, e = parts[0], int(parts[1]), int(parts[2])
+    step = int(parts[3]) if len(parts) > 3 else (1 if e > s else -1)
+    if (e > s) != (step > 0):
+        step = -step
+    ks = list(range(s, e, step))
+    fpaths = []
+    for k in ks:
+        outp = f"_{outpref}_{k}"
+        args = ["-b", "-O", outp, "-k", str(k)] + rest
+        rc = dist_main(args)
+        if rc != 0:
+            return rc
+        fpaths.append(outp)
+    eprint("Finished distance matrix calculations. Now flattening")
+    return distmat.flatten_all(fpaths, outpref + ".bin", ks)
+
+
+# ===========================================================================
+# sketch_by_seq / dist_by_seq
+# ===========================================================================
+
+def sketch_by_seq_main(argv: List[str]) -> int:
+    """One sketch per FASTA/FASTQ record, streamed into a single gz output
+    plus a .names sidecar with '#k=<k>:' header (reference
+    src/sketch_and_cmp.h:540-602)."""
+    o = CommonOpts()
+    o.mincount = 1
+    outpath = "/dev/stdout"
+    optlist, positional = _getopts(
+        argv, "o:n:P:p:x:R:s:S:k:w:H:q:B:8JbfjEIcCeh?", SKETCH_LONG)
+    for flag, val in optlist:
+        if flag == "-o":
+            outpath = val
+            continue
+        if flag == "-b":
+            o.use_counting_filter = True
+            continue
+        if flag == "-n":
+            o.mincount = int(val)
+            continue
+        if flag == "-q":
+            o.cmsketchsize = int(val)
+            continue
+        if flag == "-H":
+            o.nhashes = int(val)
+            continue
+        if core.parse_common(o, flag, val):
+            continue
+        if flag in ("-h", "-?", "--help"):
+            eprint("sketch_by_seq [opts] input.fa")
+            return 1
+    core.validate_k(o)
+    inpath = positional[0] if positional else "/dev/stdin"
+    params = core.sketch_params(o)
+    sp = params.spacer()
+    namepath = ("stdout.names" if outpath == "/dev/stdout"
+                else outpath + ".names")
+    import jax.numpy as jnp
+    from ..ops.encode import tile_sequence
+    from ..pipeline import _tile_to_hashes, CONTENT
+    p = core.hll_p_from_S(o.sketch_size)
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=o.canon, encoding=o.encoding, rehash=True)
+    with open(namepath, "w") as namefp:
+        namefp.write(f"#k={o.k}:Names for sequences sketched\n")
+        with gzip.open(outpath, "wb") as ofp:
+            for name, seq in fasta.read_records(inpath):
+                sk = _sketch_one_seq(seq, o, sp, kw, p)
+                namefp.write(name.decode() + "\n")
+                sk.write_record(ofp)
+    return 0
+
+
+def _sketch_one_seq(seq: bytes, o: CommonOpts, sp, kw, p: int):
+    import jax.numpy as jnp
+    from ..ops.encode import tile_sequence
+    from ..pipeline import _tile_to_hashes
+    from ..ops.hll_update import update_registers
+    from .. import u64 as _u
+    tiles = tile_sequence(np.frombuffer(seq, np.uint8), 8192, sp.halo)
+    if o.sketch_type == "hll":
+        regs = jnp.zeros(1 << p, jnp.int32)
+        for i in range(0, tiles.shape[0], 64):
+            h, valid = _tile_to_hashes(jnp.asarray(tiles[i:i + 64]), **kw)
+            regs = update_registers(regs, h, valid, p)
+        return HLL(p, o.estim, o.jestim,
+                   np.clip(np.asarray(regs), 0, 255).astype(np.uint8))
+    # exact sets per sequence
+    vals = []
+    kw_raw = dict(kw, rehash=False)
+    for i in range(0, tiles.shape[0], 64):
+        h, valid = _tile_to_hashes(jnp.asarray(tiles[i:i + 64]), **kw_raw)
+        vals.append(_u.to_np(h)[np.asarray(valid)])
+    return KSet.from_values(np.concatenate(vals) if vals else
+                            np.zeros(0, np.uint64))
+
+
+def dist_by_seq_main(argv: List[str]) -> int:
+    """Compare pre-made per-sequence sketches (reference
+    src/distbyseq.cpp:53-130)."""
+    o = CommonOpts()
+    outpath = "/dev/stdout"
+    namefile = ""
+    otherpath = ""
+    emit_fmt = UT_TSV
+    result_type = pw.JI
+    k = -1
+    long_opts = ["containment-index", "containment-dist", "mash-dist",
+                 "symmetric-containment-index", "symmetric-containment-dist",
+                 "sizes", "help"]
+    optlist, positional = _getopts(argv, "q:o:k:n:p:EIJMBbS8KCTrUh?", long_opts)
+    for flag, val in optlist:
+        if flag == "-B":
+            o.sketch_type = "bf"
+        elif flag in ("-S", "-8"):
+            o.sketch_type = "bbmh"
+        elif flag == "-K":
+            o.sketch_type = "khset"
+        elif flag == "-r":
+            o.sketch_type = "rmh"
+        elif flag == "-p":
+            o.nthreads = int(val)
+        elif flag == "-o":
+            outpath = val
+        elif flag == "-E":
+            o.estim = o.jestim = est.ORIGINAL
+        elif flag == "-I":
+            o.estim = o.jestim = est.ERTL_IMPROVED
+        elif flag == "-J":
+            o.jestim = est.ERTL_JOINT_MLE
+        elif flag in ("-M", "--mash-dist"):
+            result_type = pw.MASH_DIST
+        elif flag == "--containment-index":
+            result_type = pw.CONTAINMENT_INDEX
+        elif flag == "--containment-dist":
+            result_type = pw.CONTAINMENT_DIST
+        elif flag == "--symmetric-containment-index":
+            result_type = pw.SYMMETRIC_CONTAINMENT_INDEX
+        elif flag == "--symmetric-containment-dist":
+            result_type = pw.SYMMETRIC_CONTAINMENT_DIST
+        elif flag in ("-Z", "--sizes"):
+            result_type = pw.SIZES
+        elif flag == "-k":
+            k = int(val)
+        elif flag == "-n":
+            namefile = val
+        elif flag == "-q":
+            otherpath = val
+        elif flag == "-b":
+            emit_fmt = BINARY
+        elif flag == "-T":
+            emit_fmt = FULL_TSV
+        elif flag == "-U":
+            emit_fmt = PHYLIP
+        elif flag in ("-h", "-?", "--help"):
+            _dbs_usage()
+    if len(positional) != 1 or not namefile:
+        _dbs_usage()
+    labels = paths.get_paths(namefile)
+    if labels and labels[0].startswith("#k="):
+        if k <= 0:
+            try:
+                k = int(labels[0][3:].split(":")[0])
+            except ValueError:
+                k = 31
+        labels = labels[1:]
+    if k <= 0:
+        k = 31
+    sketches = []
+    with gzip.open(positional[0], "rb") as fp:
+        for _ in labels:
+            sketches.append(core.read_sketch_auto(fp, o.sketch_type))
+        if otherpath:
+            qnames = paths.get_paths(otherpath + ".names")
+            qnames = [q for q in qnames if not q.startswith("#k=")]
+            with gzip.open(otherpath, "rb") as qfp:
+                qsketches = [core.read_sketch_auto(qfp, o.sketch_type)
+                             for _ in qnames]
+    for sk in sketches:
+        if isinstance(sk, HLL):
+            sk.estim, sk.jestim = o.estim, o.jestim
+    fp, close = core.open_output(outpath, binary=(emit_fmt == BINARY))
+    nq = 0
+    if otherpath:
+        mat = core.compare_rect(sketches, qsketches, result_type, k,
+                                o.estim, o.jestim)
+        if emit_fmt == BINARY:
+            fp.write(np.ascontiguousarray(mat, np.float32).tobytes())
+        else:
+            for qi, qn in enumerate(qnames):
+                fp.write(qn + "".join("\t%g" % v for v in mat[qi]) + "\n")
+    else:
+        if not pw.is_symmetric(result_type):
+            raise SystemExit("Can't perform asymmetric comparison without "
+                             "query paths")
+        cond = core.compare_condensed(sketches, result_type, k, o.estim,
+                                      o.jestim)
+        if emit_fmt == BINARY:
+            distmat.write_binary(fp, cond, len(labels))
+        elif emit_fmt == PHYLIP:
+            distmat.emit_phylip(fp, labels, cond)
+        elif emit_fmt == FULL_TSV:
+            distmat.emit_full_tsv(
+                fp, labels, distmat.condensed_to_square(cond, len(labels)))
+        else:
+            distmat.emit_ut_tsv(fp, labels, cond)
+    if close:
+        fp.close()
+    return 0
+
+
+# ===========================================================================
+# panel: query FASTAs against a sketch database (the reference's panel is an
+# unimplemented stub, src/panel.cpp:4-7; this one works).
+# ===========================================================================
+
+def panel_main(argv: List[str]) -> int:
+    o = CommonOpts()
+    outpath = "/dev/stdout"
+    filesinfile = False
+    optlist, positional = _getopts(argv, "p:o:k:S:Fh?", ["help"])
+    for flag, val in optlist:
+        if flag == "-o":
+            outpath = val
+        elif flag == "-F":
+            filesinfile = True
+        elif core.parse_common(o, flag, val):
+            pass
+    if len(positional) != 2:
+        eprint("panel <sketch-db> <query> [-F: query is a file of paths] "
+               "[-o out]")
+        return 1
+    dbpath, inpath = positional
+    labels = [l for l in paths.get_paths(dbpath + ".labels") if l]
+    refs = []
+    with gzip.open(dbpath, "rb") as fp:
+        for _ in labels:
+            refs.append(HLL.read_record(fp))
+    if len(refs) != len(labels):
+        raise SystemExit(f"Read {len(refs)} sketches but {len(labels)} labels")
+    qpaths = paths.get_paths(inpath) if filesinfile else [inpath]
+    o.sketch_size = refs[0].p
+    params = core.sketch_params(o)
+    fp, close = core.open_output(outpath)
+    fp.write("#Query\tBestMatch\tContainment\tJaccard\n")
+    for qp in qpaths:
+        regs = pipeline.sketch_file_hll(qp, params, refs[0].p)
+        q = HLL(refs[0].p, o.estim, est.ERTL_JOINT_MLE, regs)
+        best, bc, bj = "-", -1.0, 0.0
+        for lbl, ref in zip(labels, refs):
+            oa, ob, x = ertl_joint(q, ref)
+            cont = x / (oa + x) if (oa + x) > 0 else 0.0
+            ji = x / (oa + ob + x) if (oa + ob + x) > 0 else 0.0
+            if cont > bc:
+                best, bc, bj = lbl, cont, ji
+        fp.write(f"{qp}\t{best}\t{bc:.6g}\t{bj:.6g}\n")
+    if close:
+        fp.close()
+    return 0
+
+
+# ===========================================================================
+# readfilt: stream reads, emit those contained in a reference sketch
+# (side tool, reference src/readfilt.cpp:36-139).
+# ===========================================================================
+
+def readfilt_main(argv: List[str]) -> int:
+    o = CommonOpts()
+    o.k = 21
+    hllpath = ""
+    frac_cutoff = 0.5
+    opath = None
+    optlist, positional = _getopts(argv, "Chk:s:f:o:?", ["help"])
+    for flag, val in optlist:
+        if flag == "-s":
+            hllpath = val
+        elif flag == "-f":
+            frac_cutoff = float(val)
+        elif flag == "-k":
+            o.k = int(val)
+        elif flag == "-o":
+            opath = val
+        elif flag == "-C":
+            o.canon = False
+        elif flag in ("-h", "-?", "--help"):
+            eprint("readfilt -s ref.hll [-k 21] [-f 0.5] reads.fq "
+                   "[mates.fq]")
+            return 1
+    if not positional or not hllpath:
+        eprint("readfilt -s ref.hll [-k 21] [-f 0.5] reads.fq [mates.fq]")
+        return 1
+    ref = HLL.read(hllpath)
+    fp, close = core.open_output(opath)
+    files = [fasta.read_records(p) for p in positional[:2]]
+    pairs = zip(*files) if len(files) == 2 else ((r,) for r in files[0])
+    sp = core.sketch_params(o).spacer()
+    from ..ops.encode import encode_oracle
+    from ..hashes import wang_hash_np
+    for recs in pairs:
+        q = HLL(ref.p, o.estim, est.ERTL_JOINT_MLE)
+        for _, seq in recs:
+            kmers = encode_oracle(seq, sp, o.canon)
+            if kmers.size:
+                q.addh_np(kmers)
+        oa, ob, x = ertl_joint(q, ref)
+        ci = x / (oa + x) if (oa + x) > 0 else 0.0
+        if ci >= frac_cutoff:
+            for name, seq in recs:
+                fp.write(f">{name.decode()} {ci:.4f}\n{seq.decode()}\n")
+    if close:
+        fp.close()
+    return 0
+
+
+# ===========================================================================
+# usage + dispatcher
+# ===========================================================================
+
+def _dist_usage():
+    raise SystemExit(
+        "Usage: dist <opts> [genomes... or -F paths.txt]\n"
+        "  -k/--kmer-length INT    k-mer size [31], max 32 (rolling hashes "
+        "unbounded)\n"
+        "  -S/--sketch-size INT    log2 bytes per sketch [10]\n"
+        "  -F/--paths FILE         one input path per line\n"
+        "  -Q/--query-paths FILE   queries for rectangular comparison\n"
+        "  -o/-O FILE              cardinality / distance outputs\n"
+        "  -M/--mash-dist, --full-mash-dist, --sizes, --containment-*, "
+        "--symmetric-containment-*\n"
+        "  -b binary, -U phylip, -T full TSV (default upper-triangular TSV)\n"
+        "  -E/-I/-m/-J             estimator: original/improved/MLE/joint "
+        "MLE\n"
+        "  -C no canonicalization, -w window, -s spacing, --use-nthash, "
+        "--use-cyclic-hash\n"
+        "  --use-bb-minhash/-8, --use-bloom-filter, --use-range-minhash, "
+        "--use-full-khash-sets\n"
+        "  -y/--countmin -c mincount   count-threshold filtering\n"
+        "  --nearest-neighbors N   k-NN mode\n"
+        "  -W cache sketches, -H presketched inputs, -p threads (accepted; "
+        "device-parallel)\n")
+
+
+def _sketch_usage():
+    raise SystemExit("Usage: sketch <opts> [genomes...]; see dist for shared "
+                     "options; -o writes all sketches to one stream")
+
+
+def _union_usage():
+    raise SystemExit("Usage: union [-o out] [-F paths] sketch1 sketch2...\n"
+                     "  -r bottom-k, -H hash sets, -b bloom filters "
+                     "(default HLL)")
+
+
+def _dbs_usage():
+    raise SystemExit("Usage: dist_by_seq -n namefile [opts] sketchstream.gz")
+
+
+SUBCOMMANDS = {
+    "sketch": sketch_main,
+    "union": union_main,
+    "setdist": dist_main,
+    "dist": dist_main,
+    "cmp": dist_main,
+    "hll": hll_main,
+    "view": view_main,
+    "fold": fold_main,
+    "panel": panel_main,
+    "card": card_main,
+    "printmat": printmat_main,
+    "mkdist": mkdist_main,
+    "flatten": flatten_main,
+    "dist_by_seq": dist_by_seq_main,
+    "cmp_by_seq": dist_by_seq_main,
+    "sketch_by_seq": sketch_by_seq_main,
+    "sbs": sketch_by_seq_main,
+    "readfilt": readfilt_main,
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # Platform override: DASHING_TPU_PLATFORM=cpu forces host execution
+    # (useful for tiny inputs where accelerator dispatch latency dominates,
+    # and for machines without the TPU tunnel).
+    plat = os.environ.get("DASHING_TPU_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    eprint(f"dashing_tpu version: {__version__}")
+    if not argv:
+        _main_usage()
+    cmd = argv[0]
+    fn = SUBCOMMANDS.get(cmd)
+    if fn is None:
+        for a in argv:
+            if a.lower() in ("-h", "--help"):
+                _main_usage()
+            if a.lower() in ("-v", "--version"):
+                raise SystemExit(f"dashing_tpu version: {__version__}")
+        raise SystemExit(f"Invalid subcommand {cmd} provided.")
+    return fn(argv[1:])
+
+
+def _main_usage():
+    raise SystemExit(
+        "Usage: dashing_tpu <subcommand> [options...]\n"
+        "Subcommands: sketch, dist/cmp, hll, union, view, fold, card, "
+        "printmat, mkdist, flatten,\n"
+        "             dist_by_seq/cmp_by_seq, sketch_by_seq/sbs, panel, "
+        "readfilt\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,164 @@
+"""Distance-matrix file formats and text emitters.
+
+Binary condensed format (byte-compatible with the reference's
+dm::DistanceMatrix<float>, reference distmat/distmat.h:390-395 and the
+dist -b stream src/sketch_and_cmp.h:820-836):
+
+    1 byte  magic: dtype code (0 = float32, distmat.h:96-108)
+    8 bytes u64 little-endian: number of sets n
+    4*n(n-1)/2 bytes: float32 upper-triangular entries, row-major
+        entry (i, j>i) at index i*(2n-i-1)/2 + j-i-1   (distmat.h:260-264)
+
+Text emitters replicate the reference formats:
+  * UT_TSV: '##Names\\t<name>\\t...' header, then per row: name, one '\\t-'
+    per column <= i, then '\\t%.6g' values (src/sketch_and_cmp.h:16-35,
+    :612-618 header).
+  * PHYLIP upper triangular: first line = count; rows = name padded to >= 9
+    chars then values (src/sketch_and_cmp.h:27-30).
+  * FULL_TSV: '#Names' header then square matrix, '%0.6g' (src/
+    sketch_and_cmp.h:851-877).
+
+The flatten_all multi-k container (reference src/flatten_all.cpp:39-43):
+    u32 nk | u64 nentries | u64 nsets | u32 k[nk] | f32[nentries*nk]
+    entry-major interleaving (all k values for entry 0, then entry 1, ...).
+"""
+from __future__ import annotations
+
+import struct
+from typing import IO, List, Sequence, Union
+
+import numpy as np
+
+MAGIC_FLOAT = 0  # more_magic::MagicNumber::FLOAT
+
+
+def condensed_index(n: int, i: int, j: int) -> int:
+    assert j > i
+    return (i * (2 * n - i - 1)) // 2 + j - i - 1
+
+
+def write_binary(path_or_fp: Union[str, IO[bytes]], condensed: np.ndarray,
+                 n: int):
+    data = np.ascontiguousarray(condensed, np.float32)
+    assert data.size == n * (n - 1) // 2
+    if isinstance(path_or_fp, str):
+        with open(path_or_fp, "wb") as fp:
+            write_binary(fp, data, n)
+        return
+    fp = path_or_fp
+    fp.write(bytes([MAGIC_FLOAT]))
+    fp.write(struct.pack("<Q", n))
+    fp.write(data.tobytes())
+
+
+def read_binary(path: str):
+    """Returns (n, condensed float32 array).  Accepts gzip like the ref."""
+    import gzip
+    opener = open
+    with open(path, "rb") as probe:
+        if probe.read(2) == b"\x1f\x8b":
+            opener = gzip.open
+    with opener(path, "rb") as fp:
+        magic = fp.read(1)[0]
+        if magic != MAGIC_FLOAT:
+            raise ValueError(f"unsupported distance-matrix dtype code {magic}")
+        (n,) = struct.unpack("<Q", fp.read(8))
+        payload = fp.read(4 * n * (n - 1) // 2)
+        data = np.frombuffer(payload, np.float32)
+        if data.size != n * (n - 1) // 2:
+            raise EOFError("truncated distance matrix")
+    return n, data.copy()
+
+
+def _fmt(v: float) -> str:
+    return "%.6g" % v
+
+
+def emit_ut_tsv(fp, names: Sequence[str], condensed: np.ndarray):
+    n = len(names)
+    fp.write("##Names\t" + "\t".join(names) + "\n")
+    pos = 0
+    for i in range(n):
+        row = [names[i]]
+        row.extend(["-"] * (i + 1))
+        cnt = n - i - 1
+        row.extend(_fmt(v) for v in condensed[pos:pos + cnt])
+        pos += cnt
+        fp.write("\t".join(row) + "\n")
+
+
+def emit_phylip(fp, names: Sequence[str], condensed: np.ndarray):
+    n = len(names)
+    fp.write(f"{n}\n")
+    pos = 0
+    for i in range(n):
+        name = names[i]
+        if len(name) < 9:
+            name = name + " " * (9 - len(name))
+        cnt = n - i - 1
+        vals = "".join("\t" + _fmt(v) for v in condensed[pos:pos + cnt])
+        pos += cnt
+        fp.write(name + vals + "\n")
+
+
+def emit_full_tsv(fp, names: Sequence[str], square: np.ndarray):
+    # Header replicates the reference byte-for-byte (src/sketch_and_cmp.h:
+    # 852-858): fputs("#Names") then each name followed by '\t' (or '\n'
+    # after the last) — note NO separator between "#Names" and name 0.
+    fp.write("#Names" + "\t".join(names) + "\n")
+    n = len(names)
+    for i in range(n):
+        vals = "\t".join(_fmt(square[i, j]) for j in range(n))
+        fp.write(f"{names[i]}\t{vals}\n")
+
+
+def condensed_to_square(condensed: np.ndarray, n: int, diag: float = 0.0
+                        ) -> np.ndarray:
+    out = np.full((n, n), diag, np.float32)
+    pos = 0
+    for i in range(n):
+        cnt = n - i - 1
+        out[i, i + 1:] = condensed[pos:pos + cnt]
+        out[i + 1:, i] = condensed[pos:pos + cnt]
+        pos += cnt
+    return out
+
+
+def print_binary(in_path: str, fp, use_scientific: bool = False):
+    """The `printmat` subcommand (reference src/dashing.cpp:425-452):
+    binary condensed matrix -> TSV dump."""
+    n, data = read_binary(in_path)
+    sq = condensed_to_square(data, n)
+    fmt = "%e" if use_scientific else "%f"
+    for i in range(n):
+        fp.write("\t".join(fmt % v for v in sq[i]) + "\n")
+
+
+# -- flatten (multi-k) -------------------------------------------------------
+
+def flatten_all(in_paths: List[str], out_path: str, k_values: List[int]) -> int:
+    mats = [read_binary(p) for p in in_paths]
+    ne = mats[0][1].size
+    if any(m[1].size != ne for m in mats):
+        raise ValueError("matrices disagree on entry count")
+    nk = len(k_values)
+    inter = np.empty((ne, nk), np.float32)
+    for j, (_, data) in enumerate(mats):
+        inter[:, j] = data
+    with open(out_path, "wb") as fp:
+        fp.write(struct.pack("<I", nk))
+        fp.write(struct.pack("<Q", ne))
+        fp.write(struct.pack("<Q", mats[0][0]))
+        fp.write(np.asarray(k_values, np.uint32).tobytes())
+        fp.write(inter.tobytes())
+    return 0
+
+
+def read_flattened(path: str):
+    with open(path, "rb") as fp:
+        (nk,) = struct.unpack("<I", fp.read(4))
+        (ne,) = struct.unpack("<Q", fp.read(8))
+        (nsets,) = struct.unpack("<Q", fp.read(8))
+        ks = np.frombuffer(fp.read(4 * nk), np.uint32)
+        data = np.frombuffer(fp.read(4 * nk * ne), np.float32).reshape(ne, nk)
+    return nsets, ks, data

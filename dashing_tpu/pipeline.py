@@ -1,0 +1,206 @@
+"""The sketching engine: files -> tiles -> device -> sketches.
+
+TPU-native replacement for the reference's per-file encode+addh hot loop
+(sketch_core, reference src/sketch_and_cmp.h:446-538; the same guts back
+dist_sketch_and_cmp :268-417).  A file's records are joined with invalid
+separators, tiled into fixed-width overlapping rows, encoded and hashed on
+device, and max-reduced into registers.  Shapes are bucketed so jit compiles
+a handful of kernels total, independent of genome count.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import u64
+from .hashes import wang_hash
+from .ops import rolling
+from .ops.encode import Spacer, encode_tile, join_records, parse_spacing, tile_sequence
+from .ops.hll_update import bucket_rank, update_registers
+from .io import fasta
+from .io.paths import split_subpaths
+
+# Tile geometry: CONTENT bases of payload per row + halo overlap.  Rows per
+# device batch bounded to keep VMEM/HBM pressure predictable.
+CONTENT = 8192
+MAX_ROWS = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class SketchParams:
+    k: int = 31
+    w: int = 0                      # window size (-w); 0 -> k-mer span
+    spacing: str = ""
+    canon: bool = True
+    encoding: str = "bonsai"        # bonsai | nthash | rk/cyclic
+    rehash: bool = True             # apply WangHash to encoder output
+    min_count: int = 1              # count threshold (--countmin / -c)
+    use_counting_filter: bool = False
+
+    def spacer(self) -> Spacer:
+        return Spacer(self.k, self.w, parse_spacing(self.spacing, self.k))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
+                                             "canon", "encoding", "rehash", "p"))
+def _tile_to_registers(tile: jnp.ndarray, regs: jnp.ndarray, *, k: int, w: int,
+                       positions: Tuple[int, ...], span: int, canon: bool,
+                       encoding: str, rehash: bool, p: int) -> jnp.ndarray:
+    """Fused device step: ASCII tile -> k-mers -> hashes -> register max."""
+    if encoding == "bonsai":
+        km, valid = encode_tile(tile, k=k, w=w, positions=positions, span=span,
+                                canon=canon)
+    else:
+        km, valid = rolling.rolling_hash_tile(tile, k=k, kind=encoding,
+                                              canon=canon)
+    h = wang_hash(km) if rehash else km
+    return update_registers(regs, h, valid, p)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
+                                             "canon", "encoding", "rehash"))
+def _tile_to_hashes(tile: jnp.ndarray, *, k, w, positions, span, canon,
+                    encoding, rehash):
+    if encoding == "bonsai":
+        km, valid = encode_tile(tile, k=k, w=w, positions=positions, span=span,
+                                canon=canon)
+    else:
+        km, valid = rolling.rolling_hash_tile(tile, k=k, kind=encoding,
+                                              canon=canon)
+    h = wang_hash(km) if rehash else km
+    return h, valid
+
+
+def _file_tiles(path: str, sp: Spacer) -> Iterable[np.ndarray]:
+    """Yield (rows, CONTENT+halo) uint8 tiles covering a logical path."""
+    seqs: List[bytes] = []
+    for sub in split_subpaths(path):
+        seqs.extend(seq for _, seq in fasta.read_records(sub))
+    joined = join_records(seqs, sp.halo)
+    tiles = tile_sequence(joined, CONTENT, sp.halo)
+    for i in range(0, tiles.shape[0], MAX_ROWS):
+        chunk = tiles[i:i + MAX_ROWS]
+        # pad row count to the next power of two (few jit cache entries)
+        rows = chunk.shape[0]
+        target = 1
+        while target < rows:
+            target *= 2
+        if target != rows:
+            pad = np.full((target - rows, chunk.shape[1]), ord("N"), np.uint8)
+            chunk = np.concatenate([chunk, pad])
+        yield chunk
+
+
+def sketch_file_hll(path: str, params: SketchParams, p: int) -> np.ndarray:
+    """Sketch one logical path into 2^p uint8 HLL registers (device fold)."""
+    sp = params.spacer()
+    regs = jnp.zeros(1 << p, jnp.int32)
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=params.rehash)
+    if params.use_counting_filter and params.min_count > 1:
+        for tile, mask in _count_filtered_tiles(path, params, sp):
+            h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+            regs = update_registers(regs, h, valid & mask, p)
+    else:
+        for tile in _file_tiles(path, sp):
+            regs = _tile_to_registers(jnp.asarray(tile), regs, **kw, p=p)
+    return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)
+
+
+def file_kmer_hashes(path: str, params: SketchParams) -> np.ndarray:
+    """All (hashed or raw per params.rehash) k-mer values of a path, host u64.
+
+    Feeds the exact-set backend and the minhash family.  Applies the count
+    filter when configured.
+    """
+    sp = params.spacer()
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=params.rehash)
+    outs = []
+    if params.use_counting_filter and params.min_count > 1:
+        for tile, mask in _count_filtered_tiles(path, params, sp):
+            h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+            keep = np.asarray(valid & mask)
+            outs.append(u64.to_np(h)[keep])
+    else:
+        for tile in _file_tiles(path, sp):
+            h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+            outs.append(u64.to_np(h)[np.asarray(valid)])
+    if not outs:
+        return np.zeros(0, np.uint64)
+    return np.concatenate(outs)
+
+
+def file_raw_kmers(path: str, params: SketchParams) -> np.ndarray:
+    """Encoded (unhashed) k-mer values — exact-set semantics (khset64_t
+    stores raw k-mers: reference src/khset64.h:15 addh == insert)."""
+    return file_kmer_hashes(path, dataclasses.replace(params, rehash=False))
+
+
+# ---------------------------------------------------------------------------
+# Count-min threshold filtering (--countmin / -y; reference
+# src/sketch_and_cmp.h:347 `if(cm.addh(kmer) >= mincount) sketch.addh(kmer)`).
+# Batched as two passes: count every k-mer of the file, then admit k-mers
+# whose (over-)estimated multiplicity reaches min_count.  The admitted SET
+# equals the reference's streaming semantics (an element enters the moment
+# its count reaches the threshold; membership depends only on the final
+# count), without the stream-order dependence.
+# ---------------------------------------------------------------------------
+
+CM_SIZE_LOG2 = 20
+CM_NHASHES = 4
+CM_SEED = 1337
+
+
+def _cm_indices(h: u64.U64, nh: int, size_log2: int, seed: int):
+    idxs = []
+    for row in range(nh):
+        hs = wang_hash(u64.xor(h, u64.const((seed + row * 0x9E3779B9) | 1)))
+        idxs.append((hs[0] >> (32 - size_log2)).astype(jnp.int32))
+    return jnp.stack(idxs)  # (nh, ...)
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "size_log2", "seed"))
+def _cm_add(counts: jnp.ndarray, h: u64.U64, valid: jnp.ndarray,
+            nh: int, size_log2: int, seed: int) -> jnp.ndarray:
+    idx = _cm_indices(h, nh, size_log2, seed)
+    ones = jnp.where(valid, 1, 0).reshape(-1).astype(jnp.int32)
+    for row in range(nh):
+        counts = counts.at[row].add(
+            jnp.zeros_like(counts[row]).at[idx[row].reshape(-1)].add(ones))
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "size_log2", "seed"))
+def _cm_query(counts: jnp.ndarray, h: u64.U64, nh: int, size_log2: int,
+              seed: int) -> jnp.ndarray:
+    idx = _cm_indices(h, nh, size_log2, seed)
+    est = None
+    for row in range(nh):
+        v = counts[row][idx[row]]
+        est = v if est is None else jnp.minimum(est, v)
+    return est
+
+
+def _count_filtered_tiles(path: str, params: SketchParams, sp: Spacer):
+    """Two-pass CM filter; yields (tile, admit-mask) per tile."""
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=params.rehash)
+    tiles = list(_file_tiles(path, sp))
+    counts = jnp.zeros((CM_NHASHES, 1 << CM_SIZE_LOG2), jnp.int32)
+    cached = []
+    for tile in tiles:
+        h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+        counts = _cm_add(counts, h, valid, CM_NHASHES, CM_SIZE_LOG2, CM_SEED)
+        cached.append((tile, h, valid))
+    for tile, h, valid in cached:
+        est = _cm_query(counts, h, CM_NHASHES, CM_SIZE_LOG2, CM_SEED)
+        yield tile, (est >= params.min_count) & valid

@@ -1,0 +1,413 @@
+"""Alternative sketch structures: Bloom filter, bottom-k MinHash, counting
+MinHash, b-bit MinHash — the reference's non-HLL dispatch table
+(reference src/distmain.cpp:175-189, src/dashing.cpp:393-406).
+
+Size mapping from the single -S (log2 bytes) knob mirrors bytesl2_to_arg
+(reference src/sketch_and_cmp.h:40-74):
+    BF    : 2^(S+3) bits
+    RMH   : 2^(S-3) minimizers (8 bytes each)
+    CRMH  : 2^S / 12 entries (8B key + 4B count)
+    BBMH  : p = S - log2(bbits/8) buckets exponent
+
+The reference's byte formats for these live in the missing sketch submodule;
+records here use our own tagged headers (PARITY.md documents this).
+"""
+from __future__ import annotations
+
+import gzip
+import math
+import struct
+from typing import IO, Tuple, Union
+
+import numpy as np
+
+from ..hashes import wang_hash_np, seeded_wang_hash_np
+
+_HDR = struct.Struct("<8sII")
+
+
+def _write_gz(path_or_fp, fn):
+    if isinstance(path_or_fp, str):
+        with gzip.open(path_or_fp, "wb") as fp:
+            fn(fp)
+    else:
+        fn(path_or_fp)
+
+
+def _read_gz(path_or_fp, fn):
+    if isinstance(path_or_fp, str):
+        with gzip.open(path_or_fp, "rb") as fp:
+            return fn(fp)
+    return fn(path_or_fp)
+
+
+def _expect_magic(fp, magic: bytes):
+    hdr = fp.read(_HDR.size)
+    if len(hdr) < _HDR.size:
+        raise EOFError("truncated sketch record")
+    got, a, b = _HDR.unpack(hdr)
+    if got != magic:
+        raise ValueError(f"bad sketch magic {got!r}, wanted {magic!r}")
+    return a, b
+
+
+class BloomFilter:
+    """bf::bf_t replacement: m bits, nh seeded hash functions.
+
+    Jaccard via fill-ratio cardinality estimates on A, B and A|B
+    (the BF-Jaccard construction the reference cites, README.md:132).
+    """
+    MAGIC = b"DTPUBF01"
+
+    def __init__(self, nbits_log2: int, nhashes: int = 1,
+                 bits: np.ndarray = None):
+        self.nbits_log2 = int(nbits_log2)
+        self.nhashes = int(nhashes)
+        nwords = (1 << nbits_log2) // 64 or 1
+        self.bits = (np.zeros(nwords, np.uint64) if bits is None
+                     else np.asarray(bits, np.uint64))
+
+    @property
+    def m(self) -> int:
+        return 1 << self.nbits_log2
+
+    def addh_np(self, values: np.ndarray):
+        values = np.asarray(values, np.uint64)
+        for i in range(self.nhashes):
+            h = seeded_wang_hash_np(values, 0xA5A5_0000 + i)
+            pos = (h >> np.uint64(64 - self.nbits_log2)).astype(np.int64)
+            word, bit = pos >> 6, pos & 63
+            np.bitwise_or.at(self.bits, word,
+                             np.uint64(1) << bit.astype(np.uint64))
+
+    add_np = addh_np
+
+    def finalize(self):
+        pass
+
+    def _popcount(self, words: np.ndarray) -> int:
+        return int(np.unpackbits(words.view(np.uint8)).sum())
+
+    def _card_from_fill(self, set_bits: int) -> float:
+        m, k = float(self.m), float(self.nhashes)
+        if set_bits >= self.m:
+            return float("inf")
+        return -(m / k) * math.log1p(-set_bits / m)
+
+    def report(self) -> float:
+        return self._card_from_fill(self._popcount(self.bits))
+
+    cardinality_estimate = report
+
+    def union_size(self, other: "BloomFilter") -> float:
+        return self._card_from_fill(self._popcount(self.bits | other.bits))
+
+    def full_set_comparison(self, other: "BloomFilter") -> Tuple[float, float, float]:
+        ca, cb = self.report(), other.report()
+        cu = self.union_size(other)
+        shared = max(0.0, ca + cb - cu)
+        return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+
+    def jaccard_index(self, other: "BloomFilter") -> float:
+        a, b, x = self.full_set_comparison(other)
+        denom = a + b + x
+        return x / denom if denom else 0.0
+
+    def __iadd__(self, other: "BloomFilter") -> "BloomFilter":
+        self.bits |= other.bits
+        return self
+
+    def write_record(self, fp: IO[bytes]):
+        fp.write(_HDR.pack(self.MAGIC, self.nbits_log2, self.nhashes))
+        fp.write(self.bits.astype("<u8").tobytes())
+
+    def write(self, pf: Union[str, IO[bytes]]):
+        _write_gz(pf, self.write_record)
+
+    @classmethod
+    def read_record(cls, fp: IO[bytes]) -> "BloomFilter":
+        nbl2, nh = _expect_magic(fp, cls.MAGIC)
+        nwords = (1 << nbl2) // 64 or 1
+        data = fp.read(8 * nwords)
+        return cls(nbl2, nh, np.frombuffer(data, "<u8").astype(np.uint64))
+
+    @classmethod
+    def read(cls, pf) -> "BloomFilter":
+        return _read_gz(pf, cls.read_record)
+
+
+class BottomK:
+    """Bottom-k (KMV) MinHash == mh::RangeMinHash / BKHash64.
+
+    Stores the k smallest distinct WangHash values.  Jaccard by the standard
+    KMV merge estimate; cardinality by the (k-1)/max-normalized-value KMV
+    estimator.
+    """
+    MAGIC = b"DTPURMH1"
+
+    def __init__(self, kk: int, values: np.ndarray = None):
+        self.kk = int(kk)
+        self.values = (np.zeros(0, np.uint64) if values is None
+                       else np.asarray(values, np.uint64))
+
+    def addh_np(self, raw: np.ndarray):
+        h = wang_hash_np(np.asarray(raw, np.uint64))
+        self.add_np(h)
+
+    def add_np(self, hashes: np.ndarray):
+        merged = np.union1d(self.values, np.asarray(hashes, np.uint64))
+        self.values = merged[:self.kk]
+
+    def finalize(self):
+        self.values = np.unique(self.values)[:self.kk]
+
+    def report(self) -> float:
+        n = self.values.size
+        if n < self.kk:
+            return float(n)
+        vmax = float(self.values[-1])
+        return (n - 1) * (2.0 ** 64) / max(vmax, 1.0)
+
+    cardinality_estimate = report
+
+    def jaccard_index(self, other: "BottomK") -> float:
+        union = np.union1d(self.values, other.values)[:self.kk]
+        if union.size == 0:
+            return 0.0
+        in_both = np.intersect1d(self.values, other.values, assume_unique=True)
+        shared = np.intersect1d(union, in_both, assume_unique=True).size
+        return shared / union.size
+
+    def full_set_comparison(self, other: "BottomK") -> Tuple[float, float, float]:
+        ji = self.jaccard_index(other)
+        ca, cb = self.report(), other.report()
+        cu = (ca + cb) / (1.0 + ji) if (1.0 + ji) else 0.0
+        shared = ji * cu
+        return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+
+    def union_size(self, other: "BottomK") -> float:
+        a, b, x = self.full_set_comparison(other)
+        return a + b + x
+
+    def intersection_size(self, other: "BottomK") -> float:
+        return self.full_set_comparison(other)[2]
+
+    def __iadd__(self, other: "BottomK") -> "BottomK":
+        self.add_np(other.values)
+        return self
+
+    def write_record(self, fp: IO[bytes]):
+        fp.write(_HDR.pack(self.MAGIC, self.kk, self.values.size))
+        fp.write(self.values.astype("<u8").tobytes())
+
+    def write(self, pf):
+        _write_gz(pf, self.write_record)
+
+    @classmethod
+    def read_record(cls, fp) -> "BottomK":
+        kk, n = _expect_magic(fp, cls.MAGIC)
+        vals = np.frombuffer(fp.read(8 * n), "<u8").astype(np.uint64)
+        return cls(kk, vals)
+
+    @classmethod
+    def read(cls, pf) -> "BottomK":
+        return _read_gz(pf, cls.read_record)
+
+
+class CountingBottomK(BottomK):
+    """mh::CountingRangeMinHash: bottom-k values with multiplicities;
+    similarity = histogram intersection (reference src/dashing.h:142-144)."""
+    MAGIC = b"DTPUCRM1"
+
+    def __init__(self, kk: int, values: np.ndarray = None,
+                 counts: np.ndarray = None):
+        super().__init__(kk, values)
+        self.counts = (np.zeros(0, np.uint32) if counts is None
+                       else np.asarray(counts, np.uint32))
+
+    def addh_np(self, raw: np.ndarray):
+        h = wang_hash_np(np.asarray(raw, np.uint64))
+        vals, cnts = np.unique(h, return_counts=True)
+        allv = np.concatenate([self.values, vals])
+        allc = np.concatenate([self.counts.astype(np.int64), cnts])
+        uniq, inv = np.unique(allv, return_inverse=True)
+        summed = np.zeros(uniq.size, np.int64)
+        np.add.at(summed, inv, allc)
+        keep = slice(0, self.kk)
+        self.values = uniq[keep]
+        self.counts = summed[keep].astype(np.uint32)
+
+    def finalize(self):
+        pass
+
+    def histogram_intersection(self, other: "CountingBottomK") -> float:
+        union = np.union1d(self.values, other.values)[:self.kk]
+        ca = dict(zip(self.values.tolist(), self.counts.tolist()))
+        cb = dict(zip(other.values.tolist(), other.counts.tolist()))
+        num = den = 0
+        for v in union.tolist():
+            x, y = ca.get(v, 0), cb.get(v, 0)
+            num += min(x, y)
+            den += max(x, y)
+        return num / den if den else 0.0
+
+    # similarity<CRMFinal> = histogram_intersection (reference dashing.h:142)
+    def jaccard_index(self, other: "CountingBottomK") -> float:
+        return self.histogram_intersection(other)
+
+    def full_set_comparison(self, other):
+        ji = BottomK.jaccard_index(self, other)
+        ca, cb = self.report(), other.report()
+        cu = (ca + cb) / (1.0 + ji) if (1.0 + ji) else 0.0
+        shared = ji * cu
+        return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+
+    def write_record(self, fp: IO[bytes]):
+        fp.write(_HDR.pack(self.MAGIC, self.kk, self.values.size))
+        fp.write(self.values.astype("<u8").tobytes())
+        fp.write(self.counts.astype("<u4").tobytes())
+
+    @classmethod
+    def read_record(cls, fp) -> "CountingBottomK":
+        kk, n = _expect_magic(fp, cls.MAGIC)
+        vals = np.frombuffer(fp.read(8 * n), "<u8").astype(np.uint64)
+        cnts = np.frombuffer(fp.read(4 * n), "<u4").astype(np.uint32)
+        return cls(kk, vals, cnts)
+
+
+class BBitMinHash:
+    """One-permutation b-bit MinHash (mh::BBitMinHasher / FinalBBitMinHash).
+
+    2^p buckets; each keeps the min WangHash value of the elements that land
+    in it; finalization truncates to the low b bits.  Jaccard from the
+    matched-register fraction with the Li & Koenig collision correction;
+    cardinality (est_cardinality_, reference src/dashing.h:493) estimated
+    HLL-style from the bucket minima before truncation.
+    """
+    MAGIC = b"DTPUBBM1"
+    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def __init__(self, p: int, b: int = 16, mins: np.ndarray = None,
+                 est_card: float = 0.0):
+        self.p = int(p)
+        self.b = int(b)
+        self.mins = (np.full(1 << p, self.EMPTY, np.uint64) if mins is None
+                     else np.asarray(mins, np.uint64))
+        self.est_cardinality_ = float(est_card)
+        self._finalized = mins is not None and est_card > 0.0
+
+    @property
+    def m(self) -> int:
+        return 1 << self.p
+
+    def addh_np(self, raw: np.ndarray):
+        h = wang_hash_np(np.asarray(raw, np.uint64))
+        self.add_np(h)
+
+    def add_np(self, hashes: np.ndarray):
+        hashes = np.asarray(hashes, np.uint64)
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        # bucket value: the remaining bits (so values are uniform in bucket)
+        val = hashes << np.uint64(self.p)
+        np.minimum.at(self.mins, idx, val)
+
+    def finalize(self):
+        if self._finalized:
+            return
+        filled = self.mins != self.EMPTY
+        nfill = int(filled.sum())
+        if nfill == 0:
+            self.est_cardinality_ = 0.0
+        else:
+            # mean of per-bucket minima of U(0,1): with n elements over m
+            # buckets, E[min] ~ m/(n+m); invert the average.
+            u = self.mins[filled].astype(np.float64) / 2.0 ** 64
+            u = np.concatenate([u, np.ones(self.m - nfill)])  # empty: min=1
+            mean = float(u.mean())
+            self.est_cardinality_ = max(self.m * (1.0 - mean) / max(mean, 1e-12),
+                                        float(nfill))
+        self._finalized = True
+
+    def _regs_b(self) -> np.ndarray:
+        shift = np.uint64(64 - self.b)
+        return (self.mins >> shift).astype(np.uint64)
+
+    def report(self) -> float:
+        self.finalize()
+        return self.est_cardinality_
+
+    cardinality_estimate = report
+
+    def jaccard_index(self, other: "BBitMinHash") -> float:
+        f = float((self._regs_b() == other._regs_b()).mean())
+        c = 2.0 ** -self.b
+        return max(0.0, (f - c) / (1.0 - c))
+
+    def full_set_comparison(self, other: "BBitMinHash") -> Tuple[float, float, float]:
+        ji = self.jaccard_index(other)
+        ca, cb = self.report(), other.report()
+        cu = (ca + cb) / (1.0 + ji)
+        shared = ji * cu
+        return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+
+    def union_size(self, other: "BBitMinHash") -> float:
+        """reference src/dashing.h:554-556: (ca+cb)/(1+ji)."""
+        return (self.report() + other.report()) / (1.0 + self.jaccard_index(other))
+
+    def __iadd__(self, other: "BBitMinHash") -> "BBitMinHash":
+        np.minimum(self.mins, other.mins, out=self.mins)
+        self._finalized = False
+        return self
+
+    def write_record(self, fp: IO[bytes]):
+        self.finalize()
+        fp.write(_HDR.pack(self.MAGIC, self.p, self.b))
+        fp.write(struct.pack("<d", self.est_cardinality_))
+        fp.write(self.mins.astype("<u8").tobytes())
+
+    def write(self, pf):
+        _write_gz(pf, self.write_record)
+
+    @classmethod
+    def read_record(cls, fp) -> "BBitMinHash":
+        p, b = _expect_magic(fp, cls.MAGIC)
+        (card,) = struct.unpack("<d", fp.read(8))
+        mins = np.frombuffer(fp.read(8 * (1 << p)), "<u8").astype(np.uint64)
+        return cls(p, b, mins, card)
+
+    @classmethod
+    def read(cls, pf) -> "BBitMinHash":
+        return _read_gz(pf, cls.read_record)
+
+
+# ---------------------------------------------------------------------------
+# Type registry used by the CLI.
+# ---------------------------------------------------------------------------
+
+def build_typed(sketch_type: str, path: str, opts, params):
+    from .. import pipeline
+    S = opts.sketch_size
+    if sketch_type == "bf":
+        sk = BloomFilter(S + 3, max(opts.nhashes, 1))
+    elif sketch_type == "rmh":
+        sk = BottomK(1 << max(S - 3, 1))
+    elif sketch_type == "crmh":
+        sk = CountingBottomK(max(int((1 << S) / 12), 1))
+    elif sketch_type == "bbmh":
+        p = S - int(math.floor(math.log2(max(opts.bbnbits // 8, 1))))
+        sk = BBitMinHash(max(p, 4), opts.bbnbits)
+    else:
+        raise SystemExit(f"Sketch {sketch_type} not yet supported.")
+    import dataclasses as _dc
+    raw = pipeline.file_raw_kmers(path, _dc.replace(params, rehash=False))
+    sk.addh_np(raw)
+    sk.finalize()
+    return sk
+
+
+def read_typed(path: str, sketch_type: str):
+    cls = {"bf": BloomFilter, "rmh": BottomK, "crmh": CountingBottomK,
+           "bbmh": BBitMinHash}.get(sketch_type)
+    if cls is None:
+        raise SystemExit(f"Sketch {sketch_type} not yet supported.")
+    return cls.read(path)

@@ -1,0 +1,219 @@
+import gzip
+import io
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+from dashing_tpu.cli import main as climain
+from dashing_tpu.io import distmat
+from dashing_tpu.sketch.hll import HLL
+
+
+@pytest.fixture()
+def genomes(tmp_path, rng):
+    base = "".join(rng.choice(list("ACGT"), size=4000))
+
+    def mutate(s, rate):
+        s = list(s)
+        idx = rng.choice(len(s), size=int(rate * len(s)), replace=False)
+        for i in idx:
+            s[i] = rng.choice([c for c in "ACGT" if c != s[i]])
+        return "".join(s)
+
+    ps = []
+    for i, r in enumerate([0, 0.02, 0.10]):
+        p = tmp_path / f"g{i}.fa"
+        p.write_text(f">genome{i}\n{mutate(base, r)}\n")
+        ps.append(str(p))
+    return ps
+
+
+def run_cli(args, capsys=None):
+    rc = climain.main(args)
+    assert rc == 0
+    return rc
+
+
+def test_dist_tsv(genomes, capsys):
+    run_cli(["dist", "-k", "21", "-S", "12", "--avoid-sorting"] + genomes)
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    assert lines[0] == "#Path\tSize (est.)"
+    assert lines[4].startswith("##Names\t")
+    row0 = lines[5].split("\t")
+    assert row0[0].endswith("g0.fa") and row0[1] == "-"
+    ji_01 = float(row0[2])
+    assert 0.2 < ji_01 < 0.9  # 2% mutated neighbor
+
+
+def test_dist_mash_binary_and_printmat(genomes, tmp_path, capsys):
+    out = str(tmp_path / "d.bin")
+    run_cli(["dist", "-k", "21", "-S", "12", "-M", "-b", "-O", out,
+             "--avoid-sorting"] + genomes)
+    capsys.readouterr()
+    n, cond = distmat.read_binary(out)
+    assert n == 3 and cond.size == 3
+    assert os.path.exists(out + ".labels")
+    labels = open(out + ".labels").read().splitlines()
+    assert len(labels) == 3
+    # printmat dumps a square TSV
+    run_cli(["printmat", out])
+    out_txt = capsys.readouterr().out
+    rows = out_txt.strip().splitlines()
+    assert len(rows) == 3 and len(rows[0].split("\t")) == 3
+    # mash distances increase with mutation rate
+    assert cond[0] < cond[1]
+
+
+def test_dist_phylip_and_full_tsv(genomes, capsys):
+    run_cli(["dist", "-k", "21", "-S", "12", "-U", "--avoid-sorting"] + genomes)
+    out = capsys.readouterr().out
+    body = out.split("##" if "##" in out else "!!!")[0]
+    lines = [l for l in out.splitlines() if l and "\t" in l or l.strip().isdigit()]
+    # PHYLIP header: count on its own line after cardinalities
+    assert any(l.strip() == "3" for l in out.splitlines())
+    run_cli(["dist", "-k", "21", "-S", "12", "-T", "--avoid-sorting"] + genomes)
+    out = capsys.readouterr().out
+    full = [l for l in out.splitlines() if l.startswith("#Names")]
+    assert full
+
+
+def test_sketch_cache_and_presketched(genomes, tmp_path, capsys):
+    run_cli(["sketch", "-k", "17", "-S", "11"] + genomes)
+    capsys.readouterr()
+    sk_path = genomes[0] + ".w.17.spacing.11.hll"
+    assert os.path.exists(sk_path)
+    h = HLL.read(sk_path)
+    assert h.p == 11
+    # presketched dist over the cached sketches
+    sks = [g + ".w.17.spacing.11.hll" for g in genomes]
+    run_cli(["dist", "-H", "-k", "17", "--avoid-sorting"] + sks)
+    out = capsys.readouterr().out
+    assert "##Names" in out
+
+
+def test_sketch_single_stream_output(genomes, tmp_path, capsys):
+    out = str(tmp_path / "all.sketches.gz")
+    run_cli(["sketch", "-k", "17", "-S", "11", "-o", out, "--avoid-sorting"]
+            + genomes)
+    capsys.readouterr()
+    assert os.path.exists(out) and os.path.exists(out + ".labels.gz")
+    with gzip.open(out, "rb") as fp:
+        hs = [HLL.read_record(fp) for _ in range(3)]
+    assert all(h.p == 11 for h in hs)
+    # single presketched stream file -> dist (reference stream mode)
+    run_cli(["dist", "-H", "-k", "17", "--avoid-sorting", out])
+    out_txt = capsys.readouterr().out
+    assert "##Names" in out_txt
+
+
+def test_union_and_card_and_hll(genomes, tmp_path, capsys):
+    sks = []
+    for g in genomes:
+        run_cli(["sketch", "-k", "17", "-S", "11", g])
+        sks.append(g + ".w.17.spacing.11.hll")
+    capsys.readouterr()
+    merged = str(tmp_path / "merged.hll")
+    run_cli(["union", "-o", merged] + sks)
+    m = HLL.read(merged)
+    want = HLL.read(sks[0])
+    for s in sks[1:]:
+        want += HLL.read(s)
+    assert (m.regs == want.regs).all()
+    run_cli(["card", "-k", "17", "-S", "11", "--avoid-sorting"] + genomes)
+    out = capsys.readouterr().out
+    assert out.startswith("#Path\tSize (est.)")
+    assert len(out.splitlines()) == 4
+    run_cli(["hll", "-k", "17", "-S", "12"] + genomes)
+    out = capsys.readouterr().out
+    assert "Estimated number of unique exact matches:" in out
+
+
+def test_fold_and_view(genomes, tmp_path, capsys):
+    run_cli(["sketch", "-k", "17", "-S", "12", genomes[0]])
+    sk = genomes[0] + ".w.17.spacing.12.hll"
+    folded = str(tmp_path / "folded.hll")
+    run_cli(["fold", "-p", "10", "-o", folded, sk])
+    f = HLL.read(folded)
+    assert f.p == 10
+    capsys.readouterr()
+    run_cli(["view", folded])
+    out = capsys.readouterr().out
+    assert out.startswith("HLL p=10")
+
+
+def test_qr_mode(genomes, tmp_path, capsys):
+    qfile = tmp_path / "q.txt"
+    qfile.write_text(genomes[2] + "\n")
+    run_cli(["dist", "-k", "21", "-S", "12", "--avoid-sorting",
+             "-Q", str(qfile), genomes[0], genomes[1]])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.endswith("\n") is False and l]
+    qrow = [l for l in lines if "g2.fa" in l and "\t" in l and "Size" not in l]
+    assert qrow, out
+    vals = qrow[-1].split("\t")[1:]
+    assert len(vals) == 2
+
+
+def test_containment_qr(genomes, tmp_path, capsys):
+    # containment without -Q: all refs become queries (warning path)
+    run_cli(["dist", "-k", "21", "-S", "12", "--containment-index",
+             "--avoid-sorting", genomes[0], genomes[1]])
+    out = capsys.readouterr().out
+    assert out  # rectangular rows emitted
+
+
+def test_nn_mode(genomes, capsys):
+    run_cli(["dist", "-k", "21", "-S", "12", "--nearest-neighbors", "1",
+             "--avoid-sorting"] + genomes)
+    out = capsys.readouterr().out
+    nn_lines = [l for l in out.splitlines() if ":" in l and "\t" in l]
+    assert len(nn_lines) >= 3
+    # g0's nearest neighbor must be g1 (2% mutations) not g2 (10%)
+    g0_line = [l for l in nn_lines if l.split("\t")[0].endswith("g0.fa")][0]
+    assert g0_line.split("\t")[1].startswith("1:")
+
+
+def test_sketch_by_seq_and_dist_by_seq(tmp_path, rng, capsys):
+    seqs = ["".join(rng.choice(list("ACGT"), size=900)) for _ in range(4)]
+    fa = tmp_path / "multi.fa"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    out = str(tmp_path / "bysq.gz")
+    run_cli(["sketch_by_seq", "-k", "15", "-S", "11", "-o", out, str(fa)])
+    capsys.readouterr()
+    names = open(out + ".names").read().splitlines()
+    assert names[0].startswith("#k=15:")
+    assert names[1:] == [f"s{i}" for i in range(4)]
+    run_cli(["dist_by_seq", "-n", out + ".names", out])
+    got = capsys.readouterr().out
+    assert "##Names\ts0\ts1\ts2\ts3" in got
+
+
+def test_mkdist_multik(genomes, tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run_cli(["mkdist", "--multik", "mk,15,19,2", "-S", "11",
+             "--avoid-sorting"] + genomes)
+    capsys.readouterr()
+    nsets, ks, data = distmat.read_flattened("mk.bin")
+    assert nsets == 3 and list(ks) == [15, 17]
+    assert data.shape == (3, 2)
+
+
+def test_khset_exact_backend(genomes, capsys):
+    run_cli(["dist", "-k", "17", "--use-full-khash-sets", "--avoid-sorting"]
+            + genomes[:2])
+    out = capsys.readouterr().out
+    assert "##Names" in out
+
+
+def test_bad_subcommand():
+    with pytest.raises(SystemExit):
+        climain.main(["frobnicate"])
+
+
+def test_k_too_large(genomes):
+    with pytest.raises(SystemExit):
+        climain.main(["dist", "-k", "40"] + genomes)

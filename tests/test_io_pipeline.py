@@ -1,0 +1,226 @@
+import gzip
+import io
+import os
+
+import numpy as np
+import pytest
+
+from dashing_tpu.io import cache, distmat, fasta, paths
+from dashing_tpu.ops import rolling
+from dashing_tpu.ops.encode import Spacer
+from dashing_tpu import pipeline
+from dashing_tpu.sketch.hll import HLL
+from dashing_tpu.ops import encode
+
+
+def _write_fasta(path, records, gz=False, width=17):
+    op = gzip.open if gz else open
+    with op(path, "wt") as fp:
+        for name, seq in records:
+            fp.write(f">{name} some description\n")
+            for i in range(0, len(seq), width):
+                fp.write(seq[i:i + width] + "\n")
+
+
+def _rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+# ------------------------------- fasta --------------------------------------
+
+def test_fasta_roundtrip(rng, tmp_path):
+    recs = [("chr1", _rand_seq(rng, 1000)), ("chr2", _rand_seq(rng, 333))]
+    p = str(tmp_path / "x.fa")
+    _write_fasta(p, recs)
+    got = fasta.read_records(p)
+    assert [(n.decode(), s.decode()) for n, s in got] == recs
+
+
+def test_fasta_gz(rng, tmp_path):
+    recs = [("a", _rand_seq(rng, 500))]
+    p = str(tmp_path / "x.fa.gz")
+    _write_fasta(p, recs, gz=True)
+    got = fasta.read_records(p)
+    assert got[0][1].decode() == recs[0][1]
+
+
+def test_fastq(tmp_path):
+    p = str(tmp_path / "r.fq")
+    with open(p, "w") as fp:
+        fp.write("@r1\nACGTACGT\n+\nIIIIIIII\n@r2 extra\nTTTTCCCC\n+\n@@@@@@@@\n")
+    got = fasta.read_records(p)
+    assert got == [(b"r1", b"ACGTACGT"), (b"r2", b"TTTTCCCC")]
+
+
+def test_fname_is_fq():
+    assert fasta.fname_is_fq("x.fastq.gz") and fasta.fname_is_fq("y.fq")
+    assert not fasta.fname_is_fq("z.fa")
+
+
+# ------------------------------- paths --------------------------------------
+
+def test_get_paths_and_sort(tmp_path):
+    a = tmp_path / "a.fa"
+    b = tmp_path / "b.fa"
+    a.write_text("x" * 100)
+    b.write_text("x" * 5000)
+    lst = tmp_path / "paths.txt"
+    lst.write_text(f"{a}\n{b}\n")
+    got = paths.get_paths(str(lst))
+    assert got == [str(a), str(b)]
+    assert paths.sort_paths_by_fsize(got) == [str(b), str(a)]
+
+
+def test_multifile_logical_path(tmp_path):
+    a = tmp_path / "a.fa"
+    a.write_text("x")
+    combo = f"{a} {a}"
+    assert paths.split_subpaths(combo) == [str(a), str(a)]
+    assert paths.path_size(combo) == 2
+
+
+# ------------------------------- cache names --------------------------------
+
+def test_make_fname_quirk():
+    name = cache.make_fname("/data/g.fa", 14, 31, 21, 21, "", "", "")
+    # window never embedded: bare ".w." (reference dashing.h:510 quirk)
+    assert name == "/data/g.fa.w.21.spacing.14.hll"
+    name2 = cache.make_fname("/data/g.fa", 10, 0, 31, 31, prefix="pfx",
+                             encoding="nthash", suffix="s1")
+    assert name2 == "pfx/g.fa.w.31.spacing.nt.sufs1.10.hll"
+
+
+# ------------------------------- distmat ------------------------------------
+
+def test_distmat_binary_roundtrip(tmp_path, rng):
+    n = 9
+    cond = rng.random(n * (n - 1) // 2).astype(np.float32)
+    p = str(tmp_path / "m.bin")
+    distmat.write_binary(p, cond, n)
+    n2, back = distmat.read_binary(p)
+    assert n2 == n and np.array_equal(back, cond)
+    raw = open(p, "rb").read()
+    assert raw[0] == 0  # float magic
+    assert int.from_bytes(raw[1:9], "little") == n
+
+
+def test_condensed_index_and_square(rng):
+    n = 6
+    cond = np.arange(n * (n - 1) // 2, dtype=np.float32)
+    sq = distmat.condensed_to_square(cond, n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert sq[i, j] == cond[distmat.condensed_index(n, i, j)]
+            assert sq[j, i] == sq[i, j]
+
+
+def test_text_emitters(rng):
+    names = ["alpha", "b", "verylongname123"]
+    cond = np.asarray([0.5, 0.25, 0.125], np.float32)
+    buf = io.StringIO()
+    distmat.emit_ut_tsv(buf, names, cond)
+    lines = buf.getvalue().splitlines()
+    assert lines[0] == "##Names\talpha\tb\tverylongname123"
+    assert lines[1] == "alpha\t-\t0.5\t0.25"
+    assert lines[2] == "b\t-\t-\t0.125"
+    assert lines[3] == "verylongname123\t-\t-\t-"
+    buf = io.StringIO()
+    distmat.emit_phylip(buf, names, cond)
+    lines = buf.getvalue().splitlines()
+    assert lines[0] == "3"
+    assert lines[1] == "alpha    \t0.5\t0.25"  # padded to 9 chars
+    buf = io.StringIO()
+    distmat.emit_full_tsv(buf, names, distmat.condensed_to_square(cond, 3))
+    lines = buf.getvalue().splitlines()
+    assert lines[0].startswith("#Namesalpha\t")
+
+
+def test_flatten_roundtrip(tmp_path, rng):
+    n = 5
+    ne = n * (n - 1) // 2
+    ps = []
+    for ki, k in enumerate([17, 21]):
+        cond = (rng.random(ne) + ki).astype(np.float32)
+        p = str(tmp_path / f"m{k}.bin")
+        distmat.write_binary(p, cond, n)
+        ps.append(p)
+    out = str(tmp_path / "flat.bin")
+    distmat.flatten_all(ps, out, [17, 21])
+    nsets, ks, data = distmat.read_flattened(out)
+    assert nsets == n and list(ks) == [17, 21] and data.shape == (ne, 2)
+    # entry-major interleave: entry 0's two k-values first
+    _, m17 = distmat.read_binary(ps[0])
+    _, m21 = distmat.read_binary(ps[1])
+    assert np.allclose(data[:, 0], m17) and np.allclose(data[:, 1], m21)
+
+
+# ------------------------------- rolling ------------------------------------
+
+@pytest.mark.parametrize("kind", ["nthash", "cyclic"])
+@pytest.mark.parametrize("k", [21, 33, 64])
+def test_rolling_matches_oracle(rng, kind, k):
+    seq = "".join(rng.choice(list("ACGT"), size=300)).encode()
+    import jax.numpy as jnp
+    from dashing_tpu import u64
+    tile = encode.tile_sequence(np.frombuffer(seq, np.uint8), 128, k - 1)
+    h, valid = rolling.rolling_hash_tile(jnp.asarray(tile), k=k, kind=kind,
+                                         canon=True)
+    got = np.sort(u64.to_np(h)[np.asarray(valid)])
+    want = np.sort(rolling.rolling_hash_oracle(seq, k, kind, True))
+    assert got.shape == want.shape and (got == want).all()
+
+
+def test_rolling_strand_independent(rng):
+    seq = "".join(rng.choice(list("ACGT"), size=200)).encode()
+    comp = bytes({65: 84, 67: 71, 71: 67, 84: 65}[b] for b in seq[::-1])
+    a = np.sort(rolling.rolling_hash_oracle(seq, 33, "nthash", True))
+    b = np.sort(rolling.rolling_hash_oracle(comp, 33, "nthash", True))
+    assert (a == b).all()
+
+
+# ------------------------------- pipeline -----------------------------------
+
+def test_sketch_file_matches_host_oracle(rng, tmp_path):
+    recs = [("c1", _rand_seq(rng, 5000)), ("c2", _rand_seq(rng, 1200))]
+    p = str(tmp_path / "g.fa")
+    _write_fasta(p, recs)
+    params = pipeline.SketchParams(k=21)
+    regs = pipeline.sketch_file_hll(p, params, p=12)
+    # host oracle: exact kmers -> host HLL
+    sp = params.spacer()
+    kmers = np.concatenate([encode.encode_oracle(s.encode(), sp)
+                            for _, s in recs])
+    want = HLL(12)
+    want.addh_np(kmers)
+    assert (regs == want.regs).all()
+
+
+def test_file_raw_kmers_exact(rng, tmp_path):
+    recs = [("c1", _rand_seq(rng, 3000))]
+    p = str(tmp_path / "g.fa")
+    _write_fasta(p, recs)
+    params = pipeline.SketchParams(k=17)
+    got = np.sort(np.unique(pipeline.file_raw_kmers(p, params)))
+    sp = params.spacer()
+    want = np.sort(np.unique(encode.encode_oracle(recs[0][1].encode(), sp)))
+    assert (got == want).all()
+
+
+def test_count_filter(rng, tmp_path):
+    # sequence with a repeated region: repeated k-mers pass, unique ones don't
+    core = _rand_seq(rng, 400)
+    uniq = _rand_seq(rng, 400)
+    seq = core * 3 + uniq
+    p = str(tmp_path / "g.fa")
+    _write_fasta(p, [("c", seq)])
+    params = pipeline.SketchParams(k=21, min_count=2, use_counting_filter=True)
+    kept = np.unique(pipeline.file_raw_kmers(p, params))
+    sp = params.spacer()
+    core_kmers = set(np.unique(encode.encode_oracle((core * 3).encode(), sp)).tolist())
+    uniq_kmers = set(np.unique(encode.encode_oracle(uniq.encode(), sp)).tolist()) - core_kmers
+    kept_set = set(kept.tolist())
+    # all repeated kmers kept
+    assert core_kmers <= kept_set
+    # unique-region kmers dropped (CM overestimates can leak a few)
+    leaked = len(kept_set & uniq_kmers)
+    assert leaked < 0.02 * len(uniq_kmers), leaked

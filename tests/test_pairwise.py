@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from dashing_tpu.ops import pairwise as pw
+from dashing_tpu.sketch import estimators as est
+from dashing_tpu.sketch.hll import HLL
+
+
+def _mk_sketches(rng, n=6, p=10, pool=20000, per=6000, jestim=est.ERTL_MLE):
+    pool_vals = rng.integers(0, 2**63, pool, dtype=np.uint64)
+    sketches, sets = [], []
+    for _ in range(n):
+        take = rng.choice(pool, size=per, replace=False)
+        vals = pool_vals[take]
+        h = HLL(p, jestim=jestim)
+        h.addh_np(vals)
+        sketches.append(h)
+        sets.append(set(vals.tolist()))
+    return sketches, sets
+
+
+@pytest.mark.parametrize("jestim", [est.ERTL_MLE, est.ERTL_JOINT_MLE])
+def test_tile_matches_per_pair(rng, jestim):
+    sketches, _ = _mk_sketches(rng, n=5, jestim=jestim)
+    regs = np.stack([s.regs for s in sketches]).astype(np.int32)
+    block = pw.compare_tile(regs, regs, sketches[0].p, pw.JI, 1 / 21,
+                            est.ERTL_MLE, jestim)
+    for i in range(5):
+        for j in range(5):
+            want = sketches[i].jaccard_index(sketches[j])
+            assert abs(block[i, j] - want) < 2e-3, (i, j, block[i, j], want)
+
+
+def test_condensed_layout(rng):
+    sketches, _ = _mk_sketches(rng, n=7)
+    cond = pw.all_pairs_condensed(sketches, pw.JI, 21, est.ERTL_MLE,
+                                  est.ERTL_MLE, tile=3)
+    n = len(sketches)
+    idx = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            want = sketches[i].jaccard_index(sketches[j])
+            assert abs(cond[idx] - want) < 2e-3, (i, j)
+            idx += 1
+    assert idx == cond.size
+
+
+def test_ji_close_to_exact(rng):
+    sketches, sets = _mk_sketches(rng, n=4, p=14, pool=30000, per=12000)
+    cond = pw.all_pairs_condensed(sketches, pw.JI, 21, est.ERTL_MLE, est.ERTL_MLE)
+    idx = 0
+    for i in range(4):
+        for j in range(i + 1, 4):
+            true = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            assert abs(cond[idx] - true) < 0.05, (i, j, cond[idx], true)
+            idx += 1
+
+
+def test_jmle_close_to_exact(rng):
+    sketches, sets = _mk_sketches(rng, n=3, p=14, pool=30000, per=12000,
+                                  jestim=est.ERTL_JOINT_MLE)
+    cond = pw.all_pairs_condensed(sketches, pw.JI, 21, est.ERTL_MLE,
+                                  est.ERTL_JOINT_MLE)
+    idx = 0
+    for i in range(3):
+        for j in range(i + 1, 3):
+            true = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            assert abs(cond[idx] - true) < 0.05, (i, j, cond[idx], true)
+            idx += 1
+
+
+def test_measures_formulas():
+    import jax.numpy as jnp
+    tri = jnp.asarray([[100.0, 50.0, 50.0]])
+    ksinv = 1 / 21
+    ji = 50.0 / 200.0
+    got_ji = float(pw.measure_from_triples(tri, pw.JI, ksinv)[0])
+    assert abs(got_ji - ji) < 1e-6
+    mash = -np.log(2 * ji / (1 + ji)) * ksinv
+    assert abs(float(pw.measure_from_triples(tri, pw.MASH_DIST, ksinv)[0]) - mash) < 1e-6
+    fmash = 1 - (2 * ji / (1 + ji)) ** ksinv
+    assert abs(float(pw.measure_from_triples(tri, pw.FULL_MASH_DIST, ksinv)[0]) - fmash) < 1e-6
+    assert abs(float(pw.measure_from_triples(tri, pw.SIZES, ksinv)[0]) - 50.0) < 1e-6
+    sci = 50.0 / (50.0 + 50.0)
+    assert abs(float(pw.measure_from_triples(tri, pw.SYMMETRIC_CONTAINMENT_INDEX, ksinv)[0]) - sci) < 1e-6
+    # reference quirk: containment-index == jaccard in dist mode
+    assert abs(float(pw.measure_from_triples(tri, pw.CONTAINMENT_INDEX, ksinv)[0]) - ji) < 1e-6
+    # zero-ji edge: mash dist = 1.
+    tri0 = jnp.asarray([[10.0, 10.0, 0.0]])
+    assert float(pw.measure_from_triples(tri0, pw.MASH_DIST, ksinv)[0]) == 1.0
+
+
+def test_rect_pairs_orientation(rng):
+    refs, _ = _mk_sketches(rng, n=4)
+    queries, _ = _mk_sketches(rng, n=3)
+    out = pw.rect_pairs(refs, queries, pw.JI, 21, est.ERTL_MLE, est.ERTL_MLE)
+    assert out.shape == (3, 4)
+    for qi in range(3):
+        for rj in range(4):
+            want = refs[rj].jaccard_index(queries[qi])
+            assert abs(out[qi, rj] - want) < 2e-3
+
+
+def test_full_square(rng):
+    sketches, _ = _mk_sketches(rng, n=4)
+    sq = pw.full_square(sketches, pw.JI, 21, est.ERTL_MLE, est.ERTL_MLE)
+    assert sq.shape == (4, 4)
+    assert (np.diag(sq) == 0).all()
+    assert np.allclose(sq, sq.T, atol=2e-3)
+
+
+def test_symmetry_helpers():
+    assert pw.is_symmetric(pw.JI) and pw.is_symmetric(pw.MASH_DIST)
+    assert not pw.is_symmetric(pw.CONTAINMENT_DIST)
+    assert pw.is_similarity(pw.JI) and not pw.is_similarity(pw.MASH_DIST)
