@@ -176,6 +176,12 @@ def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
         return read_sketch_auto(path, opts.sketch_type)
     sp = params.spacer()
     ext = SKETCH_EXTS[opts.sketch_type]
+    # weighted sketches get the .wj / .wj.exact extension prefix
+    # (reference src/dashing.h:347-350 SSS macro)
+    if opts.exact_weighted:
+        ext = ".wj.exact" + ext
+    elif opts.weighted_jaccard:
+        ext = ".wj" + ext
     fname = cache.make_fname(path, hll_p_from_S(opts.sketch_size), sp.w,
                              opts.k, sp.c, opts.spacing, opts.suffix,
                              opts.prefix, opts.encoding, ext)
@@ -188,17 +194,53 @@ def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
 
 
 def build_sketch(path: str, opts: CommonOpts, params: pipeline.SketchParams):
+    if opts.weighted_jaccard or opts.exact_weighted:
+        return _build_weighted(path, opts, params)
     if opts.sketch_type == "hll":
         p = hll_p_from_S(opts.sketch_size)
         regs = pipeline.sketch_file_hll(path, params, p)
         h = HLL(p, opts.estim, opts.jestim, regs)
         return h
     if opts.sketch_type == "khset":
-        import dataclasses as _dc
         kmers = pipeline.file_raw_kmers(path, params)
         return KSet.from_values(kmers)
     from ..sketch.setsketches import build_typed
     return build_typed(opts.sketch_type, path, opts, params)
+
+
+def _build_weighted(path: str, opts: CommonOpts, params: pipeline.SketchParams):
+    """wj::WeightedSketcher equivalent: occurrence-labeled multiset elements
+    fed into the base sketch (see sketch/weighted.py)."""
+    import dataclasses as _dc
+    from ..sketch.weighted import weighted_elements
+    raw = pipeline.file_raw_kmers(path, _dc.replace(params, rehash=False))
+    elements = weighted_elements(raw, exact=opts.exact_weighted,
+                                 cmsize_log2=22, nhashes=10, seed=opts.seed)
+    if opts.sketch_type == "hll":
+        p = hll_p_from_S(opts.sketch_size)
+        h = HLL(p, opts.estim, opts.jestim)
+        h.add_np(elements)  # elements are already well-mixed hashes
+        return h
+    if opts.sketch_type == "khset":
+        return KSet.from_values(elements)
+    from ..sketch import setsketches as ss
+    # construct the typed sketch empty, then insert the weighted elements
+    S = opts.sketch_size
+    import math as _m
+    if opts.sketch_type == "bf":
+        sk = ss.BloomFilter(S + 3, max(opts.nhashes, 1))
+    elif opts.sketch_type == "rmh":
+        sk = ss.BottomK(1 << max(S - 3, 1))
+    elif opts.sketch_type == "crmh":
+        sk = ss.CountingBottomK(max(int((1 << S) / 12), 1))
+    elif opts.sketch_type == "bbmh":
+        pb = S - int(_m.floor(_m.log2(max(opts.bbnbits // 8, 1))))
+        sk = ss.BBitMinHash(max(pb, 4), opts.bbnbits)
+    else:
+        raise SystemExit(f"Sketch {opts.sketch_type} not yet supported.")
+    sk.addh_np(elements)
+    sk.finalize()
+    return sk
 
 
 def compare_condensed(sketches, result_type: int, k: int, estim: int,

@@ -1,0 +1,78 @@
+"""Weighted (multiset) Jaccard support — wj::WeightedSketcher equivalent.
+
+The reference wraps any sketch in wj::WeightedSketcher<T[, ExactCounting
+Adapter]> (reference src/dashing.h:418-443, dispatch src/distmain.cpp:159-173)
+implementing Broder's labeled w-shingling: the i-th occurrence of a k-mer is
+a distinct element (k-mer, i), so plain set Jaccard over the expanded
+elements estimates the multiset Jaccard  sum min(a,b) / sum max(a,b).
+
+Counting is exact (--wj-exact; reference wj::ExactCountingAdapter) or via a
+count-min sketch (--wj; reference ccm_t(16, cmsize, nhashes)).  Batched
+two-pass counting replaces the reference's streaming `c = cm.addh(x)`:
+membership of (k-mer, i) depends only on the final count, so the expanded
+element set is identical for exact counts and differs for CM only through
+CM's overestimation.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..hashes import wang_hash_np
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def occurrence_expand(kmers: np.ndarray, counts_cap: int = 0) -> np.ndarray:
+    """Raw k-mer stream (with multiplicity) -> labeled elements.
+
+    Element for the i-th occurrence (i >= 1) of value v:
+        wang_hash(v ^ (i * GOLDEN))
+    which is engine-internal but deterministic, the same role as the
+    reference's internal (hash, count) combiner.
+    """
+    kmers = np.asarray(kmers, np.uint64)
+    if kmers.size == 0:
+        return kmers
+    uniq, inv, counts = np.unique(kmers, return_inverse=True,
+                                  return_counts=True)
+    if counts_cap:
+        counts = np.minimum(counts, counts_cap)
+    # occurrence index per element: repeat each unique value counts[j] times
+    # with labels 1..counts[j]
+    reps = np.repeat(uniq, counts)
+    offs = np.arange(counts.sum(), dtype=np.uint64)
+    starts = np.repeat(np.cumsum(counts) - counts, counts).astype(np.uint64)
+    occ = offs - starts + np.uint64(1)
+    with np.errstate(over="ignore"):
+        return wang_hash_np(reps ^ (occ * _GOLDEN))
+
+
+def cm_estimated_counts(kmers: np.ndarray, cmsize_log2: int = 22,
+                        nhashes: int = 10, seed: int = 1337) -> np.ndarray:
+    """Count-min multiplicity estimates per unique k-mer (host numpy).
+
+    Defaults mirror GlobalArgs: wj cm size 22, 10 hashes (reference
+    src/dashing.h:252-253)."""
+    kmers = np.asarray(kmers, np.uint64)
+    uniq, counts = np.unique(kmers, return_counts=True)
+    m = 1 << cmsize_log2
+    est = None
+    for row in range(nhashes):
+        h = wang_hash_np(uniq ^ np.uint64((seed + row * 0x9E3779B9) | 1))
+        idx = (h >> np.uint64(64 - cmsize_log2)).astype(np.int64)
+        table = np.zeros(m, np.int64)
+        np.add.at(table, idx, counts)
+        v = table[idx]
+        est = v if est is None else np.minimum(est, v)
+    return uniq, est
+
+
+def weighted_elements(kmers: np.ndarray, exact: bool, cmsize_log2: int = 22,
+                      nhashes: int = 10, seed: int = 1337) -> np.ndarray:
+    """Full weighted expansion of a k-mer stream."""
+    if exact:
+        return occurrence_expand(kmers)
+    uniq, est = cm_estimated_counts(kmers, cmsize_log2, nhashes, seed)
+    # rebuild a stream with CM-estimated multiplicities, then expand
+    stream = np.repeat(uniq, est)
+    return occurrence_expand(stream)
