@@ -113,6 +113,7 @@ def parse_common(opts: CommonOpts, flag: str, val: str) -> bool:
         "--use-full-sets": ("sketch_type", "khset"),
         "--use-wide-hll": ("sketch_type", "wide_hll"),
         "--use-superminhash": ("sketch_type", "superminhash"),
+        "--use-hyperminhash": ("sketch_type", "hmh"),
         "-E": ("estim", est.ORIGINAL), "--original": ("estim", est.ORIGINAL),
         "-I": ("estim", est.ERTL_IMPROVED), "--improved": ("estim", est.ERTL_IMPROVED),
         "-m": ("estim", est.ERTL_MLE), "--ertl-mle": ("estim", est.ERTL_MLE),
@@ -223,21 +224,8 @@ def _build_weighted(path: str, opts: CommonOpts, params: pipeline.SketchParams):
         return h
     if opts.sketch_type == "khset":
         return KSet.from_values(elements)
-    from ..sketch import setsketches as ss
-    # construct the typed sketch empty, then insert the weighted elements
-    S = opts.sketch_size
-    import math as _m
-    if opts.sketch_type == "bf":
-        sk = ss.BloomFilter(S + 3, max(opts.nhashes, 1))
-    elif opts.sketch_type == "rmh":
-        sk = ss.BottomK(1 << max(S - 3, 1))
-    elif opts.sketch_type == "crmh":
-        sk = ss.CountingBottomK(max(int((1 << S) / 12), 1))
-    elif opts.sketch_type == "bbmh":
-        pb = S - int(_m.floor(_m.log2(max(opts.bbnbits // 8, 1))))
-        sk = ss.BBitMinHash(max(pb, 4), opts.bbnbits)
-    else:
-        raise SystemExit(f"Sketch {opts.sketch_type} not yet supported.")
+    from ..sketch.setsketches import make_typed
+    sk = make_typed(opts.sketch_type, opts)
     sk.addh_np(elements)
     sk.finalize()
     return sk

@@ -53,7 +53,8 @@ DIST_LONG = [
     "containment-dist", "mash-dist", "symmetric-containment-index",
     "symmetric-containment-dist", "use-cyclic-hash", "wj-cm-sketch-size=",
     "wj-cm-nhashes=", "wj", "nearest-neighbors=", "wj-exact",
-    "use-wide-hll", "defer-hll", "nperbatch=", "multik=",
+    "use-wide-hll", "use-superminhash", "use-hyperminhash",
+    "defer-hll", "nperbatch=", "multik=",
 ]
 
 DIST_SHORT = "n"  # no-arg -n (avoid-sorting) per DIST_LONG_OPTS
@@ -283,7 +284,7 @@ SKETCH_LONG = [
     "suffix=", "wj-cm-sketch-size=", "wj-cm-nhashes=", "use-range-minhash",
     "use-full-khash-sets", "use-bloom-filter", "use-nthash",
     "use-cyclic-hash", "avoid-sorting", "wj", "wj-exact", "use-wide-hll",
-    "defer-hll", "help",
+    "use-superminhash", "use-hyperminhash", "defer-hll", "help",
 ]
 
 

@@ -1,0 +1,369 @@
+"""Remaining sketch-type matrix entries: WideHLL, HyperMinHash, and the
+SuperMinHash slot (reference src/dashing.h:223-247 Sketch enum).
+
+* WideHLL (reference whll::wh119_t, --use-wide-hll): an HLL variant with
+  wider registers.  Ours stores 16-bit registers (never saturates for any
+  realistic cardinality) over the same bucket/rank semantics, so it shares
+  the HLL estimator stack.  Suffix .whll.
+
+* HyperMinHash (Yu & Weissman; reference sketch/hmh.h, enum HYPERMINHASH):
+  per bucket keeps (HLL rank, sub-hash of the minimizing element).  The
+  rank part gives an HLL cardinality; register equality (rank AND sub-hash)
+  gives a MinHash-quality Jaccard with collision correction
+  2^-rbits conditioned on rank agreement.  bbnbits sets the register width
+  (reference src/sketch_and_cmp.h:52-66).
+
+* SuperMinHash slot (--use-superminhash / BB_SUPERMINHASH): implemented as
+  one-permutation MinHash with optimal rotation densification, which fills
+  every register in a single pass like SuperMinHash does.  The register
+  comparison/JI surface matches; the register VALUES are not SuperMinHash's
+  (divergence documented in PARITY.md — the reference's exact algorithm is
+  in the missing submodule).
+"""
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import IO, Tuple
+
+import numpy as np
+
+from ..hashes import wang_hash_np
+from . import estimators as est
+
+_HDR = struct.Struct("<8sII")
+
+
+class WideHLL:
+    """HLL with uint16 registers; same bucket/rank semantics as HLL."""
+    MAGIC = b"DTPUWHL1"
+
+    def __init__(self, p: int, estim: int = est.ERTL_MLE,
+                 jestim: int = est.ERTL_MLE, regs: np.ndarray = None):
+        self.p = int(p)
+        self.estim = int(estim)
+        self.jestim = int(jestim)
+        self.regs = (np.zeros(1 << p, np.uint16) if regs is None
+                     else np.asarray(regs, np.uint16))
+
+    @property
+    def q(self) -> int:
+        return 64 - self.p
+
+    def addh_np(self, values: np.ndarray):
+        self.add_np(wang_hash_np(np.asarray(values, np.uint64)))
+
+    def add_np(self, hashes: np.ndarray):
+        hashes = np.asarray(hashes, np.uint64)
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (hashes << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        cnt = np.zeros(len(hashes), np.int64)
+        y = rest.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            zt = (y >> np.uint64(64 - s)) == 0
+            cnt += np.where(zt, s, 0)
+            y = np.where(zt, y << np.uint64(s), y)
+        np.maximum.at(self.regs, idx, (cnt + 1).astype(np.uint16))
+
+    def finalize(self):
+        pass
+
+    def histogram(self) -> np.ndarray:
+        return np.bincount(self.regs, minlength=self.q + 2).astype(np.float32)
+
+    def report(self) -> float:
+        import jax.numpy as jnp
+        return float(est.estimate(jnp.asarray(self.histogram()), self.p,
+                                  self.estim))
+
+    cardinality_estimate = report
+
+    def full_set_comparison(self, other: "WideHLL"):
+        import jax.numpy as jnp
+        ha = jnp.asarray(self.histogram())
+        hb = jnp.asarray(other.histogram())
+        hu = jnp.asarray(np.bincount(np.maximum(self.regs, other.regs),
+                                     minlength=self.q + 2).astype(np.float32))
+        tri = est.union_triple_incl_excl(ha, hb, hu, self.p, self.estim)
+        return tuple(float(x) for x in np.asarray(tri))
+
+    def jaccard_index(self, other: "WideHLL") -> float:
+        a, b, x = self.full_set_comparison(other)
+        s = a + b + x
+        return x / s if s else 0.0
+
+    def union_size(self, other: "WideHLL") -> float:
+        import jax.numpy as jnp
+        hu = jnp.asarray(np.bincount(np.maximum(self.regs, other.regs),
+                                     minlength=self.q + 2).astype(np.float32))
+        return float(est.estimate(hu, self.p, self.estim))
+
+    def __iadd__(self, other: "WideHLL") -> "WideHLL":
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    def write_record(self, fp: IO[bytes]):
+        fp.write(_HDR.pack(self.MAGIC, self.p, (self.estim << 8) | self.jestim))
+        fp.write(self.regs.astype("<u2").tobytes())
+
+    def write(self, pf):
+        if isinstance(pf, str):
+            with gzip.open(pf, "wb") as fp:
+                self.write_record(fp)
+        else:
+            self.write_record(pf)
+
+    @classmethod
+    def read_record(cls, fp) -> "WideHLL":
+        hdr = fp.read(_HDR.size)
+        if len(hdr) < _HDR.size:
+            raise EOFError("truncated WideHLL record")
+        magic, p, ej = _HDR.unpack(hdr)
+        if magic != cls.MAGIC:
+            raise ValueError(f"bad WideHLL magic {magic!r}")
+        regs = np.frombuffer(fp.read(2 << p), "<u2").astype(np.uint16)
+        return cls(p, ej >> 8, ej & 0xFF, regs)
+
+    @classmethod
+    def read(cls, pf) -> "WideHLL":
+        if isinstance(pf, str):
+            with gzip.open(pf, "rb") as fp:
+                return cls.read_record(fp)
+        return cls.read_record(pf)
+
+
+class HyperMinHash:
+    """m = 2^p buckets of (rank, subhash) packed uint32 registers.
+
+    Packing: key = rank << rbits | (mask - subhash), so numpy maximum keeps
+    the max rank and, within it, the MIN subhash — mergeable like HLL.
+    """
+    MAGIC = b"DTPUHMH1"
+
+    def __init__(self, p: int, regwidth: int = 16, regs: np.ndarray = None):
+        self.p = int(p)
+        self.regwidth = int(regwidth)          # total bits (bbnbits)
+        self.rbits = max(self.regwidth - 6, 2)  # sub-hash bits
+        self.regs = (np.zeros(1 << p, np.uint32) if regs is None
+                     else np.asarray(regs, np.uint32))
+
+    @property
+    def q(self) -> int:
+        return 64 - self.p
+
+    def _rank_sub(self, hashes: np.ndarray):
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (hashes << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        cnt = np.zeros(len(hashes), np.int64)
+        y = rest.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            zt = (y >> np.uint64(64 - s)) == 0
+            cnt += np.where(zt, s, 0)
+            y = np.where(zt, y << np.uint64(s), y)
+        rank = cnt + 1
+        sub = (hashes & np.uint64((1 << self.rbits) - 1)).astype(np.int64)
+        return idx, rank, sub
+
+    def addh_np(self, values: np.ndarray):
+        self.add_np(wang_hash_np(np.asarray(values, np.uint64)))
+
+    def add_np(self, hashes: np.ndarray):
+        hashes = np.asarray(hashes, np.uint64)
+        idx, rank, sub = self._rank_sub(hashes)
+        mask = (1 << self.rbits) - 1
+        key = (rank << self.rbits | (mask - sub)).astype(np.uint32)
+        np.maximum.at(self.regs, idx, key)
+
+    def finalize(self):
+        pass
+
+    def _ranks(self) -> np.ndarray:
+        return (self.regs >> np.uint32(self.rbits)).astype(np.uint8)
+
+    def histogram(self) -> np.ndarray:
+        return np.bincount(self._ranks(), minlength=self.q + 2).astype(np.float32)
+
+    def getcard(self) -> float:
+        import jax.numpy as jnp
+        return float(est.estimate(jnp.asarray(self.histogram()), self.p,
+                                  est.ERTL_MLE))
+
+    report = getcard
+    cardinality_estimate = getcard
+
+    def jaccard_index(self, other: "HyperMinHash") -> float:
+        both = (self.regs == other.regs) & (self.regs != 0)
+        filled = (self.regs != 0) | (other.regs != 0)
+        nf = int(filled.sum())
+        if nf == 0:
+            return 0.0
+        f = float(both.sum()) / nf
+        c = 2.0 ** -self.rbits  # collision prob given equal ranks (approx)
+        return max(0.0, (f - c) / (1.0 - c))
+
+    def full_set_comparison(self, other: "HyperMinHash"):
+        ji = self.jaccard_index(other)
+        ca, cb = self.getcard(), other.getcard()
+        cu = (ca + cb) / (1.0 + ji)
+        x = ji * cu
+        return (max(ca - x, 0.0), max(cb - x, 0.0), x)
+
+    def union_size(self, other: "HyperMinHash") -> float:
+        a, b, x = self.full_set_comparison(other)
+        return a + b + x
+
+    def intersection_size(self, other: "HyperMinHash") -> float:
+        return self.full_set_comparison(other)[2]
+
+    def __iadd__(self, other: "HyperMinHash") -> "HyperMinHash":
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    def write_record(self, fp: IO[bytes]):
+        fp.write(_HDR.pack(self.MAGIC, self.p, self.regwidth))
+        fp.write(self.regs.astype("<u4").tobytes())
+
+    def write(self, pf):
+        if isinstance(pf, str):
+            with gzip.open(pf, "wb") as fp:
+                self.write_record(fp)
+        else:
+            self.write_record(pf)
+
+    @classmethod
+    def read_record(cls, fp) -> "HyperMinHash":
+        hdr = fp.read(_HDR.size)
+        if len(hdr) < _HDR.size:
+            raise EOFError("truncated HMH record")
+        magic, p, w = _HDR.unpack(hdr)
+        if magic != cls.MAGIC:
+            raise ValueError(f"bad HMH magic {magic!r}")
+        regs = np.frombuffer(fp.read(4 << p), "<u4").astype(np.uint32)
+        return cls(p, w, regs)
+
+    @classmethod
+    def read(cls, pf) -> "HyperMinHash":
+        if isinstance(pf, str):
+            with gzip.open(pf, "rb") as fp:
+                return cls.read_record(fp)
+        return cls.read_record(pf)
+
+
+class DensifiedMinHash:
+    """One-permutation MinHash with rotation densification (the
+    --use-superminhash slot; b-bit comparable registers)."""
+    MAGIC = b"DTPUSMH1"
+    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def __init__(self, p: int, b: int = 16, mins: np.ndarray = None):
+        self.p = int(p)
+        self.b = int(b)
+        self.mins = (np.full(1 << p, self.EMPTY, np.uint64) if mins is None
+                     else np.asarray(mins, np.uint64))
+        self._dense = None
+
+    @property
+    def m(self) -> int:
+        return 1 << self.p
+
+    def addh_np(self, values: np.ndarray):
+        self.add_np(wang_hash_np(np.asarray(values, np.uint64)))
+
+    def add_np(self, hashes: np.ndarray):
+        hashes = np.asarray(hashes, np.uint64)
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        val = hashes << np.uint64(self.p)
+        np.minimum.at(self.mins, idx, val)
+        self._dense = None
+
+    def finalize(self):
+        self._densified()
+
+    def _densified(self) -> np.ndarray:
+        if self._dense is not None:
+            return self._dense
+        dense = self.mins.copy()
+        empty = dense == self.EMPTY
+        if empty.all():
+            self._dense = dense
+            return dense
+        # rotation densification: empty bucket j borrows from the nearest
+        # filled bucket to its right (cyclically) — deterministic, so two
+        # sketches of overlapping sets densify consistently.
+        n = self.m
+        filled_idx = np.flatnonzero(~empty)
+        pos = np.arange(n)
+        nxt = np.searchsorted(filled_idx, pos)
+        src = filled_idx[nxt % filled_idx.size]
+        dense = dense[src]
+        self._dense = dense
+        return dense
+
+    def report(self) -> float:
+        filled = self.mins != self.EMPTY
+        if not filled.any():
+            return 0.0
+        import math
+        u = self.mins[filled].astype(np.float64) / 2.0 ** 64
+        u = np.concatenate([u, np.ones(self.m - int(filled.sum()))])
+        # E[min] = (1 - e^-lambda)/lambda under the Poisson bucket model
+        mean = min(max(float(u.mean()), 1e-18), 1.0 - 1e-12)
+        lo, hi = 1e-9, 1e12
+        for _ in range(100):
+            lam = math.sqrt(lo * hi)
+            if -math.expm1(-lam) / lam > mean:
+                lo = lam
+            else:
+                hi = lam
+        return math.sqrt(lo * hi) * self.m
+
+    cardinality_estimate = report
+
+    def _regs_b(self) -> np.ndarray:
+        return self._densified() >> np.uint64(64 - self.b)
+
+    def jaccard_index(self, other: "DensifiedMinHash") -> float:
+        f = float((self._regs_b() == other._regs_b()).mean())
+        c = 2.0 ** -self.b
+        return max(0.0, (f - c) / (1.0 - c))
+
+    def full_set_comparison(self, other: "DensifiedMinHash"):
+        ji = self.jaccard_index(other)
+        ca, cb = self.report(), other.report()
+        cu = (ca + cb) / (1.0 + ji)
+        x = ji * cu
+        return (max(ca - x, 0.0), max(cb - x, 0.0), x)
+
+    def __iadd__(self, other: "DensifiedMinHash") -> "DensifiedMinHash":
+        np.minimum(self.mins, other.mins, out=self.mins)
+        self._dense = None
+        return self
+
+    def write_record(self, fp: IO[bytes]):
+        fp.write(_HDR.pack(self.MAGIC, self.p, self.b))
+        fp.write(self.mins.astype("<u8").tobytes())
+
+    def write(self, pf):
+        if isinstance(pf, str):
+            with gzip.open(pf, "wb") as fp:
+                self.write_record(fp)
+        else:
+            self.write_record(pf)
+
+    @classmethod
+    def read_record(cls, fp) -> "DensifiedMinHash":
+        hdr = fp.read(_HDR.size)
+        if len(hdr) < _HDR.size:
+            raise EOFError("truncated SMH record")
+        magic, p, b = _HDR.unpack(hdr)
+        if magic != cls.MAGIC:
+            raise ValueError(f"bad SMH magic {magic!r}")
+        mins = np.frombuffer(fp.read(8 << p), "<u8").astype(np.uint64)
+        return cls(p, b, mins)
+
+    @classmethod
+    def read(cls, pf) -> "DensifiedMinHash":
+        if isinstance(pf, str):
+            with gzip.open(pf, "rb") as fp:
+                return cls.read_record(fp)
+        return cls.read_record(pf)

@@ -319,13 +319,21 @@ class BBitMinHash:
         if nfill == 0:
             self.est_cardinality_ = 0.0
         else:
-            # mean of per-bucket minima of U(0,1): with n elements over m
-            # buckets, E[min] ~ m/(n+m); invert the average.
+            # Per-bucket min of N ~ Poisson(lambda) uniforms (empty: min = 1):
+            # E[min] = E[1/(N+1)] = (1 - e^-lambda)/lambda.  Invert the
+            # average by bisection in log-space, cardinality = lambda * m.
             u = self.mins[filled].astype(np.float64) / 2.0 ** 64
-            u = np.concatenate([u, np.ones(self.m - nfill)])  # empty: min=1
-            mean = float(u.mean())
-            self.est_cardinality_ = max(self.m * (1.0 - mean) / max(mean, 1e-12),
-                                        float(nfill))
+            u = np.concatenate([u, np.ones(self.m - nfill)])
+            mean = min(max(float(u.mean()), 1e-18), 1.0 - 1e-12)
+            lo, hi = 1e-9, 1e12
+            for _ in range(100):
+                lam = math.sqrt(lo * hi)
+                val = -math.expm1(-lam) / lam
+                if val > mean:
+                    lo = lam
+                else:
+                    hi = lam
+            self.est_cardinality_ = math.sqrt(lo * hi) * self.m
         self._finalized = True
 
     def _regs_b(self) -> np.ndarray:
@@ -384,21 +392,35 @@ class BBitMinHash:
 # Type registry used by the CLI.
 # ---------------------------------------------------------------------------
 
-def build_typed(sketch_type: str, path: str, opts, params):
-    from .. import pipeline
+def make_typed(sketch_type: str, opts):
+    """Empty sketch of the requested type sized from -S (bytesl2_to_arg)."""
+    from .extra import WideHLL, HyperMinHash, DensifiedMinHash
     S = opts.sketch_size
     if sketch_type == "bf":
-        sk = BloomFilter(S + 3, max(opts.nhashes, 1))
-    elif sketch_type == "rmh":
-        sk = BottomK(1 << max(S - 3, 1))
-    elif sketch_type == "crmh":
-        sk = CountingBottomK(max(int((1 << S) / 12), 1))
-    elif sketch_type == "bbmh":
+        return BloomFilter(S + 3, max(opts.nhashes, 1))
+    if sketch_type == "rmh":
+        return BottomK(1 << max(S - 3, 1))
+    if sketch_type == "crmh":
+        return CountingBottomK(max(int((1 << S) / 12), 1))
+    if sketch_type == "bbmh":
         p = S - int(math.floor(math.log2(max(opts.bbnbits // 8, 1))))
-        sk = BBitMinHash(max(p, 4), opts.bbnbits)
-    else:
-        raise SystemExit(f"Sketch {sketch_type} not yet supported.")
+        return BBitMinHash(max(p, 4), opts.bbnbits)
+    if sketch_type == "wide_hll":
+        return WideHLL(S, opts.estim, opts.jestim)
+    if sketch_type == "hmh":
+        # register-size table, reference src/sketch_and_cmp.h:52-66
+        shift = {8: 0, 16: 1, 32: 2, 64: 3}.get(opts.bbnbits, 1)
+        return HyperMinHash(max(S - shift, 4), opts.bbnbits)
+    if sketch_type == "superminhash":
+        p = S - int(math.floor(math.log2(max(opts.bbnbits // 8, 1))))
+        return DensifiedMinHash(max(p, 4), opts.bbnbits)
+    raise SystemExit(f"Sketch {sketch_type} not yet supported.")
+
+
+def build_typed(sketch_type: str, path: str, opts, params):
+    from .. import pipeline
     import dataclasses as _dc
+    sk = make_typed(sketch_type, opts)
     raw = pipeline.file_raw_kmers(path, _dc.replace(params, rehash=False))
     sk.addh_np(raw)
     sk.finalize()
@@ -406,8 +428,10 @@ def build_typed(sketch_type: str, path: str, opts, params):
 
 
 def read_typed(path: str, sketch_type: str):
+    from .extra import WideHLL, HyperMinHash, DensifiedMinHash
     cls = {"bf": BloomFilter, "rmh": BottomK, "crmh": CountingBottomK,
-           "bbmh": BBitMinHash}.get(sketch_type)
+           "bbmh": BBitMinHash, "wide_hll": WideHLL, "hmh": HyperMinHash,
+           "superminhash": DensifiedMinHash}.get(sketch_type)
     if cls is None:
         raise SystemExit(f"Sketch {sketch_type} not yet supported.")
     return cls.read(path)

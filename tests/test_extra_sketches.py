@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+
+from dashing_tpu.sketch.extra import WideHLL, HyperMinHash, DensifiedMinHash
+from dashing_tpu.sketch.setsketches import (BloomFilter, BottomK,
+                                            CountingBottomK, BBitMinHash)
+from dashing_tpu.cli import main as climain
+
+
+def _overlapping_sets(rng, n=20000, frac=0.5):
+    shared = rng.integers(0, 2**62, int(n * frac), dtype=np.uint64)
+    a = np.concatenate([shared, rng.integers(2**62, 2**63, n - shared.size,
+                                             dtype=np.uint64)])
+    b = np.concatenate([shared, rng.integers(2**63, 2**64 - 1,
+                                             n - shared.size,
+                                             dtype=np.uint64)])
+    true_ji = shared.size / (a.size + b.size - shared.size)
+    return a, b, true_ji
+
+
+@pytest.mark.parametrize("cls,kwargs,tol", [
+    (BloomFilter, dict(nbits_log2=18, nhashes=2), 0.08),
+    (BottomK, dict(kk=2048), 0.08),
+    (BBitMinHash, dict(p=12, b=16), 0.08),
+    (WideHLL, dict(p=12), 0.08),
+    (HyperMinHash, dict(p=12, regwidth=16), 0.10),
+    (DensifiedMinHash, dict(p=12, b=16), 0.08),
+])
+def test_jaccard_accuracy(rng, cls, kwargs, tol):
+    a_vals, b_vals, true_ji = _overlapping_sets(rng)
+    sa, sb = cls(**kwargs), cls(**kwargs)
+    sa.addh_np(a_vals)
+    sb.addh_np(b_vals)
+    sa.finalize()
+    sb.finalize()
+    ji = sa.jaccard_index(sb)
+    assert abs(ji - true_ji) < tol, (cls.__name__, ji, true_ji)
+
+
+@pytest.mark.parametrize("cls,kwargs,tol", [
+    (BloomFilter, dict(nbits_log2=18, nhashes=2), 0.05),
+    (BottomK, dict(kk=2048), 0.08),
+    (BBitMinHash, dict(p=12, b=16), 0.10),
+    (WideHLL, dict(p=12), 0.05),
+    (HyperMinHash, dict(p=12, regwidth=16), 0.05),
+    (DensifiedMinHash, dict(p=12, b=16), 0.10),
+])
+def test_cardinality_accuracy(rng, cls, kwargs, tol):
+    n = 30000
+    vals = rng.integers(0, 2**63, n, dtype=np.uint64)
+    sk = cls(**kwargs)
+    sk.addh_np(vals)
+    sk.finalize()
+    assert abs(sk.report() - n) / n < tol, (cls.__name__, sk.report())
+
+
+@pytest.mark.parametrize("cls,kwargs", [
+    (BloomFilter, dict(nbits_log2=14, nhashes=2)),
+    (BottomK, dict(kk=256)),
+    (CountingBottomK, dict(kk=256)),
+    (BBitMinHash, dict(p=8, b=16)),
+    (WideHLL, dict(p=8)),
+    (HyperMinHash, dict(p=8, regwidth=16)),
+    (DensifiedMinHash, dict(p=8, b=16)),
+])
+def test_merge_and_serialization(rng, cls, kwargs, tmp_path):
+    a_vals = rng.integers(0, 2**62, 3000, dtype=np.uint64)
+    b_vals = rng.integers(2**61, 2**63, 3000, dtype=np.uint64)
+    sa, sb, sab = cls(**kwargs), cls(**kwargs), cls(**kwargs)
+    sa.addh_np(a_vals)
+    sb.addh_np(b_vals)
+    sab.addh_np(np.concatenate([a_vals, b_vals]))
+    sa += sb
+    sa.finalize()
+    sab.finalize()
+    # merged sketch equals direct sketch of the union (all these structures
+    # merge losslessly)
+    assert abs(sa.report() - sab.report()) / max(sab.report(), 1) < 0.05
+    path = str(tmp_path / "s.bin")
+    sa.write(path)
+    back = cls.read(path)
+    sa.finalize()
+    back.finalize()
+    assert abs(back.report() - sa.report()) < 1e-6
+
+
+def test_counting_bottomk_histogram_intersection(rng):
+    base = rng.integers(0, 2**62, 2000, dtype=np.uint64)
+    a = np.repeat(base, 2)          # every element twice
+    b = base                        # every element once
+    sa, sb = CountingBottomK(512), CountingBottomK(512)
+    sa.addh_np(a)
+    sb.addh_np(b)
+    hi = sa.histogram_intersection(sb)
+    assert abs(hi - 0.5) < 0.05, hi
+
+
+@pytest.mark.parametrize("flag", ["--use-wide-hll", "--use-superminhash",
+                                  "--use-hyperminhash", "--use-bloom-filter",
+                                  "--use-range-minhash", "--use-bb-minhash"])
+def test_cli_type_dispatch(tmp_path, rng, capsys, flag):
+    seq = "".join(rng.choice(list("ACGT"), size=3000))
+    seq2 = seq[:1500] + "".join(rng.choice(list("ACGT"), size=1500))
+    a = tmp_path / "a.fa"
+    b = tmp_path / "b.fa"
+    a.write_text(f">a\n{seq}\n")
+    b.write_text(f">b\n{seq2}\n")
+    rc = climain.main(["dist", "-k", "21", "-S", "12", flag,
+                       "--avoid-sorting", str(a), str(b)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    ji = float(out.splitlines()[-2].split("\t")[-1])
+    assert 0.2 < ji < 0.65, (flag, ji)
