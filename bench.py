@@ -31,29 +31,32 @@ def device_rate() -> float:
     import jax
     import jax.numpy as jnp
     from dashing_tpu.ops.encode import encode_tile
-    from dashing_tpu.ops.hll_update import update_registers
+    from dashing_tpu.ops.hll_update import update_registers_filtered
     from dashing_tpu.hashes import wang_hash
 
     positions = tuple(range(K))
 
     @jax.jit
-    def step(tiles, regs):
-        km, valid = encode_tile(tiles, k=K, w=K, positions=positions, span=K,
-                                canon=True)
-        h = wang_hash(km)
-        return update_registers(regs, h, valid, P)
+    def run(chunks, regs):
+        """chunks: (ITERS, ROWS, C) — the whole stream resident in HBM;
+        the loop lives inside jit so dispatch/tunnel latency is amortized,
+        matching the production shape (stream fed chunkwise)."""
+        def body(i, regs):
+            km, valid = encode_tile(chunks[i], k=K, w=K, positions=positions,
+                                    span=K, canon=True)
+            h = wang_hash(km)
+            return update_registers_filtered(regs, h, valid, P)
+        return jax.lax.fori_loop(0, chunks.shape[0], body, regs)
 
     rng = np.random.default_rng(0)
     C = CONTENT + K - 1
-    tiles = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
-                                   size=(ROWS, C)))
+    chunks = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                    size=(ITERS, ROWS, C)))
     regs = jnp.zeros(1 << P, jnp.int32)
-    regs = step(tiles, regs)
-    regs.block_until_ready()                      # compile + warm
+    _ = jax.device_get(run(chunks, regs))         # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        regs = step(tiles, regs)
-    regs.block_until_ready()
+    out = run(chunks, regs)
+    _ = jax.device_get(out)                       # forces real completion
     dt = time.perf_counter() - t0
     kmers = ROWS * CONTENT * ITERS
     return kmers / dt

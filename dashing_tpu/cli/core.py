@@ -148,7 +148,8 @@ def sketch_params(opts: CommonOpts, rehash: bool = True) -> pipeline.SketchParam
         k=opts.k, w=opts.wsz, spacing=opts.spacing, canon=opts.canon,
         encoding=opts.encoding, rehash=rehash,
         min_count=opts.mincount,
-        use_counting_filter=opts.use_counting_filter)
+        use_counting_filter=opts.use_counting_filter,
+        entropy=opts.entropy_min)
 
 
 def gather_inpaths(opts: CommonOpts, positional: List[str]) -> List[str]:

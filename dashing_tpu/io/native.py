@@ -1,0 +1,88 @@
+"""ctypes bindings for the native FASTA/FASTQ loader (native/fastx.cpp).
+
+The loader produces the same joined-bytes layout as the pure-python path
+(records separated by `sep_len` zero bytes), so the two are interchangeable;
+pipeline prefers native when the shared library is present (built lazily
+with `make -C native` on first use if a compiler is available).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SO = os.path.join(_REPO, "native", "build", "libdtpu_fastx.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class _DtpuFastx(ctypes.Structure):
+    _fields_ = [
+        ("seq", ctypes.POINTER(ctypes.c_uint8)),
+        ("seq_len", ctypes.c_uint64),
+        ("names", ctypes.c_char_p),
+        ("names_len", ctypes.c_uint64),
+        ("nrecords", ctypes.c_uint64),
+        ("rec_ends", ctypes.POINTER(ctypes.c_uint64)),
+    ]
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO):
+            try:
+                subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
+                               check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.dtpu_read_fastx.argtypes = [ctypes.c_char_p, ctypes.c_uint32,
+                                        ctypes.POINTER(_DtpuFastx)]
+        lib.dtpu_read_fastx.restype = ctypes.c_int
+        lib.dtpu_free.argtypes = [ctypes.POINTER(_DtpuFastx)]
+        lib.dtpu_free.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_joined(path: str, sep_len: int
+                ) -> Optional[Tuple[np.ndarray, List[bytes], np.ndarray]]:
+    """Returns (joined uint8 array, record names, record end offsets), or
+    None if the native library is unavailable or refuses the file."""
+    lib = _load()
+    if lib is None:
+        return None
+    res = _DtpuFastx()
+    rc = lib.dtpu_read_fastx(path.encode(), sep_len, ctypes.byref(res))
+    if rc != 0:
+        return None
+    try:
+        n = int(res.seq_len)
+        seq = np.ctypeslib.as_array(res.seq, shape=(n,)).copy() if n else \
+            np.zeros(0, np.uint8)
+        names_blob = ctypes.string_at(res.names, int(res.names_len))
+        names = names_blob.split(b"\n") if names_blob else []
+        nrec = int(res.nrecords)
+        ends = (np.ctypeslib.as_array(res.rec_ends, shape=(nrec,)).copy()
+                if nrec else np.zeros(0, np.uint64))
+        return seq, names, ends
+    finally:
+        lib.dtpu_free(ctypes.byref(res))

@@ -146,14 +146,20 @@ _SENTINEL = 0xFFFFFFFFFFFFFFFF  # larger than any 2k-bit k-mer code (k<=32 ok
 # they never win a minimizer comparison and are filterable afterwards)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span", "canon"))
+@functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
+                                             "canon", "entropy"))
 def encode_tile(tile: jnp.ndarray, *, k: int, w: int, positions: Tuple[int, ...],
-                span: int, canon: bool) -> Tuple[U64, jnp.ndarray]:
+                span: int, canon: bool, entropy: bool = False
+                ) -> Tuple[U64, jnp.ndarray]:
     """Encode one (R, C) uint8 ASCII tile into k-mer codes.
 
     Returns ((hi, lo), valid) of shape (R, C - w + 1): one output per
     w-window (for w == span this is one per k-mer position).  Invalid
     entries carry the sentinel value 2^64-1.
+
+    entropy=True scores minimizer windows by Shannon entropy of the k-mer's
+    base composition instead of the lexicographic value (the reference's
+    -g/--by-entropy, bonsai score::Entropy; src/distmain.cpp:68).
     """
     code, valid = base_codes(tile)
     fwd, rc, wvalid = _shift_or_kmers(code, valid, positions, span)
@@ -165,7 +171,10 @@ def encode_tile(tile: jnp.ndarray, *, k: int, w: int, positions: Tuple[int, ...]
     km = u64.select(wvalid, km, sent)
     if w > span:
         win = w - span + 1
-        km = sliding_min(km, win)
+        if entropy:
+            km = _entropy_sliding_min(km, code, valid, positions, span, win)
+        else:
+            km = sliding_min(km, win)
         # A w-window emits only when every k-mer inside it is valid (fully
         # in-record, no ambiguous bases).  This matches the reference's
         # full-window minimizer emission for clean sequence; windows touching
@@ -176,6 +185,43 @@ def encode_tile(tile: jnp.ndarray, *, k: int, w: int, positions: Tuple[int, ...]
         csum = jnp.concatenate([pad, csum], axis=-1)
         wvalid = (csum[..., win:] - csum[..., :-win]) == 0
     return km, wvalid
+
+
+def _entropy_sliding_min(km: U64, code: jnp.ndarray, valid: jnp.ndarray,
+                         positions, span: int, win: int) -> U64:
+    """Minimizer selection by base-composition entropy.
+
+    Key per k-mer = (quantized entropy << 21) | in-row offset, so a sliding
+    u64-min picks the lowest-entropy k-mer (ties to the leftmost), whose
+    value is then gathered by offset.  Invalid k-mers get the sentinel.
+    """
+    k = len(positions)
+    W = km[0].shape[-1]
+    # per-position base counts over the k sampled positions
+    counts = [jnp.zeros(km[0].shape, jnp.float32) for _ in range(4)]
+    for t in range(k):
+        c_t = code[..., positions[t]:positions[t] + W]
+        for b in range(4):
+            counts[b] = counts[b] + (c_t == b).astype(jnp.float32)
+    ent = jnp.zeros(km[0].shape, jnp.float32)
+    for b in range(4):
+        pr = counts[b] / float(k)
+        ent = ent - jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)), 0.0)
+    entq = jnp.minimum((ent * (2.0 ** 18)).astype(jnp.uint32), (1 << 20) - 1)
+    offs = jax.lax.broadcasted_iota(jnp.uint32, km[0].shape, km[0].ndim - 1)
+    kmer_valid = ~u64.eq(km, u64.full(km[0].shape, _SENTINEL))
+    # pack: hi = quantized entropy (invalid -> max), lo = in-row offset
+    key_hi = jnp.where(kmer_valid, entq, jnp.uint32(0xFFFFFFFF))
+    key_lo = offs
+    best = sliding_min((key_hi, key_lo), win)
+    Wout = best[0].shape[-1]
+    sel = best[1].astype(jnp.int32)                 # chosen in-row offset
+    km_hi = jnp.take_along_axis(km[0], sel, axis=-1)
+    km_lo = jnp.take_along_axis(km[1], sel, axis=-1)
+    chosen_invalid = best[0] == jnp.uint32(0xFFFFFFFF)
+    sent = u64.full((km_hi.shape), _SENTINEL)
+    return (jnp.where(chosen_invalid, sent[0], km_hi),
+            jnp.where(chosen_invalid, sent[1], km_lo))
 
 
 def sliding_min(x: U64, win: int) -> U64:

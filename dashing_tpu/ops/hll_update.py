@@ -50,6 +50,46 @@ def update_registers(regs: jnp.ndarray, h: U64, valid: jnp.ndarray, p: int) -> j
     return regs.at[idx.reshape(-1)].max(rank.reshape(-1), mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=("p", "cap_log2"))
+def update_registers_filtered(regs: jnp.ndarray, h: U64, valid: jnp.ndarray,
+                              p: int, cap_log2: int = 4) -> jnp.ndarray:
+    """Threshold-filtered scatter-max: the fast path for streaming updates.
+
+    Registers only grow, so a hash whose rank is <= min(regs) cannot change
+    any register.  After the first chunk of a genome, min(regs) is ~
+    log2(n/m) and only a ~2^-min fraction of hashes survive; compacting the
+    survivors (cumsum + gather) turns the scatter from the pipeline
+    bottleneck (~126 M/s measured) into noise.  Exactness is preserved by a
+    full-scatter fallback when survivors exceed the static capacity
+    B / 2^cap_log2 (always true for a fresh sketch, whose min(regs)=0).
+    """
+    idx, rank = bucket_rank(h, p)
+    rank = jnp.where(valid, rank, 0)
+    flat_idx = idx.reshape(-1)
+    flat_rank = rank.reshape(-1)
+    B = flat_idx.shape[0]
+    cap = max(B >> cap_log2, 128)
+    t = regs.min()
+    surv = flat_rank > t
+    nsurv = surv.sum()
+
+    def filtered(args):
+        regs, flat_idx, flat_rank, surv = args
+        pos = jnp.nonzero(surv, size=cap, fill_value=B)[0]
+        # out-of-range gathers clamp; force their rank to 0 via the mask
+        gi = jnp.minimum(pos, B - 1)
+        sidx = flat_idx[gi]
+        srank = jnp.where(pos < B, flat_rank[gi], 0)
+        return regs.at[sidx].max(srank, mode="drop")
+
+    def full(args):
+        regs, flat_idx, flat_rank, _ = args
+        return regs.at[flat_idx].max(flat_rank, mode="drop")
+
+    return jax.lax.cond(nsurv <= cap, filtered, full,
+                        (regs, flat_idx, flat_rank, surv))
+
+
 @functools.partial(jax.jit, static_argnames=("p", "max_rank"))
 def update_registers_matmul(regs: jnp.ndarray, h: U64, valid: jnp.ndarray,
                             p: int, max_rank: int = 40) -> jnp.ndarray:

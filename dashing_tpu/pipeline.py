@@ -21,7 +21,7 @@ from . import u64
 from .hashes import wang_hash
 from .ops import rolling
 from .ops.encode import Spacer, encode_tile, join_records, parse_spacing, tile_sequence
-from .ops.hll_update import bucket_rank, update_registers
+from .ops.hll_update import bucket_rank, update_registers, update_registers_filtered
 from .io import fasta
 from .io.paths import split_subpaths
 
@@ -41,34 +41,38 @@ class SketchParams:
     rehash: bool = True             # apply WangHash to encoder output
     min_count: int = 1              # count threshold (--countmin / -c)
     use_counting_filter: bool = False
+    entropy: bool = False           # -g/--by-entropy minimizer scoring
 
     def spacer(self) -> Spacer:
         return Spacer(self.k, self.w, parse_spacing(self.spacing, self.k))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
-                                             "canon", "encoding", "rehash", "p"))
+                                             "canon", "encoding", "rehash",
+                                             "p", "entropy"))
 def _tile_to_registers(tile: jnp.ndarray, regs: jnp.ndarray, *, k: int, w: int,
                        positions: Tuple[int, ...], span: int, canon: bool,
-                       encoding: str, rehash: bool, p: int) -> jnp.ndarray:
+                       encoding: str, rehash: bool, p: int,
+                       entropy: bool = False) -> jnp.ndarray:
     """Fused device step: ASCII tile -> k-mers -> hashes -> register max."""
     if encoding == "bonsai":
         km, valid = encode_tile(tile, k=k, w=w, positions=positions, span=span,
-                                canon=canon)
+                                canon=canon, entropy=entropy)
     else:
         km, valid = rolling.rolling_hash_tile(tile, k=k, kind=encoding,
                                               canon=canon)
     h = wang_hash(km) if rehash else km
-    return update_registers(regs, h, valid, p)
+    return update_registers_filtered(regs, h, valid, p)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
-                                             "canon", "encoding", "rehash"))
+                                             "canon", "encoding", "rehash",
+                                             "entropy"))
 def _tile_to_hashes(tile: jnp.ndarray, *, k, w, positions, span, canon,
-                    encoding, rehash):
+                    encoding, rehash, entropy=False):
     if encoding == "bonsai":
         km, valid = encode_tile(tile, k=k, w=w, positions=positions, span=span,
-                                canon=canon)
+                                canon=canon, entropy=entropy)
     else:
         km, valid = rolling.rolling_hash_tile(tile, k=k, kind=encoding,
                                               canon=canon)
@@ -76,12 +80,32 @@ def _tile_to_hashes(tile: jnp.ndarray, *, k, w, positions, span, canon,
     return h, valid
 
 
+def _read_joined(path: str, sep_len: int) -> np.ndarray:
+    """Logical path -> one separator-joined uint8 array.  Prefers the native
+    C++ loader (io/native.py); falls back to the numpy parser."""
+    from .io import native
+    parts: List[np.ndarray] = []
+    for sub in split_subpaths(path):
+        nat = native.read_joined(sub, sep_len)
+        if nat is not None:
+            parts.append(nat[0])
+        else:
+            seqs = [seq for _, seq in fasta.read_records(sub)]
+            parts.append(join_records(seqs, sep_len))
+    if len(parts) == 1:
+        return parts[0]
+    sep = np.zeros(sep_len, np.uint8)
+    glued: List[np.ndarray] = []
+    for i, arr in enumerate(parts):
+        if i:
+            glued.append(sep)
+        glued.append(arr)
+    return np.concatenate(glued) if glued else np.zeros(0, np.uint8)
+
+
 def _file_tiles(path: str, sp: Spacer) -> Iterable[np.ndarray]:
     """Yield (rows, CONTENT+halo) uint8 tiles covering a logical path."""
-    seqs: List[bytes] = []
-    for sub in split_subpaths(path):
-        seqs.extend(seq for _, seq in fasta.read_records(sub))
-    joined = join_records(seqs, sp.halo)
+    joined = _read_joined(path, sp.halo)
     tiles = tile_sequence(joined, CONTENT, sp.halo)
     for i in range(0, tiles.shape[0], MAX_ROWS):
         chunk = tiles[i:i + MAX_ROWS]
@@ -102,7 +126,7 @@ def sketch_file_hll(path: str, params: SketchParams, p: int) -> np.ndarray:
     regs = jnp.zeros(1 << p, jnp.int32)
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
               canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash)
+              rehash=params.rehash, entropy=params.entropy)
     if params.use_counting_filter and params.min_count > 1:
         for tile, mask in _count_filtered_tiles(path, params, sp):
             h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
@@ -122,7 +146,7 @@ def file_kmer_hashes(path: str, params: SketchParams) -> np.ndarray:
     sp = params.spacer()
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
               canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash)
+              rehash=params.rehash, entropy=params.entropy)
     outs = []
     if params.use_counting_filter and params.min_count > 1:
         for tile, mask in _count_filtered_tiles(path, params, sp):
@@ -193,7 +217,7 @@ def _count_filtered_tiles(path: str, params: SketchParams, sp: Spacer):
     """Two-pass CM filter; yields (tile, admit-mask) per tile."""
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
               canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash)
+              rehash=params.rehash, entropy=params.entropy)
     tiles = list(_file_tiles(path, sp))
     counts = jnp.zeros((CM_NHASHES, 1 << CM_SIZE_LOG2), jnp.int32)
     cached = []

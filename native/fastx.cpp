@@ -1,0 +1,151 @@
+// Native FASTA/FASTQ loader for dashing_tpu.
+//
+// The reference's sequence layer is C (klib kseq over gzFile; see reference
+// Makefile:58-65 and src/sketch_and_cmp.h:565-570).  This is its TPU-host
+// equivalent: parse a (possibly gzip-compressed) FASTA/FASTQ file into ONE
+// contiguous byte buffer with records joined by `sep_len` zero bytes —
+// exactly the layout dashing_tpu.ops.encode.join_records produces — plus a
+// newline-joined name table.  Zero bytes are invalid bases, so k-mer windows
+// never span records.
+//
+// Build:  make -C native     (g++ -O3 -shared -fPIC, links zlib)
+// Python: dashing_tpu/io/native.py (ctypes, numpy zero-copy views).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+struct DtpuFastx {
+    uint8_t *seq;        // joined sequence bytes (malloc'd)
+    uint64_t seq_len;
+    char *names;         // '\n'-joined record names (malloc'd)
+    uint64_t names_len;
+    uint64_t nrecords;
+    uint64_t *rec_ends;  // exclusive end offset of each record in `seq`
+};
+
+static int read_all(const char *path, std::vector<uint8_t> &data) {
+    gzFile fp = gzopen(path, "rb");  // reads plain files transparently too
+    if (!fp) return -1;
+    gzbuffer(fp, 1 << 20);
+    const size_t CHUNK = 1 << 22;
+    size_t used = 0;
+    for (;;) {
+        data.resize(used + CHUNK);
+        int got = gzread(fp, data.data() + used, CHUNK);
+        if (got < 0) { gzclose(fp); return -2; }
+        used += static_cast<size_t>(got);
+        if (static_cast<size_t>(got) < CHUNK) break;
+    }
+    data.resize(used);
+    gzclose(fp);
+    return 0;
+}
+
+// Returns 0 on success; negative error codes otherwise.
+int dtpu_read_fastx(const char *path, uint32_t sep_len, DtpuFastx *out) {
+    std::vector<uint8_t> data;
+    int rc = read_all(path, data);
+    if (rc) return rc;
+    std::memset(out, 0, sizeof(*out));
+    if (data.empty()) {
+        out->seq = static_cast<uint8_t *>(std::malloc(1));
+        out->names = static_cast<char *>(std::malloc(1));
+        out->rec_ends = static_cast<uint64_t *>(std::malloc(8));
+        return 0;
+    }
+    const bool fastq = data[0] == '@';
+    if (!fastq && data[0] != '>') return -3;
+
+    std::vector<uint8_t> seq;
+    seq.reserve(data.size());
+    std::string names;
+    std::vector<uint64_t> rec_ends;
+    const uint8_t *p = data.data();
+    const uint8_t *end = p + data.size();
+
+    auto line_end = [&](const uint8_t *s) {
+        const uint8_t *nl = static_cast<const uint8_t *>(
+            std::memchr(s, '\n', static_cast<size_t>(end - s)));
+        return nl ? nl : end;
+    };
+    auto push_name = [&](const uint8_t *s, const uint8_t *e) {
+        // first whitespace-delimited token
+        const uint8_t *t = s;
+        while (t < e && *t != ' ' && *t != '\t' && *t != '\r') ++t;
+        if (!names.empty()) names.push_back('\n');
+        names.append(reinterpret_cast<const char *>(s),
+                     static_cast<size_t>(t - s));
+    };
+    auto start_record = [&]() {
+        if (!rec_ends.empty())
+            seq.insert(seq.end(), sep_len, 0);
+    };
+
+    if (!fastq) {
+        while (p < end) {
+            if (*p != '>') return -4;
+            const uint8_t *nl = line_end(p + 1);
+            start_record();
+            push_name(p + 1, nl);
+            p = nl < end ? nl + 1 : end;
+            while (p < end && *p != '>') {
+                nl = line_end(p);
+                const uint8_t *q = nl;
+                while (q > p && (q[-1] == '\r')) --q;
+                seq.insert(seq.end(), p, q);
+                p = nl < end ? nl + 1 : end;
+            }
+            rec_ends.push_back(seq.size());
+        }
+    } else {
+        while (p < end) {
+            if (*p != '@') {
+                if (*p == '\n') { ++p; continue; }
+                return -5;
+            }
+            const uint8_t *nl = line_end(p + 1);
+            start_record();
+            push_name(p + 1, nl);
+            p = nl < end ? nl + 1 : end;           // -> sequence line
+            nl = line_end(p);
+            {
+                const uint8_t *q = nl;
+                while (q > p && q[-1] == '\r') --q;
+                seq.insert(seq.end(), p, q);
+            }
+            rec_ends.push_back(seq.size());
+            p = nl < end ? nl + 1 : end;           // -> '+' line
+            nl = line_end(p);
+            p = nl < end ? nl + 1 : end;           // -> quality line
+            nl = line_end(p);
+            p = nl < end ? nl + 1 : end;           // -> next record
+        }
+    }
+
+    out->seq_len = seq.size();
+    out->seq = static_cast<uint8_t *>(std::malloc(seq.size() ? seq.size() : 1));
+    std::memcpy(out->seq, seq.data(), seq.size());
+    out->names_len = names.size();
+    out->names = static_cast<char *>(std::malloc(names.size() ? names.size() : 1));
+    std::memcpy(out->names, names.data(), names.size());
+    out->nrecords = rec_ends.size();
+    out->rec_ends = static_cast<uint64_t *>(
+        std::malloc(rec_ends.size() ? rec_ends.size() * 8 : 8));
+    std::memcpy(out->rec_ends, rec_ends.data(), rec_ends.size() * 8);
+    return 0;
+}
+
+void dtpu_free(DtpuFastx *r) {
+    std::free(r->seq);
+    std::free(r->names);
+    std::free(r->rec_ends);
+    std::memset(r, 0, sizeof(*r));
+}
+
+}  // extern "C"

@@ -105,3 +105,35 @@ def test_join_records_blocks_spanning_kmers():
     got = np.sort(_device_kmers(joined.tobytes(), sp))
     want = np.sort(np.concatenate([encode.encode_oracle(r, sp) for r in recs]))
     assert (got == want).all()
+
+
+def test_entropy_minimizer(rng):
+    # low-entropy homopolymer-ish k-mers must win their windows
+    seq = (b"ACGTGCTAGCTA" + b"AAAAAAA" + b"GCTAGCTAGCAT" * 3)
+    sp = Spacer(7, w=13)
+    seq_arr = np.frombuffer(seq, np.uint8)
+    tile = encode.tile_sequence(seq_arr, 64, sp.halo)
+    km, valid = encode_tile(tile, k=sp.k, w=sp.w,
+                            positions=tuple(sp.positions), span=sp.c,
+                            canon=False, entropy=True)
+    got = set(u64.to_np(km)[np.asarray(valid)].tolist())
+    assert 0 in got  # AAAAAAA (all-zero code) has entropy 0 -> selected
+    # sanity: same call without entropy yields lexicographic minimizers
+    km2, valid2 = encode_tile(tile, k=sp.k, w=sp.w,
+                              positions=tuple(sp.positions), span=sp.c,
+                              canon=False, entropy=False)
+    want = encode.encode_oracle(seq, sp, canon=False)
+    got2 = np.sort(u64.to_np(km2)[np.asarray(valid2)])
+    assert (got2 == np.sort(want)).all()
+
+
+def test_entropy_minimizer_count(rng):
+    # one emission per fully-valid window, same as lexicographic mode
+    bases = rng.choice(list(b"ACGT"), size=300).astype(np.uint8)
+    sp = Spacer(9, w=17)
+    tile = encode.tile_sequence(bases, 64, sp.halo)
+    km, valid = encode_tile(tile, k=sp.k, w=sp.w,
+                            positions=tuple(sp.positions), span=sp.c,
+                            canon=True, entropy=True)
+    n_windows = 300 - sp.w + 1
+    assert int(np.asarray(valid).sum()) == n_windows

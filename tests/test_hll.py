@@ -189,3 +189,38 @@ def test_union_size_consistency(rng):
     u = a.union_size(b)
     direct = _fill(p, np.concatenate([va, vb])).report()
     assert abs(u - direct) / direct < 1e-6
+
+
+def test_filtered_update_matches_plain(rng):
+    import jax.numpy as jnp
+    from dashing_tpu.ops.hll_update import (update_registers,
+                                            update_registers_filtered)
+    p = 10
+    regs_a = jnp.zeros(1 << p, jnp.int32)
+    regs_b = jnp.zeros(1 << p, jnp.int32)
+    # several chunks: first hits the full-scatter fallback (min reg = 0),
+    # later chunks exercise the filtered path
+    for chunk in range(4):
+        hashes = wang_hash_np(
+            rng.integers(0, 2**63, 50000, dtype=np.uint64))
+        valid = rng.random(50000) < 0.9
+        hh = u64.from_np(hashes)
+        vv = jnp.asarray(valid)
+        regs_a = update_registers(regs_a, hh, vv, p)
+        regs_b = update_registers_filtered(regs_b, hh, vv, p)
+    assert (np.asarray(regs_a) == np.asarray(regs_b)).all()
+
+
+def test_filtered_update_small_caps(rng):
+    import jax.numpy as jnp
+    from dashing_tpu.ops.hll_update import (update_registers,
+                                            update_registers_filtered)
+    # tiny cap forces the fallback branch repeatedly: still exact
+    p = 8
+    hashes = wang_hash_np(rng.integers(0, 2**63, 5000, dtype=np.uint64))
+    hh = u64.from_np(hashes)
+    vv = jnp.ones(5000, bool)
+    a = update_registers(jnp.zeros(1 << p, jnp.int32), hh, vv, p)
+    b = update_registers_filtered(jnp.zeros(1 << p, jnp.int32), hh, vv, p,
+                                  cap_log2=10)
+    assert (np.asarray(a) == np.asarray(b)).all()
