@@ -1,0 +1,95 @@
+"""Multi-k Jukes-Cantor distance model (the reference's dormant module).
+
+Reference src/background.cpp:31-175 + src/background.h — computes per-genome
+nucleotide frequencies, the expected random k-mer match probability, and a
+regression of log(intersection - background) on k whose slope recovers the
+per-site match probability p, mapped to the Jukes-Cantor distance
+
+    jc = -(3/4) * log1p(-(4/3) * (1 - p))      (background.h:31-33)
+
+In the reference this is only invoked from an `#if 0` block
+(mkdistmain.cpp:120-140); here it is live behind `mkdist --jukes-cantor`.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def nuc_freqs(paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-genome ACGT frequencies, total sizes, record counts
+    (reference nuc_freqs, background.cpp:31-76)."""
+    from .io import fasta
+    from .io.paths import split_subpaths
+    freqs = np.zeros((len(paths), 4), np.float64)
+    sizes = np.zeros(len(paths), np.int64)
+    numseqs = np.zeros(len(paths), np.int64)
+    lut = np.full(256, -1, np.int8)
+    for i, b in enumerate(b"ACGT"):
+        lut[b] = i
+        lut[ord(chr(b).lower())] = i
+    for gi, path in enumerate(paths):
+        counts = np.zeros(4, np.int64)
+        for sub in split_subpaths(path):
+            for _, seq in fasta.read_records(sub):
+                arr = lut[np.frombuffer(seq, np.uint8)]
+                counts += np.bincount(arr[arr >= 0], minlength=4)[:4]
+                numseqs[gi] += 1
+        total = counts.sum()
+        sizes[gi] = total
+        freqs[gi] = counts / max(total, 1)
+    return freqs, sizes, numseqs
+
+
+def background_match(freq_a: np.ndarray, freq_b: np.ndarray) -> float:
+    """Expected per-site random match probability sum_b fa[b]*fb[b]
+    (reference background.cpp:9-28 SSE dot)."""
+    return float(np.dot(freq_a, freq_b))
+
+
+def jukes_cantor_p(k_values: Sequence[int], isizes: Sequence[float],
+                   bg: float, n1: float, n2: float) -> float:
+    """Regress log(isz_k - bg^k * 4 * n1 * n2) on k; slope -> p = e^slope
+    (reference jukes_cantor_p, background.cpp:78-99)."""
+    xs, ys = [], []
+    for k, isz in zip(k_values, isizes):
+        corrected = isz - (bg ** k) * 4.0 * n1 * n2
+        if corrected > 0:
+            xs.append(float(k))
+            ys.append(math.log(corrected))
+    if len(xs) < 2:
+        return float("nan")
+    slope = np.polyfit(xs, ys, 1)[0]
+    return math.exp(slope)
+
+
+def jcp2dist(p: float) -> float:
+    """reference background.h:31-33."""
+    if not (0.0 < p <= 1.0):
+        return float("nan")
+    arg = 1.0 - (4.0 / 3.0) * (1.0 - p)
+    if arg <= 0:
+        return float("inf")
+    return -0.75 * math.log(arg)
+
+
+def mkmat2jcdistmat(flat_path: str, genome_paths: Sequence[str]) -> np.ndarray:
+    """Flattened multi-k SIZES matrices -> condensed Jukes-Cantor distances
+    (reference mkmat2jcdistmat, background.cpp:102-175)."""
+    from .io.distmat import read_flattened
+    nsets, ks, data = read_flattened(flat_path)   # data: (ne, nk)
+    freqs, sizes, _ = nuc_freqs(genome_paths)
+    n = int(nsets)
+    assert len(genome_paths) == n
+    out = np.empty(data.shape[0], np.float32)
+    pos = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            bg = background_match(freqs[i], freqs[j])
+            p = jukes_cantor_p(list(map(int, ks)), data[pos], bg,
+                               float(sizes[i]), float(sizes[j]))
+            out[pos] = jcp2dist(p) if p == p else float("nan")
+            pos += 1
+    return out

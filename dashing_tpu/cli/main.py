@@ -17,7 +17,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .. import __version__, pipeline
+from .. import __version__, metrics, pipeline
 from ..io import cache, distmat, fasta, paths
 from ..ops import pairwise as pw
 from ..sketch import estimators as est
@@ -152,8 +152,9 @@ def dist_main(argv: List[str]) -> int:
                 idx += 1
         names = [str(i) for i in range(len(sketches))]
     else:
-        for path in allpaths:
-            sketches.append(core.sketch_or_load(path, o))
+        with metrics.phase("sketch", items=len(allpaths), unit="files"):
+            for path in allpaths:
+                sketches.append(core.sketch_or_load(path, o))
     for sk in sketches:
         if isinstance(sk, HLL):
             sk.estim, sk.jestim = o.estim, o.jestim
@@ -187,8 +188,11 @@ def dist_main(argv: List[str]) -> int:
                 fp.close()
         return 0
 
-    cond = core.compare_condensed(sketches, result_type, o.k, o.estim, o.jestim)
     n = len(sketches)
+    with metrics.phase("all-pairs compare", items=n * (n - 1) / 2,
+                       unit="pairs"):
+        cond = core.compare_condensed(sketches, result_type, o.k, o.estim,
+                                      o.jestim)
     if emit_fmt == BINARY:
         fp, close = core.open_output(out_dists, binary=True)
         distmat.write_binary(fp, cond, n)
@@ -560,8 +564,8 @@ def flatten_main(argv: List[str]) -> int:
 
 def mkdist_main(argv: List[str]) -> int:
     multik = None
+    jukes_cantor = False
     rest = []
-    it = iter(range(len(argv)))
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -571,6 +575,10 @@ def mkdist_main(argv: List[str]) -> int:
             continue
         if a.startswith("--multik="):
             multik = a.split("=", 1)[1]
+            i += 1
+            continue
+        if a == "--jukes-cantor":
+            jukes_cantor = True
             i += 1
             continue
         rest.append(a)
@@ -589,12 +597,28 @@ def mkdist_main(argv: List[str]) -> int:
     for k in ks:
         outp = f"_{outpref}_{k}"
         args = ["-b", "-O", outp, "-k", str(k)] + rest
+        if jukes_cantor and "--sizes" not in args and "-Z" not in args:
+            # JC needs intersection SIZES and a stable genome order
+            args = ["--sizes", "--avoid-sorting"] + args
         rc = dist_main(args)
         if rc != 0:
             return rc
         fpaths.append(outp)
     eprint("Finished distance matrix calculations. Now flattening")
-    return distmat.flatten_all(fpaths, outpref + ".bin", ks)
+    rc = distmat.flatten_all(fpaths, outpref + ".bin", ks)
+    if rc != 0 or not jukes_cantor:
+        return rc
+    # Jukes-Cantor post-processing (the reference's dormant background
+    # module, mkdistmain.cpp:120-140 '#if 0' block — live here).
+    from ..background import mkmat2jcdistmat
+    optlist, gpaths = _getopts(rest, DIST_SHORT_OPTS, DIST_LONG)
+    for flag, val in optlist:
+        if flag in ("-F", "--paths"):
+            gpaths = paths.get_paths(val)
+    jc = mkmat2jcdistmat(outpref + ".bin", gpaths)
+    distmat.write_binary(outpref + ".jcd", jc, len(gpaths))
+    eprint(f"Wrote Jukes-Cantor distances to {outpref}.jcd")
+    return 0
 
 
 # ===========================================================================
@@ -973,6 +997,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         _main_usage()
     cmd = argv[0]
     fn = SUBCOMMANDS.get(cmd)
+    if fn is not None:
+        with metrics.maybe_trace():
+            rc = fn(argv[1:])
+        metrics.summary()
+        return rc
     if fn is None:
         for a in argv:
             if a.lower() in ("-h", "--help"):
@@ -980,7 +1009,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             if a.lower() in ("-v", "--version"):
                 raise SystemExit(f"dashing_tpu version: {__version__}")
         raise SystemExit(f"Invalid subcommand {cmd} provided.")
-    return fn(argv[1:])
 
 
 def _main_usage():

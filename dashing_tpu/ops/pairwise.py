@@ -40,31 +40,36 @@ from ..sketch import estimators as est
 
 
 def _dot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """(na, m) . (nb, m)^T with bf16 inputs, f32 accumulation (MXU)."""
+    """(na, m) . (nb, m)^T indicator contraction on the MXU.
+
+    int8 inputs with int32 accumulation: exact for 0/1 indicators, and int8
+    runs at 2x the bf16 MACs on v5e-class MXUs."""
     return jax.lax.dot_general(
-        x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+        x.astype(jnp.int8), y.astype(jnp.int8),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.int32).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("kmax", "joint"))
-def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool
-               ) -> Dict[str, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("kmin", "kmax", "joint"))
+def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
+               kmin: int = 0) -> Dict[str, jnp.ndarray]:
     """Pairwise register statistics for all (i, j).
 
-    a: (na, m) int32 registers; b: (nb, m).  kmax: highest register value to
-    resolve (levels 0..kmax); results are exact when kmax >= max register.
-    Returns dict of (na, nb, kmax+1) float32 stacks (+ marginals).
+    a: (na, m) int32 registers; b: (nb, m).  Levels kmin..kmax are resolved;
+    exact when kmin <= min register and kmax >= max register (register
+    values cluster in ~a dozen levels, so a tight [kmin, kmax] cuts the
+    matmul count several-fold).  Returns dict of (na, nb, kmax-kmin+1)
+    float32 stacks (+ marginals), tagged with kmin for padding.
     """
-    levels = jnp.arange(kmax + 1, dtype=a.dtype)
     cums, eqs, gtas, gtbs = [], [], [], []
-    ca_prev = None
-    cb_prev = None
-    for k in range(kmax + 1):
-        oa = a == levels[k]
-        ob = b == levels[k]
-        ca = a <= levels[k]
-        cb = b <= levels[k]
+    ca_prev = a <= jnp.asarray(kmin - 1, a.dtype)
+    cb_prev = b <= jnp.asarray(kmin - 1, b.dtype)
+    for k in range(kmin, kmax + 1):
+        lev = jnp.asarray(k, a.dtype)
+        oa = a == lev
+        ob = b == lev
+        ca = a <= lev
+        cb = b <= lev
         cums.append(_dot(ca, cb))
         if joint:
             eqs.append(_dot(oa, ob))
@@ -81,35 +86,37 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool
         out["eq"] = jnp.stack(eqs, axis=-1)
         out["gt_a"] = jnp.stack(gtas, axis=-1)
         out["gt_b"] = jnp.stack(gtbs, axis=-1)
-    out["hist_a"] = est.register_histogram(a, kmax - 1)[..., :kmax + 1]
-    out["hist_b"] = est.register_histogram(b, kmax - 1)[..., :kmax + 1]
+    levels = jnp.arange(kmin, kmax + 1, dtype=a.dtype)
+    out["hist_a"] = (a[..., :, None] == levels).astype(jnp.float32).sum(-2)
+    out["hist_b"] = (b[..., :, None] == levels).astype(jnp.float32).sum(-2)
     return out
 
 
-def _pad_levels(x: jnp.ndarray, q: int) -> jnp.ndarray:
-    """Zero-pad a (..., K) level stack out to the full (..., q+2) histogram."""
+def _pad_levels(x: jnp.ndarray, q: int, kmin: int = 0) -> jnp.ndarray:
+    """Pad a (..., K) level stack (levels kmin..kmin+K-1) to (..., q+2)."""
     K = x.shape[-1]
-    if K == q + 2:
+    if kmin == 0 and K == q + 2:
         return x
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, q + 2 - K)]
+    pad = [(0, 0)] * (x.ndim - 1) + [(kmin, q + 2 - K - kmin)]
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "estim", "jestim"))
+@functools.partial(jax.jit, static_argnames=("p", "estim", "jestim", "kmin"))
 def triples_from_stats(stats: Dict[str, jnp.ndarray], p: int,
-                       estim: int, jestim: int) -> jnp.ndarray:
+                       estim: int, jestim: int, kmin: int = 0) -> jnp.ndarray:
     """(na, nb, 3) set triples (onlyA, onlyB, shared) for every pair."""
     q = 64 - p
     cum = stats["cum_union"]
     hist_u = _pad_levels(
-        jnp.concatenate([cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1), q)
-    hist_a = _pad_levels(stats["hist_a"], q)   # (na, K)
-    hist_b = _pad_levels(stats["hist_b"], q)   # (nb, K)
+        jnp.concatenate([cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1),
+        q, kmin)
+    hist_a = _pad_levels(stats["hist_a"], q, kmin)   # (na, K)
+    hist_b = _pad_levels(stats["hist_b"], q, kmin)   # (nb, K)
     na, nb = cum.shape[0], cum.shape[1]
     if jestim == est.ERTL_JOINT_MLE:
-        eq = _pad_levels(stats["eq"], q)
-        gt_a = _pad_levels(stats["gt_a"], q)
-        gt_b = _pad_levels(stats["gt_b"], q)
+        eq = _pad_levels(stats["eq"], q, kmin)
+        gt_a = _pad_levels(stats["gt_a"], q, kmin)
+        gt_b = _pad_levels(stats["gt_b"], q, kmin)
         ha = jnp.broadcast_to(hist_a[:, None, :], eq.shape)
         hb = jnp.broadcast_to(hist_b[None, :, :], eq.shape)
         lt_a = ha - eq - gt_a
@@ -211,16 +218,21 @@ def _auto_kmax(regs: np.ndarray, q: int) -> int:
     return int(min(int(regs.max(initial=0)) + 1, q + 1))
 
 
+def _auto_kmin(regs: np.ndarray) -> int:
+    return int(regs.min(initial=0))
+
+
 def compare_tile(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
                  result_type: int, ksinv: float, estim: int, jestim: int,
-                 kmax: Optional[int] = None) -> np.ndarray:
+                 kmax: Optional[int] = None, kmin: int = 0) -> np.ndarray:
     """One (na, nb) tile of the measure matrix."""
     q = 64 - p
     if kmax is None:
         kmax = max(_auto_kmax(regs_a, q), _auto_kmax(regs_b, q))
+        kmin = min(_auto_kmin(regs_a), _auto_kmin(regs_b))
     stats = pair_stats(jnp.asarray(regs_a), jnp.asarray(regs_b), kmax,
-                       jestim == est.ERTL_JOINT_MLE)
-    tri = triples_from_stats(stats, p, estim, jestim)
+                       jestim == est.ERTL_JOINT_MLE, kmin)
+    tri = triples_from_stats(stats, p, estim, jestim, kmin)
     return np.asarray(measure_from_triples(tri, result_type, ksinv))
 
 
@@ -235,6 +247,7 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
     ksinv = 1.0 / k
     q = 64 - p
     kmax = _auto_kmax(regs, q)
+    kmin = _auto_kmin(regs)
     out = np.empty(n * (n - 1) // 2, np.float32)
 
     def put(i0, j0, block):
@@ -254,7 +267,8 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
         a = regs[i0:i0 + tile]
         for j0 in range(i0, n, tile):
             b = regs[j0:j0 + tile]
-            block = compare_tile(a, b, p, result_type, ksinv, estim, jestim, kmax)
+            block = compare_tile(a, b, p, result_type, ksinv, estim, jestim,
+                                 kmax, kmin)
             put(i0, j0, block)
     return out
 
@@ -271,13 +285,15 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
     ksinv = 1.0 / k
     q = 64 - p
     kmax = max(_auto_kmax(rr, q), _auto_kmax(qq, q))
+    kmin = min(_auto_kmin(rr), _auto_kmin(qq))
     nq, nr = qq.shape[0], rr.shape[0]
     out = np.empty((nq, nr), np.float32)
     for i0 in range(0, nr, tile):
         for j0 in range(0, nq, tile):
             # triple order: lhs = reference, rhs = query (result_cmp(hlls[j], hq))
             block = compare_tile(rr[i0:i0 + tile], qq[j0:j0 + tile], p,
-                                 result_type, ksinv, estim, jestim, kmax)
+                                 result_type, ksinv, estim, jestim, kmax,
+                                 kmin)
             out[j0:j0 + tile, i0:i0 + tile] = block.T
     return out
 
@@ -291,11 +307,12 @@ def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
     p = sketches[0].p
     ksinv = 1.0 / k
     kmax = _auto_kmax(regs, 64 - p)
+    kmin = _auto_kmin(regs)
     out = np.empty((n, n), np.float32)
     for i0 in range(0, n, tile):
         for j0 in range(0, n, tile):
             out[i0:i0 + tile, j0:j0 + tile] = compare_tile(
                 regs[i0:i0 + tile], regs[j0:j0 + tile], p, result_type,
-                ksinv, estim, jestim, kmax)
+                ksinv, estim, jestim, kmax, kmin)
     np.fill_diagonal(out, 0.0)
     return out

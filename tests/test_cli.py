@@ -217,3 +217,70 @@ def test_bad_subcommand():
 def test_k_too_large(genomes):
     with pytest.raises(SystemExit):
         climain.main(["dist", "-k", "40"] + genomes)
+
+
+def test_mkdist_jukes_cantor(tmp_path, rng, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    base = "".join(rng.choice(list("ACGT"), size=6000))
+
+    def mutate(s, rate):
+        s = list(s)
+        idx = rng.choice(len(s), size=int(rate * len(s)), replace=False)
+        for i in idx:
+            s[i] = rng.choice([c for c in "ACGT" if c != s[i]])
+        return "".join(s)
+
+    ps = []
+    for i, r in enumerate([0.0, 0.03]):
+        p = tmp_path / f"j{i}.fa"
+        p.write_text(f">j{i}\n{mutate(base, r)}\n")
+        ps.append(str(p))
+    run_cli(["mkdist", "--multik", "jc,15,27,4", "--jukes-cantor", "-S", "14"]
+            + ps)
+    capsys.readouterr()
+    n, jc = distmat.read_binary("jc.jcd")
+    assert n == 2 and jc.size == 1
+    # JC distance should recover roughly the 3% mutation rate
+    assert 0.01 < jc[0] < 0.08, jc
+
+
+def test_panel(tmp_path, rng, capsys):
+    base = "".join(rng.choice(list("ACGT"), size=4000))
+    other = "".join(rng.choice(list("ACGT"), size=4000))
+    fa_a = tmp_path / "refA.fa"
+    fa_b = tmp_path / "refB.fa"
+    fa_a.write_text(f">A\n{base}\n")
+    fa_b.write_text(f">B\n{other}\n")
+    db = str(tmp_path / "panel.db")
+    run_cli(["sketch", "-k", "17", "-S", "12", "-o", db, "--avoid-sorting",
+             str(fa_a), str(fa_b)])
+    # panel wants a plain .labels file; sketch -o writes .labels.gz
+    import gzip as _gz
+    with _gz.open(db + ".labels.gz", "rt") as f, open(db + ".labels", "w") as g:
+        g.write(f.read())
+    q = tmp_path / "query.fa"
+    q.write_text(f">q\n{base[:2000]}\n")
+    capsys.readouterr()
+    run_cli(["panel", "-k", "17", db, str(q)])
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert lines[0].startswith("#Query")
+    assert "refA.fa" in lines[1]
+
+
+def test_readfilt(tmp_path, rng, capsys):
+    ref = "".join(rng.choice(list("ACGT"), size=5000))
+    fa = tmp_path / "ref.fa"
+    fa.write_text(f">r\n{ref}\n")
+    run_cli(["sketch", "-k", "15", "-S", "12", str(fa)])
+    hll_path = str(fa) + ".w.15.spacing.12.hll"
+    reads = tmp_path / "reads.fq"
+    with open(reads, "w") as fp:
+        # read 0: from the reference; read 1: random (should be filtered)
+        fp.write(f"@in_ref\n{ref[100:200]}\n+\n{'I' * 100}\n")
+        junk = "".join(rng.choice(list("ACGT"), size=100))
+        fp.write(f"@junk\n{junk}\n+\n{'I' * 100}\n")
+    capsys.readouterr()
+    run_cli(["readfilt", "-k", "15", "-s", hll_path, "-f", "0.5", str(reads)])
+    out = capsys.readouterr().out
+    assert "in_ref" in out and "junk" not in out
