@@ -1,0 +1,60 @@
+"""All-pairs distance throughput at the 1k-genome configuration
+(BASELINE.json configs[1]/[3] scale): n sketches, p=16/14, JI via ERTL_MLE.
+
+Run directly on the TPU:  python benchmarks/allpairs_bench.py [n] [p]
+Prints pairs/s and the per-phase split.  Not the driver headline bench
+(that's /root/repo/bench.py); this records the compare-phase numbers for
+BENCH_NOTES.md.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n: int = 1024, p: int = 14):
+    import jax
+    import jax.numpy as jnp
+    from dashing_tpu.ops import pairwise as pw
+    from dashing_tpu.sketch import estimators as est
+
+    rng = np.random.default_rng(0)
+    # realistic register values for ~5e6-element sets at 2^p buckets
+    lam = 5e6 / (1 << p)
+    regs = np.minimum(
+        rng.geometric(0.5, size=(n, 1 << p)) - 1 +
+        np.maximum(np.log2(lam), 0).astype(np.int64), 64 - p + 1
+    ).astype(np.int32)
+    kmin, kmax = int(regs.min()), int(regs.max()) + 1
+    print(f"n={n} p={p} levels [{kmin}, {kmax}]", file=sys.stderr)
+
+    a = jnp.asarray(regs)
+
+    @jax.jit
+    def compare(a):
+        stats = pw.pair_stats(a, a, kmax, False, kmin)
+        tri = pw.triples_from_stats(stats, p, est.ERTL_MLE, est.ERTL_MLE, kmin)
+        return pw.measure_from_triples(tri, pw.JI, 1.0 / 21)
+
+    out = compare(a)
+    _ = jax.device_get(out)      # compile + warm
+    t0 = time.perf_counter()
+    out = compare(a)
+    _ = jax.device_get(out)
+    dt = time.perf_counter() - t0
+    pairs = n * n
+    flops = 2.0 * (kmax - kmin + 1) * n * n * (1 << p)
+    print(f"all-pairs JI: {dt*1000:.1f} ms for {pairs} pairs "
+          f"-> {pairs/dt:,.0f} pairs/s  ({flops/dt/1e12:.1f} "
+          f"Teff-ops/s on the MXU)")
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    p = int(sys.argv[2]) if len(sys.argv) > 2 else 14
+    main(n, p)

@@ -110,6 +110,78 @@ class Spacer:
 # Core tile encoder.
 # ---------------------------------------------------------------------------
 
+def _pack_doubling(vals: jnp.ndarray, k: int, W: int, reverse: bool) -> U64:
+    """Pack runs of k 2-bit codes into u64 via log-doubling.
+
+    F_j[i] = codes i..i+2^j-1 (MSB-first); doubling combines two adjacent
+    blocks, so k codes pack in ceil(log2 k) vector passes instead of k
+    (a ~5-10x VPU saving at k=21..31).  reverse=True packs back-to-front
+    (for the reverse-complement strand).
+    """
+    C = vals.shape[-1]
+    f: U64 = (jnp.zeros(vals.shape, jnp.uint32), vals.astype(jnp.uint32))
+    length = 1
+    blocks = [(f, 1)]
+    while length * 2 <= k:
+        off = length
+        avail = C - (length * 2 - 1)
+        if reverse:
+            hi_part = (f[0][..., off:off + avail], f[1][..., off:off + avail])
+            lo_part = (f[0][..., :avail], f[1][..., :avail])
+        else:
+            hi_part = (f[0][..., :avail], f[1][..., :avail])
+            lo_part = (f[0][..., off:off + avail], f[1][..., off:off + avail])
+        f = u64.or_(u64.shl(hi_part, 2 * length), lo_part)
+        length *= 2
+        blocks.append((f, length))
+    if length == k:
+        return f[0][..., :W], f[1][..., :W]
+    # combine the big block with an overlapping copy covering the tail
+    r = k - length
+    if reverse:
+        # reverse pack of window [i, i+k): big block covers the LAST `length`
+        # codes (positions i+r..i+k-1) in reverse; the low 2r bits come from
+        # the reverse pack of the first r... by symmetry use the overlap at
+        # offset 0 for the tail and shift the big block.
+        big = (f[0][..., r:r + W], f[1][..., r:r + W])
+        tail = (f[0][..., :W], f[1][..., :W])
+    else:
+        big = (f[0][..., :W], f[1][..., :W])
+        tail = (f[0][..., r:r + W], f[1][..., r:r + W])
+    mask_lo = (1 << (2 * r)) - 1
+    tail_masked = u64.and_(tail, u64.full(tail[0].shape, mask_lo))
+    return u64.or_(u64.shl(big, 2 * r), tail_masked)
+
+
+def _window_all(valid: jnp.ndarray, k: int, W: int) -> jnp.ndarray:
+    """AND over k-windows by log-doubling (cumsum-free: Pallas/Mosaic has no
+    cumsum lowering, and doubling is the same pass count anyway)."""
+    v = valid
+    length = 1
+    C = valid.shape[-1]
+    while length * 2 <= k:
+        avail = C - (length * 2 - 1)
+        v = v[..., :avail] & v[..., length:length + avail]
+        length *= 2
+    if length == k:
+        return v[..., :W]
+    r = k - length
+    return v[..., :W] & v[..., r:r + W]
+
+
+def _shift_or_kmers_contiguous(code: jnp.ndarray, valid: jnp.ndarray, k: int
+                               ) -> Tuple[U64, U64, jnp.ndarray]:
+    """Fast path for contiguous k-mers: log-doubling packs + windowed
+    validity, all in O(log k) vector passes."""
+    C = code.shape[-1]
+    W = C - k + 1
+    fwd = _pack_doubling(code, k, W, reverse=False)
+    rc = _pack_doubling((3 - code.astype(jnp.int32)).astype(jnp.uint32) & 3,
+                        k, W, reverse=True)
+    wvalid = _window_all(valid, k, W)
+    return fwd, rc, wvalid
+
+
 def _shift_or_kmers(code: jnp.ndarray, valid: jnp.ndarray, positions: Tuple[int, ...],
                     span: int) -> Tuple[U64, U64, jnp.ndarray]:
     """Build forward and reverse-complement k-mer codes for every window.
@@ -162,7 +234,11 @@ def encode_tile(tile: jnp.ndarray, *, k: int, w: int, positions: Tuple[int, ...]
     -g/--by-entropy, bonsai score::Entropy; src/distmain.cpp:68).
     """
     code, valid = base_codes(tile)
-    fwd, rc, wvalid = _shift_or_kmers(code, valid, positions, span)
+    contiguous = span == k and positions == tuple(range(k))
+    if contiguous:
+        fwd, rc, wvalid = _shift_or_kmers_contiguous(code, valid, k)
+    else:
+        fwd, rc, wvalid = _shift_or_kmers(code, valid, positions, span)
     if canon:
         km = u64.min_(fwd, rc)
     else:

@@ -50,44 +50,58 @@ def update_registers(regs: jnp.ndarray, h: U64, valid: jnp.ndarray, p: int) -> j
     return regs.at[idx.reshape(-1)].max(rank.reshape(-1), mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("p", "cap_log2"))
+_ROW = 8192          # compaction row width
+_CAPR = 512          # survivor capacity per row (1/16 of the row)
+_SHIFT = 13          # lane bits in the packed top_k key (log2(_ROW))
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
 def update_registers_filtered(regs: jnp.ndarray, h: U64, valid: jnp.ndarray,
-                              p: int, cap_log2: int = 4) -> jnp.ndarray:
+                              p: int) -> jnp.ndarray:
     """Threshold-filtered scatter-max: the fast path for streaming updates.
 
     Registers only grow, so a hash whose rank is <= min(regs) cannot change
-    any register.  After the first chunk of a genome, min(regs) is ~
-    log2(n/m) and only a ~2^-min fraction of hashes survive; compacting the
-    survivors (cumsum + gather) turns the scatter from the pipeline
-    bottleneck (~126 M/s measured) into noise.  Exactness is preserved by a
-    full-scatter fallback when survivors exceed the static capacity
-    B / 2^cap_log2 (always true for a fresh sketch, whose min(regs)=0).
+    any register.  After the first chunk of a genome min(regs) is ~
+    log2(n/m), so only a ~2^-min fraction of hashes can matter.  Survivors
+    are compacted with a per-row lax.top_k over packed (rank, lane) keys —
+    the one compaction primitive that is actually fast on TPU (measured:
+    whole update 3.5 ms vs 28 ms full scatter for 4.2M hashes) — then
+    scattered.  Exactness: a row's dropped keys all have rank <= its
+    smallest kept rank, so if every row's smallest kept rank is <= the
+    threshold nothing filterable was lost; otherwise (e.g. a fresh sketch,
+    min(regs)=0) fall back to the full scatter.
     """
     idx, rank = bucket_rank(h, p)
     rank = jnp.where(valid, rank, 0)
     flat_idx = idx.reshape(-1)
     flat_rank = rank.reshape(-1)
     B = flat_idx.shape[0]
-    cap = max(B >> cap_log2, 128)
+    if B % _ROW != 0:
+        pad = _ROW - B % _ROW
+        flat_idx = jnp.pad(flat_idx, (0, pad))
+        flat_rank = jnp.pad(flat_rank, (0, pad))
+        B += pad
+    idx2 = flat_idx.reshape(-1, _ROW)
+    rank2 = flat_rank.reshape(-1, _ROW)
     t = regs.min()
-    surv = flat_rank > t
-    nsurv = surv.sum()
+    key = (rank2 << _SHIFT) | jax.lax.broadcasted_iota(jnp.int32, rank2.shape, 1)
+    vals, pos = jax.lax.top_k(key, _CAPR)
+    kept_rank = vals >> _SHIFT
+    keep = kept_rank > t
+    sidx = jnp.where(keep, jnp.take_along_axis(idx2, pos, axis=1), 0)
+    srank = jnp.where(keep, kept_rank, 0)
+    overflow = (kept_rank[:, -1] > t).any()
 
-    def filtered(args):
-        regs, flat_idx, flat_rank, surv = args
-        pos = jnp.nonzero(surv, size=cap, fill_value=B)[0]
-        # out-of-range gathers clamp; force their rank to 0 via the mask
-        gi = jnp.minimum(pos, B - 1)
-        sidx = flat_idx[gi]
-        srank = jnp.where(pos < B, flat_rank[gi], 0)
-        return regs.at[sidx].max(srank, mode="drop")
+    def small(args):
+        regs, sidx, srank, _, _ = args
+        return regs.at[sidx.reshape(-1)].max(srank.reshape(-1), mode="drop")
 
     def full(args):
-        regs, flat_idx, flat_rank, _ = args
-        return regs.at[flat_idx].max(flat_rank, mode="drop")
+        regs, _, _, idx2, rank2 = args
+        return regs.at[idx2.reshape(-1)].max(rank2.reshape(-1), mode="drop")
 
-    return jax.lax.cond(nsurv <= cap, filtered, full,
-                        (regs, flat_idx, flat_rank, surv))
+    return jax.lax.cond(~overflow, small, full,
+                        (regs, sidx, srank, idx2, rank2))
 
 
 @functools.partial(jax.jit, static_argnames=("p", "max_rank"))

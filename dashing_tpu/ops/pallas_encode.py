@@ -1,0 +1,70 @@
+"""Pallas TPU kernel: fused encode -> hash -> (bucket, rank) keys.
+
+One VMEM-resident pass replaces the XLA elementwise chain (which round-trips
+intermediates through HBM between fusions): ASCII bases are 2-bit coded,
+packed into canonical k-mers by log-doubling, Wang-hashed, and reduced to a
+packed int32 key (bucket << 6 | rank) per position — the exact input the
+top_k-compacted register update consumes.  Invalid windows get rank 0
+(a no-op under max), so no separate mask output is needed.
+
+The grid runs over row blocks of the pipeline's halo-overlapped tiles (the
+rows already carry the (k-1) halo, so no in-kernel halo DMA is needed).
+Everything inside is plain jnp on values, so the same body runs under
+interpret mode in tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import u64
+from ..hashes import wang_hash
+from .encode import base_codes, _shift_or_kmers_contiguous
+
+BLOCK_R = 8
+
+
+def _kernel(tile_ref, out_ref, *, k: int, p: int, canon: bool):
+    tile = tile_ref[...]
+    code, valid = base_codes(tile)
+    fwd, rc, wvalid = _shift_or_kmers_contiguous(code, valid, k)
+    km = u64.min_(fwd, rc) if canon else fwd
+    h = wang_hash(km)
+    idx = (h[0] >> (32 - p)).astype(jnp.int32)
+    rest = u64.or_(u64.shl(h, p), u64.const(1 << (p - 1)))
+    rank = (u64.clz(rest) + 1).astype(jnp.int32)
+    rank = jnp.where(wvalid, rank, 0)
+    out_ref[...] = (idx << 6) | rank
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p", "canon", "interpret"))
+def encode_hash_keys(tile: jnp.ndarray, *, k: int, p: int, canon: bool = True,
+                     interpret: bool = False) -> jnp.ndarray:
+    """(R, C) uint8 ASCII -> (R, C - k + 1) int32 packed keys.
+
+    R must be a multiple of BLOCK_R (the pipeline pads rows to powers of
+    two >= 8).  Rows are processed whole; VMEM holds one BLOCK_R-row slab.
+    """
+    R, C = tile.shape
+    W = C - k + 1
+    assert R % BLOCK_R == 0, R
+    grid = (R // BLOCK_R,)
+    return pl.pallas_call(
+        functools.partial(_kernel, k=k, p=p, canon=canon),
+        grid=grid,
+        in_specs=[pl.BlockSpec((BLOCK_R, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BLOCK_R, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, W), jnp.int32),
+        interpret=interpret,
+    )(tile)
+
+
+def keys_to_update_inputs(keys: jnp.ndarray):
+    """Packed keys -> (bucket idx, rank) int32 pair."""
+    return keys >> 6, keys & 63

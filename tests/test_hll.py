@@ -211,16 +211,16 @@ def test_filtered_update_matches_plain(rng):
     assert (np.asarray(regs_a) == np.asarray(regs_b)).all()
 
 
-def test_filtered_update_small_caps(rng):
+def test_filtered_update_fresh_and_ragged(rng):
     import jax.numpy as jnp
     from dashing_tpu.ops.hll_update import (update_registers,
                                             update_registers_filtered)
-    # tiny cap forces the fallback branch repeatedly: still exact
+    # fresh sketch (threshold 0 -> overflow fallback) + non-multiple-of-row
+    # batch size exercising the padding path
     p = 8
-    hashes = wang_hash_np(rng.integers(0, 2**63, 5000, dtype=np.uint64))
+    hashes = wang_hash_np(rng.integers(0, 2**63, 5001, dtype=np.uint64))
     hh = u64.from_np(hashes)
-    vv = jnp.ones(5000, bool)
+    vv = jnp.ones(5001, bool)
     a = update_registers(jnp.zeros(1 << p, jnp.int32), hh, vv, p)
-    b = update_registers_filtered(jnp.zeros(1 << p, jnp.int32), hh, vv, p,
-                                  cap_log2=10)
+    b = update_registers_filtered(jnp.zeros(1 << p, jnp.int32), hh, vv, p)
     assert (np.asarray(a) == np.asarray(b)).all()
