@@ -22,19 +22,22 @@ import numpy as np
 
 K = 31
 P = 14
-ROWS = 64
-CONTENT = 1 << 16          # 64 KiB payload per row
-ITERS = 20
+ROWS = 128
+CONTENT = 8192             # matches the pipeline tile geometry
+ITERS = 40
 
 
 def device_rate() -> float:
     import jax
     import jax.numpy as jnp
     from dashing_tpu.ops.encode import encode_tile
-    from dashing_tpu.ops.hll_update import update_registers_filtered
+    from dashing_tpu.ops.hll_update import (update_registers_filtered,
+                                            update_from_idx_rank)
     from dashing_tpu.hashes import wang_hash
 
     positions = tuple(range(K))
+    plat = jax.devices()[0].platform.lower()
+    use_pallas = plat in ("tpu", "axon")
 
     @jax.jit
     def run(chunks, regs):
@@ -42,6 +45,12 @@ def device_rate() -> float:
         the loop lives inside jit so dispatch/tunnel latency is amortized,
         matching the production shape (stream fed chunkwise)."""
         def body(i, regs):
+            if use_pallas:
+                from dashing_tpu.ops.pallas_encode import (
+                    encode_hash_keys, keys_to_update_inputs)
+                keys = encode_hash_keys(chunks[i], k=K, p=P)
+                idx, rank = keys_to_update_inputs(keys)
+                return update_from_idx_rank(regs, idx, rank)
             km, valid = encode_tile(chunks[i], k=K, w=K, positions=positions,
                                     span=K, canon=True)
             h = wang_hash(km)

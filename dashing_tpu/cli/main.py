@@ -661,18 +661,25 @@ def sketch_by_seq_main(argv: List[str]) -> int:
     sp = params.spacer()
     namepath = ("stdout.names" if outpath == "/dev/stdout"
                 else outpath + ".names")
-    import jax.numpy as jnp
-    from ..ops.encode import tile_sequence
-    from ..pipeline import _tile_to_hashes, CONTENT
     p = core.hll_p_from_S(o.sketch_size)
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=o.canon, encoding=o.encoding, rehash=True)
+    records = fasta.read_records(inpath)
     with open(namepath, "w") as namefp:
         namefp.write(f"#k={o.k}:Names for sequences sketched\n")
-        with gzip.open(outpath, "wb") as ofp:
-            for name, seq in fasta.read_records(inpath):
+        for name, _ in records:
+            namefp.write(name.decode() + "\n")
+    with gzip.open(outpath, "wb") as ofp:
+        if o.sketch_type == "hll":
+            # batched per-record device sketching
+            seqs = [seq for _, seq in records]
+            regs = pipeline.sketch_records_hll(seqs, params, p)
+            for row in regs:
+                HLL(p, o.estim, o.jestim, row).write_record(ofp)
+        else:
+            kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions),
+                      span=sp.c, canon=o.canon, encoding=o.encoding,
+                      rehash=True)
+            for _, seq in records:
                 sk = _sketch_one_seq(seq, o, sp, kw, p)
-                namefp.write(name.decode() + "\n")
                 sk.write_record(ofp)
     return 0
 

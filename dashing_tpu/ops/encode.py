@@ -44,12 +44,17 @@ _A, _C, _G, _T = 65, 67, 71, 84  # ASCII, uppercase
 
 
 def base_codes(tile: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """ASCII bases (any shape, uint8) -> (code in {0..3} uint8, valid bool)."""
+    """ASCII bases (any integer dtype) -> (code in {0..3}, valid bool).
+
+    Codes come back in the input's dtype.  (Pallas kernels pass int32 tiles:
+    Mosaic has no int8 vector compares.)
+    """
     up = tile & 0xDF  # cheap uppercase for ASCII letters
-    code = jnp.zeros(tile.shape, jnp.uint8)
-    code = jnp.where(up == _C, jnp.uint8(1), code)
-    code = jnp.where(up == _G, jnp.uint8(2), code)
-    code = jnp.where(up == _T, jnp.uint8(3), code)
+    dt = tile.dtype
+    code = jnp.zeros(tile.shape, dt)
+    code = jnp.where(up == _C, jnp.asarray(1, dt), code)
+    code = jnp.where(up == _G, jnp.asarray(2, dt), code)
+    code = jnp.where(up == _T, jnp.asarray(3, dt), code)
     valid = (up == _A) | (up == _C) | (up == _G) | (up == _T)
     return code, valid
 

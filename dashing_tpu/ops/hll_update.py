@@ -73,6 +73,13 @@ def update_registers_filtered(regs: jnp.ndarray, h: U64, valid: jnp.ndarray,
     """
     idx, rank = bucket_rank(h, p)
     rank = jnp.where(valid, rank, 0)
+    return update_from_idx_rank(regs, idx, rank)
+
+
+@jax.jit
+def update_from_idx_rank(regs: jnp.ndarray, idx: jnp.ndarray,
+                         rank: jnp.ndarray) -> jnp.ndarray:
+    """Core of the filtered update; idx/rank any shape (invalid: rank 0)."""
     flat_idx = idx.reshape(-1)
     flat_rank = rank.reshape(-1)
     B = flat_idx.shape[0]

@@ -29,7 +29,8 @@ BLOCK_R = 8
 
 
 def _kernel(tile_ref, out_ref, *, k: int, p: int, canon: bool):
-    tile = tile_ref[...]
+    # int32 throughout: Mosaic has no int8 vector compares on this target
+    tile = tile_ref[...].astype(jnp.int32)
     code, valid = base_codes(tile)
     fwd, rc, wvalid = _shift_or_kmers_contiguous(code, valid, k)
     km = u64.min_(fwd, rc) if canon else fwd

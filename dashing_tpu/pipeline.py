@@ -47,6 +47,33 @@ class SketchParams:
         return Spacer(self.k, self.w, parse_spacing(self.spacing, self.k))
 
 
+_PALLAS_OK: Optional[bool] = None
+
+
+def _pallas_available() -> bool:
+    """Use the fused Pallas kernel on real TPUs (Mosaic lacks some ops on
+    CPU interpret-free paths); override with DASHING_TPU_NO_PALLAS=1."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        import os
+        if os.environ.get("DASHING_TPU_NO_PALLAS", "") not in ("", "0"):
+            _PALLAS_OK = False
+        else:
+            plat = jax.devices()[0].platform.lower()
+            _PALLAS_OK = plat in ("tpu", "axon")
+    return _PALLAS_OK
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p", "canon"))
+def _tile_to_registers_pallas(tile: jnp.ndarray, regs: jnp.ndarray, *, k: int,
+                              p: int, canon: bool) -> jnp.ndarray:
+    from .ops.pallas_encode import encode_hash_keys, keys_to_update_inputs
+    keys = encode_hash_keys(tile, k=k, p=p, canon=canon)
+    idx, rank = keys_to_update_inputs(keys)
+    from .ops.hll_update import update_from_idx_rank
+    return update_from_idx_rank(regs, idx, rank)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
                                              "canon", "encoding", "rehash",
                                              "p", "entropy"))
@@ -132,8 +159,15 @@ def sketch_file_hll(path: str, params: SketchParams, p: int) -> np.ndarray:
             h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
             regs = update_registers(regs, h, valid & mask, p)
     else:
+        fused_pallas = (_pallas_available() and params.encoding == "bonsai"
+                        and not params.entropy and params.rehash
+                        and sp.w == sp.c and not sp.spaced)
         for tile in _file_tiles(path, sp):
-            regs = _tile_to_registers(jnp.asarray(tile), regs, **kw, p=p)
+            if fused_pallas and tile.shape[0] % 8 == 0:
+                regs = _tile_to_registers_pallas(
+                    jnp.asarray(tile), regs, k=sp.k, p=p, canon=params.canon)
+            else:
+                regs = _tile_to_registers(jnp.asarray(tile), regs, **kw, p=p)
     return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)
 
 
@@ -228,3 +262,91 @@ def _count_filtered_tiles(path: str, params: SketchParams, sp: Spacer):
     for tile, h, valid in cached:
         est = _cm_query(counts, h, CM_NHASHES, CM_SIZE_LOG2, CM_SEED)
         yield tile, (est >= params.min_count) & valid
+
+
+# ---------------------------------------------------------------------------
+# Batched per-record sketching: one sketch per sequence record, vectorized
+# over a batch of records (replaces the reference's single-threaded
+# per-record loop, sketch_by_seq_core src/sketch_and_cmp.h:540-602, and
+# feeds readfilt-style per-read queries).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
+                                             "canon", "encoding", "rehash",
+                                             "p", "entropy"))
+def _records_to_registers(tiles: jnp.ndarray, *, k, w, positions, span, canon,
+                          encoding, rehash, p, entropy=False) -> jnp.ndarray:
+    """(G, C) one row per record -> (G, 2^p) int32 registers."""
+    h, valid = _tile_to_hashes(tiles, k=k, w=w, positions=positions, span=span,
+                               canon=canon, encoding=encoding, rehash=rehash,
+                               entropy=entropy)
+    idx, rank = bucket_rank(h, p)
+    rank = jnp.where(valid, rank, 0)
+
+    def one(regs_row, idx_row, rank_row):
+        return regs_row.at[idx_row].max(rank_row, mode="drop")
+
+    regs = jnp.zeros((tiles.shape[0], 1 << p), jnp.int32)
+    return jax.vmap(one)(regs, idx, rank)
+
+
+def sketch_records_hll(seqs: List[bytes], params: SketchParams, p: int,
+                       batch: int = 2048) -> np.ndarray:
+    """Per-record HLL registers for a list of sequences -> (n, 2^p) uint8.
+
+    Records are padded to a shared bucketed width; records longer than the
+    width fall back to the streaming single-sketch path.
+    """
+    sp = params.spacer()
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=params.rehash, entropy=params.entropy)
+    n = len(seqs)
+    out = np.zeros((n, 1 << p), np.uint8)
+    order = np.argsort([len(s) for s in seqs], kind="stable")
+    pos = 0
+    while pos < n:
+        take = order[pos:pos + batch]
+        maxlen = max(len(seqs[i]) for i in take)
+        width = 128
+        while width < maxlen + sp.halo:
+            width *= 2
+        if width > 65536:
+            # huge records: stream them individually
+            for i in take:
+                out[i] = sketch_file_seq(seqs[i], params, p)
+            pos += len(take)
+            continue
+        G = len(take)
+        gpad = 1
+        while gpad < G:
+            gpad *= 2
+        tiles = np.full((gpad, width), ord("N"), np.uint8)
+        for row, i in enumerate(take):
+            s = seqs[i]
+            tiles[row, :len(s)] = np.frombuffer(s, np.uint8)
+        regs = _records_to_registers(jnp.asarray(tiles), **kw, p=p)
+        out[take] = np.clip(np.asarray(regs)[:G], 0, 255).astype(np.uint8)
+        pos += len(take)
+    return out
+
+
+def sketch_file_seq(seq: bytes, params: SketchParams, p: int) -> np.ndarray:
+    """One long sequence -> 2^p uint8 registers (streamed tiles)."""
+    sp = params.spacer()
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=params.rehash, entropy=params.entropy)
+    regs = jnp.zeros(1 << p, jnp.int32)
+    tiles = tile_sequence(np.frombuffer(seq, np.uint8), CONTENT, sp.halo)
+    for i in range(0, tiles.shape[0], MAX_ROWS):
+        chunk = tiles[i:i + MAX_ROWS]
+        rows = chunk.shape[0]
+        target = 1
+        while target < rows:
+            target *= 2
+        if target != rows:
+            pad = np.full((target - rows, chunk.shape[1]), ord("N"), np.uint8)
+            chunk = np.concatenate([chunk, pad])
+        regs = _tile_to_registers(jnp.asarray(chunk), regs, **kw, p=p)
+    return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)

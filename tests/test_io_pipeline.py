@@ -224,3 +224,19 @@ def test_count_filter(rng, tmp_path):
     # unique-region kmers dropped (CM overestimates can leak a few)
     leaked = len(kept_set & uniq_kmers)
     assert leaked < 0.02 * len(uniq_kmers), leaked
+
+
+def test_sketch_records_batched_matches_individual(rng):
+    from dashing_tpu.sketch.hll import HLL
+    seqs = []
+    for n in [50, 300, 77, 1200, 10, 333]:
+        seqs.append(rng.choice(list(b"ACGT"), size=n).astype(np.uint8).tobytes())
+    params = pipeline.SketchParams(k=15)
+    regs = pipeline.sketch_records_hll(seqs, params, p=10, batch=3)
+    sp = params.spacer()
+    for i, s in enumerate(seqs):
+        want = HLL(10)
+        kmers = encode.encode_oracle(s, sp)
+        if kmers.size:
+            want.addh_np(kmers)
+        assert (regs[i] == want.regs).all(), i
