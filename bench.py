@@ -22,9 +22,9 @@ import numpy as np
 
 K = 31
 P = 14
-ROWS = 128
+ROWS = 256
 CONTENT = 8192             # matches the pipeline tile geometry
-ITERS = 40
+ITERS = 30
 
 
 def device_rate() -> float:

@@ -284,3 +284,40 @@ def test_readfilt(tmp_path, rng, capsys):
     run_cli(["readfilt", "-k", "15", "-s", hll_path, "-f", "0.5", str(reads)])
     out = capsys.readouterr().out
     assert "in_ref" in out and "junk" not in out
+
+
+def test_nn_binary_format(genomes, tmp_path, capsys):
+    out = str(tmp_path / "nn.bin")
+    run_cli(["dist", "-k", "21", "-S", "12", "--nearest-neighbors", "2",
+             "-b", "-O", out, "--avoid-sorting"] + genomes)
+    capsys.readouterr()
+    raw = open(out, "rb").read()
+    n = int.from_bytes(raw[0:4], "little")
+    k = int.from_bytes(raw[4:8], "little")
+    assert n == 3 and k == 2
+    rec = np.frombuffer(raw[8:], dtype=[("v", "<f4"), ("i", "<u4")])
+    assert rec.shape == (6,)
+    assert set(rec["i"]) <= {0, 1, 2}
+
+
+def test_card_binary(genomes, tmp_path, capsys):
+    out = str(tmp_path / "cards.bin")
+    run_cli(["card", "-k", "21", "-S", "12", "-b", "-o", out,
+             "--avoid-sorting"] + genomes)
+    capsys.readouterr()
+    cards = np.fromfile(out, np.float32)
+    assert cards.shape == (3,)
+    assert (cards > 1000).all()
+
+
+def test_qr_binary_raw_rows(genomes, tmp_path, capsys):
+    qfile = tmp_path / "q.txt"
+    qfile.write_text(genomes[2] + "\n")
+    out = str(tmp_path / "qr.bin")
+    run_cli(["dist", "-k", "21", "-S", "12", "-b", "-O", out,
+             "--avoid-sorting", "-Q", str(qfile), genomes[0], genomes[1]])
+    capsys.readouterr()
+    data = np.fromfile(out, np.float32)
+    # raw f32 rows, no header (reference partdist_loop binary mode)
+    assert data.shape == (2,)
+    assert os.path.exists(out + ".labels")
