@@ -232,10 +232,22 @@ def _build_weighted(path: str, opts: CommonOpts, params: pipeline.SketchParams):
     return sk
 
 
+def check_compatible(sketches):
+    """Fail cleanly on mixed sketch parameters (e.g. different -S among
+    presketched inputs) instead of a shape error deep in the engine."""
+    ps = {getattr(s, "p", None) for s in sketches}
+    ps.discard(None)
+    if len(ps) > 1:
+        raise SystemExit(
+            f"sketches have mixed precisions p={sorted(ps)}; re-sketch with "
+            "a common -S or fold the larger ones down (dashing_tpu fold)")
+
+
 def compare_condensed(sketches, result_type: int, k: int, estim: int,
                       jestim: int) -> np.ndarray:
     """Symmetric all-pairs condensed vector; MXU engine for HLLs, host loop
     for everything else."""
+    check_compatible(sketches)
     if isinstance(sketches[0], HLL):
         return pw.all_pairs_condensed(sketches, result_type, k, estim, jestim)
     n = len(sketches)

@@ -1005,8 +1005,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     cmd = argv[0]
     fn = SUBCOMMANDS.get(cmd)
     if fn is not None:
-        with metrics.maybe_trace():
-            rc = fn(argv[1:])
+        try:
+            with metrics.maybe_trace():
+                rc = fn(argv[1:])
+        except (FileNotFoundError, IsADirectoryError) as e:
+            raise SystemExit(f"{cmd}: {e}")
+        except (EOFError, ValueError, gzip.BadGzipFile, OSError) as e:
+            if os.environ.get("DASHING_TPU_DEBUG"):
+                raise
+            raise SystemExit(f"{cmd}: {type(e).__name__}: {e}")
         metrics.summary()
         return rc
     if fn is None:
