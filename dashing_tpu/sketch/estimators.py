@@ -248,8 +248,28 @@ def _joint_logl(theta, stats, m: float, q: int):
     return L
 
 
+def _solve3_sym(H, g):
+    """Closed-form symmetric 3x3 solve by adjugate — pure elementwise ops
+    (batched jnp.linalg.solve on millions of 3x3s is far slower)."""
+    a, b, c = H[0, 0], H[0, 1], H[0, 2]
+    d, e = H[1, 1], H[1, 2]
+    f = H[2, 2]
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-30, jnp.sign(det) * 1e-30 + 1e-30, det)
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    x0 = (A * g[0] + B * g[1] + C * g[2]) / det
+    x1 = (B * g[0] + D * g[1] + E * g[2]) / det
+    x2 = (C * g[0] + E * g[1] + F * g[2]) / det
+    return jnp.stack([x0, x1, x2])
+
+
 @partial(jax.jit, static_argnames=("p", "iters"))
-def joint_mle(stats, p: int, iters: int = 24) -> jnp.ndarray:
+def joint_mle(stats, p: int, iters: int = 20) -> jnp.ndarray:
     """Maximize the joint likelihood; returns (|A\\B|, |B\\A|, |A&B|).
 
     `stats` is a dict of (q+2,) histograms (vmap over leading axes for
@@ -269,22 +289,27 @@ def joint_mle(stats, p: int, iters: int = 24) -> jnp.ndarray:
     lx0 = jnp.maximum(c_a + c_b - c_u, tiny)
     theta0 = jnp.stack([jnp.log(la0), jnp.log(lb0), jnp.log(lx0)])
 
-    grad_fn = jax.grad(_joint_logl)
-    hess_fn = jax.hessian(_joint_logl)
+    val_grad = jax.value_and_grad(_joint_logl)
+    hess_fn = jax.jacfwd(jax.grad(_joint_logl))
 
-    def body(_, theta):
-        g = grad_fn(theta, stats, m, q)
-        H = hess_fn(theta, stats, m, q)
-        H = H - 1e-4 * jnp.eye(3)
-        step = jnp.linalg.solve(H, g)
+    def body(_, carry):
+        theta, best_val = carry
+        val, g = val_grad(theta, stats, m, q)
+        H = hess_fn(theta, stats, m, q) - 1e-4 * jnp.eye(3)
+        step = _solve3_sym(H, g)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         norm = jnp.sqrt((step ** 2).sum())
         step = step * jnp.minimum(1.0, 2.0 / jnp.maximum(norm, 1e-9))
         new = theta - step
-        better = _joint_logl(new, stats, m, q) >= _joint_logl(theta, stats, m, q)
-        return jnp.where(better & jnp.all(jnp.isfinite(new)), new, theta)
+        ok = jnp.all(jnp.isfinite(new))
+        # accept the move; if the likelihood later drops we still keep the
+        # best-seen theta via the carry comparison below
+        new_val = _joint_logl(new, stats, m, q)
+        take = ok & (new_val >= val)
+        return (jnp.where(take, new, theta),
+                jnp.maximum(best_val, jnp.where(ok, new_val, -jnp.inf)))
 
-    theta = jax.lax.fori_loop(0, iters, body, theta0)
+    theta, _ = jax.lax.fori_loop(0, iters, body, (theta0, -jnp.inf))
     la, lb, lx = jnp.exp(theta)
     # Degenerate cases: empty sketches.
     a_empty = c_a <= 0.0
