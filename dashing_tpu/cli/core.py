@@ -195,6 +195,31 @@ def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
     return sk
 
 
+def sketch_paths(paths_list: List[str], opts: CommonOpts):
+    """Sketch many logical paths; overlaps host parsing with device compute
+    for the HLL fast path (dispatch all files' chunk updates asynchronously,
+    gather registers at the end — the TPU analog of the reference's
+    OMP-dynamic file loop + async writers, SURVEY.md sec 2.4 P1/P6)."""
+    simple_hll = (opts.sketch_type == "hll" and not opts.presketched
+                  and not opts.weighted_jaccard and not opts.exact_weighted
+                  and not opts.use_counting_filter and not opts.cache_sketch)
+    if not simple_hll:
+        return [sketch_or_load(p, opts) for p in paths_list]
+    import jax
+    import jax.numpy as jnp
+    params = sketch_params(opts)
+    p = hll_p_from_S(opts.sketch_size)
+    handles = []
+    for path in paths_list:
+        handles.append(pipeline.sketch_file_hll_async(path, params, p))
+    out = []
+    for regs_dev in handles:
+        regs = np.clip(np.asarray(jax.device_get(regs_dev)), 0, 255
+                       ).astype(np.uint8)
+        out.append(HLL(p, opts.estim, opts.jestim, regs))
+    return out
+
+
 def build_sketch(path: str, opts: CommonOpts, params: pipeline.SketchParams):
     if opts.weighted_jaccard or opts.exact_weighted:
         return _build_weighted(path, opts, params)

@@ -153,8 +153,7 @@ def dist_main(argv: List[str]) -> int:
         names = [str(i) for i in range(len(sketches))]
     else:
         with metrics.phase("sketch", items=len(allpaths), unit="files"):
-            for path in allpaths:
-                sketches.append(core.sketch_or_load(path, o))
+            sketches = core.sketch_paths(allpaths, o)
     for sk in sketches:
         if isinstance(sk, HLL):
             sk.estim, sk.jestim = o.estim, o.jestim
@@ -415,7 +414,7 @@ def card_main(argv: List[str]) -> int:
         inpaths = paths.sort_paths_by_fsize(inpaths)
         querypaths = paths.sort_paths_by_fsize(querypaths)
     inpaths += querypaths
-    sketches = [core.sketch_or_load(p, o) for p in inpaths]
+    sketches = core.sketch_paths(inpaths, o)
     if emit_binary:
         fp, close = core.open_output(out, binary=True)
         cards = np.asarray([s.report() for s in sketches], np.float32)

@@ -149,6 +149,14 @@ def _file_tiles(path: str, sp: Spacer) -> Iterable[np.ndarray]:
 
 def sketch_file_hll(path: str, params: SketchParams, p: int) -> np.ndarray:
     """Sketch one logical path into 2^p uint8 HLL registers (device fold)."""
+    regs = sketch_file_hll_async(path, params, p)
+    return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)
+
+
+def sketch_file_hll_async(path: str, params: SketchParams, p: int):
+    """Like sketch_file_hll but returns the DEVICE registers without
+    synchronizing, so callers can pipeline many files (jax dispatch is
+    async; the transfer back is the only barrier)."""
     sp = params.spacer()
     regs = jnp.zeros(1 << p, jnp.int32)
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
@@ -168,7 +176,7 @@ def sketch_file_hll(path: str, params: SketchParams, p: int) -> np.ndarray:
                     jnp.asarray(tile), regs, k=sp.k, p=p, canon=params.canon)
             else:
                 regs = _tile_to_registers(jnp.asarray(tile), regs, **kw, p=p)
-    return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)
+    return regs
 
 
 def file_kmer_hashes(path: str, params: SketchParams) -> np.ndarray:
