@@ -903,22 +903,29 @@ def readfilt_main(argv: List[str]) -> int:
         return 1
     ref = HLL.read(hllpath)
     fp, close = core.open_output(opath)
-    files = [fasta.read_records(p) for p in positional[:2]]
-    pairs = zip(*files) if len(files) == 2 else ((r,) for r in files[0])
-    sp = core.sketch_params(o).spacer()
-    from ..ops.encode import encode_oracle
-    from ..hashes import wang_hash_np
-    for recs in pairs:
-        q = HLL(ref.p, o.estim, est.ERTL_JOINT_MLE)
-        for _, seq in recs:
-            kmers = encode_oracle(seq, sp, o.canon)
-            if kmers.size:
-                q.addh_np(kmers)
-        oa, ob, x = ertl_joint(q, ref)
-        ci = x / (oa + x) if (oa + x) > 0 else 0.0
-        if ci >= frac_cutoff:
+    files = [list(fasta.read_records(p)) for p in positional[:2]]
+    if len(files) == 2 and len(files[0]) != len(files[1]):
+        eprint("Warning: mismatched numbers of reads between paired-end "
+               "files")
+        n = min(len(files[0]), len(files[1]))
+        files = [f[:n] for f in files]
+    pairs = (list(zip(*files)) if len(files) == 2
+             else [(r,) for r in files[0]])
+    params = core.sketch_params(o)
+    sp = params.spacer()
+    # Paired mates join with an invalid separator so k-mers never span them
+    # (same per-read k-mer set as the reference's two for_each calls,
+    # readfilt.cpp:96-103).
+    sepN = b"N" * sp.halo
+    seqs = [sepN.join(seq for _, seq in recs) for recs in pairs]
+    tri = pipeline.records_joint_triples(
+        seqs, params, ref.regs.astype(np.int32), ref.histogram(), ref.p)
+    denom = tri[:, 0] + tri[:, 2]
+    ci = np.where(denom > 0, tri[:, 2] / np.maximum(denom, 1e-300), 0.0)
+    for recs, c in zip(pairs, ci):
+        if c >= frac_cutoff:
             for name, seq in recs:
-                fp.write(f">{name.decode()} {ci:.4f}\n{seq.decode()}\n")
+                fp.write(f">{name.decode()} {c:.4f}\n{seq.decode()}\n")
     if close:
         fp.close()
     return 0

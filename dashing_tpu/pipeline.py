@@ -339,6 +339,64 @@ def sketch_records_hll(seqs: List[bytes], params: SketchParams, p: int,
     return out
 
 
+def records_joint_triples(seqs: List[bytes], params: SketchParams,
+                          ref_regs: np.ndarray, ref_hist: np.ndarray,
+                          p: int, batch: int = 1024) -> np.ndarray:
+    """Per-record joint-MLE triples vs ONE dense reference sketch -> (n, 3).
+
+    The batched, sparse-query engine behind readfilt (reference
+    src/readfilt.cpp:102-110): each record touches only ~len(record)
+    buckets of the 2^p-register reference, so its statistics come from the
+    reference histogram + corrections at the occupied buckets
+    (sketch/sparse.py) — never materializing per-read dense registers.
+    """
+    from .sketch.sparse import sparse_joint_triples
+    from .sketch.hll import HLL, ertl_joint
+    from .sketch import estimators as est
+
+    sp = params.spacer()
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=params.rehash, entropy=params.entropy)
+    ref_regs_d = jnp.asarray(np.asarray(ref_regs, np.int32))
+    ref_hist_d = jnp.asarray(np.asarray(ref_hist, np.float32))
+    n = len(seqs)
+    out = np.zeros((n, 3), np.float64)
+    order = np.argsort([len(s) for s in seqs], kind="stable")
+    pos = 0
+    while pos < n:
+        take = order[pos:pos + batch]
+        maxlen = max(len(seqs[i]) for i in take)
+        width = 128
+        while width < maxlen + sp.halo:
+            width *= 2
+        if width > 65536:
+            # huge records: dense per-record path
+            ref_hll = HLL(p, regs=np.clip(np.asarray(ref_regs), 0, 255
+                                          ).astype(np.uint8))
+            for i in take:
+                regs = sketch_file_seq(seqs[i], params, p)
+                q = HLL(p, regs=regs)
+                out[i] = ertl_joint(q, ref_hll)
+            pos += len(take)
+            continue
+        G = len(take)
+        gpad = 8
+        while gpad < G:
+            gpad *= 2
+        tiles = np.full((gpad, width), ord("N"), np.uint8)
+        for row, i in enumerate(take):
+            s = seqs[i]
+            tiles[row, :len(s)] = np.frombuffer(s, np.uint8)
+        h, valid = _tile_to_hashes(jnp.asarray(tiles), **kw)
+        idx, rank = bucket_rank(h, p)
+        rank = jnp.where(valid, rank, 0)
+        tri = sparse_joint_triples(idx, rank, ref_regs_d, ref_hist_d, p)
+        out[take] = np.asarray(tri)[:G]
+        pos += len(take)
+    return out
+
+
 def sketch_file_seq(seq: bytes, params: SketchParams, p: int) -> np.ndarray:
     """One long sequence -> 2^p uint8 registers (streamed tiles)."""
     sp = params.spacer()

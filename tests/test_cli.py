@@ -286,6 +286,29 @@ def test_readfilt(tmp_path, rng, capsys):
     assert "in_ref" in out and "junk" not in out
 
 
+def test_readfilt_paired_end(tmp_path, rng, capsys):
+    ref = "".join(rng.choice(list("ACGT"), size=5000))
+    fa = tmp_path / "ref.fa"
+    fa.write_text(f">r\n{ref}\n")
+    run_cli(["sketch", "-k", "15", "-S", "12", str(fa)])
+    hll_path = str(fa) + ".w.15.spacing.12.hll"
+    r1, r2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    junk1 = "".join(rng.choice(list("ACGT"), size=100))
+    junk2 = "".join(rng.choice(list("ACGT"), size=100))
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        f1.write(f"@pair_ref/1\n{ref[100:200]}\n+\n{'I' * 100}\n")
+        f2.write(f"@pair_ref/2\n{ref[300:400]}\n+\n{'I' * 100}\n")
+        f1.write(f"@pair_junk/1\n{junk1}\n+\n{'I' * 100}\n")
+        f2.write(f"@pair_junk/2\n{junk2}\n+\n{'I' * 100}\n")
+    capsys.readouterr()
+    run_cli(["readfilt", "-k", "15", "-s", hll_path, "-f", "0.5",
+             str(r1), str(r2)])
+    out = capsys.readouterr().out
+    # both mates of the matching pair emitted; junk pair filtered out
+    assert "pair_ref/1" in out and "pair_ref/2" in out
+    assert "pair_junk" not in out
+
+
 def test_nn_binary_format(genomes, tmp_path, capsys):
     out = str(tmp_path / "nn.bin")
     run_cli(["dist", "-k", "21", "-S", "12", "--nearest-neighbors", "2",
