@@ -269,15 +269,18 @@ def check_compatible(sketches):
 
 
 def compare_condensed(sketches, result_type: int, k: int, estim: int,
-                      jestim: int) -> np.ndarray:
+                      jestim: int, out: Optional[np.ndarray] = None
+                      ) -> np.ndarray:
     """Symmetric all-pairs condensed vector; MXU engine for HLLs, host loop
-    for everything else."""
+    for everything else.  `out` may be a memmap for out-of-core emission."""
     check_compatible(sketches)
     if isinstance(sketches[0], HLL):
-        return pw.all_pairs_condensed(sketches, result_type, k, estim, jestim)
+        return pw.all_pairs_condensed(sketches, result_type, k, estim,
+                                      jestim, out=out)
     n = len(sketches)
     ksinv = 1.0 / k
-    out = np.empty(n * (n - 1) // 2, np.float32)
+    if out is None:
+        out = np.empty(n * (n - 1) // 2, np.float32)
     pos = 0
     for i in range(n):
         for j in range(i + 1, n):

@@ -188,15 +188,23 @@ def dist_main(argv: List[str]) -> int:
         return 0
 
     n = len(sketches)
+    # Binary to a real file: stream tiles through an mmap-backed matrix
+    # (the reference's ftruncate+mmap parallel_fill path,
+    # distmat/distmat.h:193-243,459-512) instead of buffering in RAM.
+    use_mmap = emit_fmt == BINARY and out_dists not in (None, "-")
+    mm = distmat.create_binary_mmap(out_dists, n) if use_mmap else None
     with metrics.phase("all-pairs compare", items=n * (n - 1) / 2,
                        unit="pairs"):
         cond = core.compare_condensed(sketches, result_type, o.k, o.estim,
-                                      o.jestim)
+                                      o.jestim, out=mm)
     if emit_fmt == BINARY:
-        fp, close = core.open_output(out_dists, binary=True)
-        distmat.write_binary(fp, cond, n)
-        if close:
-            fp.close()
+        if mm is not None:
+            mm.flush()
+        else:
+            fp, close = core.open_output(out_dists, binary=True)
+            distmat.write_binary(fp, cond, n)
+            if close:
+                fp.close()
         _write_labels(out_dists, names)
     elif emit_fmt == PHYLIP:
         fp, close = core.open_output(out_dists)

@@ -51,6 +51,35 @@ def write_binary(path_or_fp: Union[str, IO[bytes]], condensed: np.ndarray,
     fp.write(data.tobytes())
 
 
+HEADER_BYTES = 9
+
+
+def create_binary_mmap(path: str, n: int) -> np.ndarray:
+    """Memory-mapped condensed matrix backing `path` — the out-of-core
+    writer (reference distmat/distmat.h:193-243: ftruncate + mmap; tiles
+    land in the page cache while the device computes the next ones, the
+    same compute/IO overlap as dm::parallel_fill :459-512).
+
+    Reattaches to an existing right-sized file (the reference's resume
+    behavior, distmat.h:209-232), so an interrupted run can be continued.
+    """
+    import os
+    ne = n * (n - 1) // 2
+    total = HEADER_BYTES + 4 * ne
+    attach = False
+    if os.path.exists(path) and os.path.getsize(path) == total:
+        with open(path, "rb") as fp:
+            hdr = fp.read(HEADER_BYTES)
+        if hdr[0] == MAGIC_FLOAT and struct.unpack("<Q", hdr[1:])[0] == n:
+            attach = True
+    if not attach:
+        with open(path, "wb") as fp:
+            fp.write(bytes([MAGIC_FLOAT]))
+            fp.write(struct.pack("<Q", n))
+            fp.truncate(total)
+    return np.memmap(path, np.float32, "r+", offset=HEADER_BYTES, shape=(ne,))
+
+
 def read_binary(path: str):
     """Returns (n, condensed float32 array).  Accepts gzip like the ref."""
     import gzip

@@ -237,10 +237,15 @@ def compare_tile(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
 
 
 def all_pairs_condensed(sketches, result_type: int, k: int,
-                        estim: int, jestim: int, tile: int = 256) -> np.ndarray:
+                        estim: int, jestim: int, tile: int = 256,
+                        out: Optional[np.ndarray] = None) -> np.ndarray:
     """Full symmetric comparison -> condensed upper-triangular vector of
     length n(n-1)/2, ordered like the reference's DistanceMatrix
-    (reference distmat/distmat.h:260-264 row-major upper triangle)."""
+    (reference distmat/distmat.h:260-264 row-major upper triangle).
+
+    `out` may be a preallocated array — in particular an
+    io.distmat.create_binary_mmap memmap, which streams finished tiles
+    straight to the page cache while the device computes the next ones."""
     regs = _stack_regs(sketches)
     n = regs.shape[0]
     p = sketches[0].p
@@ -248,7 +253,9 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
     q = 64 - p
     kmax = _auto_kmax(regs, q)
     kmin = _auto_kmin(regs)
-    out = np.empty(n * (n - 1) // 2, np.float32)
+    if out is None:
+        out = np.empty(n * (n - 1) // 2, np.float32)
+    assert out.shape == (n * (n - 1) // 2,)
 
     def put(i0, j0, block):
         # scatter block values for pairs (i, j) with global j > i

@@ -240,3 +240,25 @@ def test_sketch_records_batched_matches_individual(rng):
         if kmers.size:
             want.addh_np(kmers)
         assert (regs[i] == want.regs).all(), i
+
+
+def test_distmat_mmap_roundtrip_and_reattach(tmp_path):
+    from dashing_tpu.io import distmat
+    n = 6
+    path = str(tmp_path / "m.bin")
+    mm = distmat.create_binary_mmap(path, n)
+    vals = np.arange(n * (n - 1) // 2, dtype=np.float32)
+    mm[:] = vals
+    mm.flush()
+    del mm
+    n2, data = distmat.read_binary(path)
+    assert n2 == n
+    np.testing.assert_array_equal(data, vals)
+    # reattach preserves existing contents (resume semantics,
+    # reference distmat.h:209-232)
+    mm2 = distmat.create_binary_mmap(path, n)
+    np.testing.assert_array_equal(np.asarray(mm2), vals)
+    # size/precision mismatch recreates from scratch
+    mm3 = distmat.create_binary_mmap(path, n + 1)
+    assert np.asarray(mm3).shape == ((n + 1) * n // 2,)
+    assert (np.asarray(mm3) == 0).all()
