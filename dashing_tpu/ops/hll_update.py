@@ -51,8 +51,8 @@ def update_registers(regs: jnp.ndarray, h: U64, valid: jnp.ndarray, p: int) -> j
 
 
 _ROW = 8192          # compaction row width
-_CAPR = 512          # survivor capacity per row (1/16 of the row)
-_SHIFT = 13          # lane bits in the packed top_k key (log2(_ROW))
+_CAPR = 256          # survivor capacity per row (1/32; TPU-sweeped optimum)
+
 
 
 @functools.partial(jax.jit, static_argnames=("p",))
@@ -76,24 +76,21 @@ def update_registers_filtered(regs: jnp.ndarray, h: U64, valid: jnp.ndarray,
     return update_from_idx_rank(regs, idx, rank)
 
 
-@jax.jit
-def update_from_idx_rank(regs: jnp.ndarray, idx: jnp.ndarray,
-                         rank: jnp.ndarray) -> jnp.ndarray:
-    """Core of the filtered update; idx/rank any shape (invalid: rank 0)."""
-    flat_idx = idx.reshape(-1)
-    flat_rank = rank.reshape(-1)
-    B = flat_idx.shape[0]
-    if B % _ROW != 0:
-        pad = _ROW - B % _ROW
-        flat_idx = jnp.pad(flat_idx, (0, pad))
-        flat_rank = jnp.pad(flat_rank, (0, pad))
-        B += pad
-    idx2 = flat_idx.reshape(-1, _ROW)
-    rank2 = flat_rank.reshape(-1, _ROW)
+# Threshold-refresh granularity: within one update call, the filter
+# threshold min(regs) is recomputed every _BLOCK_ROWS compaction rows
+# (TPU-sweeped: per-dispatch threshold at 256-row tiles ran 519 M k-mers/s,
+# 128-row 548 M/s; in-jit refresh gets the small-block threshold without
+# the extra dispatches).
+_BLOCK_ROWS = 128
+
+
+def _update_slab(regs: jnp.ndarray, idx2: jnp.ndarray, rank2: jnp.ndarray,
+                 cap: int, shift: int) -> jnp.ndarray:
+    """One threshold epoch: filter a (R, row) slab against min(regs)."""
     t = regs.min()
-    key = (rank2 << _SHIFT) | jax.lax.broadcasted_iota(jnp.int32, rank2.shape, 1)
-    vals, pos = jax.lax.top_k(key, _CAPR)
-    kept_rank = vals >> _SHIFT
+    key = (rank2 << shift) | jax.lax.broadcasted_iota(jnp.int32, rank2.shape, 1)
+    vals, pos = jax.lax.top_k(key, cap)
+    kept_rank = vals >> shift
     keep = kept_rank > t
     sidx = jnp.where(keep, jnp.take_along_axis(idx2, pos, axis=1), 0)
     srank = jnp.where(keep, kept_rank, 0)
@@ -109,6 +106,35 @@ def update_from_idx_rank(regs: jnp.ndarray, idx: jnp.ndarray,
 
     return jax.lax.cond(~overflow, small, full,
                         (regs, sidx, srank, idx2, rank2))
+
+
+@functools.partial(jax.jit, static_argnames=("row", "cap"))
+def update_from_idx_rank(regs: jnp.ndarray, idx: jnp.ndarray,
+                         rank: jnp.ndarray, row: int = _ROW,
+                         cap: int = _CAPR) -> jnp.ndarray:
+    """Core of the filtered update; idx/rank any shape (invalid: rank 0)."""
+    shift = row.bit_length() - 1
+    assert 1 << shift == row, row
+    flat_idx = idx.reshape(-1)
+    flat_rank = rank.reshape(-1)
+    B = flat_idx.shape[0]
+    if B % row != 0:
+        pad = row - B % row
+        flat_idx = jnp.pad(flat_idx, (0, pad))
+        flat_rank = jnp.pad(flat_rank, (0, pad))
+        B += pad
+    R = B // row
+    if R > _BLOCK_ROWS and R % _BLOCK_ROWS == 0:
+        nb = R // _BLOCK_ROWS
+        idx3 = flat_idx.reshape(nb, _BLOCK_ROWS, row)
+        rank3 = flat_rank.reshape(nb, _BLOCK_ROWS, row)
+
+        def body(i, regs):
+            return _update_slab(regs, idx3[i], rank3[i], cap, shift)
+
+        return jax.lax.fori_loop(0, nb, body, regs)
+    return _update_slab(regs, flat_idx.reshape(R, row),
+                        flat_rank.reshape(R, row), cap, shift)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "max_rank"))

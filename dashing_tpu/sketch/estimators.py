@@ -142,9 +142,35 @@ def _mle_dlogl(x, C, q):
     return -C[..., 0] + mid + top
 
 
-def mle_estimate(C: jnp.ndarray, p: int, iters: int = 40) -> jnp.ndarray:
+def _mle_dlogl12(x, C, q):
+    """(L'(x), L''(x)) of the Poisson log-likelihood, one fused pass.
+
+    L'  = -C0 + sum_k C_k z_k (1/(e^{x z_k}-1) - 1) + C_{q+1} z_q/(e^{x z_q}-1)
+    L'' =       sum_k C_k z_k^2 d_k               + C_{q+1} z_q^2 d_q,
+        d = -e^a/(e^a-1)^2 = -(1/em + 1/em^2) with em = expm1(a).
+    """
+    k = jnp.arange(1, q + 1, dtype=jnp.float32)
+    zk = jnp.exp2(-k)
+    a = jnp.maximum(x[..., None] * zk, 1e-30)
+    em = jnp.expm1(a)
+    inv = 1.0 / em
+    mid1 = (C[..., 1:q + 1] * zk * (inv - 1.0)).sum(-1)
+    mid2 = (C[..., 1:q + 1] * zk * zk * (-(inv + inv * inv))).sum(-1)
+    zq = 2.0 ** -q
+    aq = jnp.maximum(x * zq, 1e-30)
+    emq = jnp.expm1(aq)
+    invq = 1.0 / emq
+    top1 = C[..., q + 1] * zq * invq
+    top2 = C[..., q + 1] * zq * zq * (-(invq + invq * invq))
+    return -C[..., 0] + mid1 + top1, mid2 + top2
+
+
+def mle_estimate(C: jnp.ndarray, p: int, iters: int = 24) -> jnp.ndarray:
     """Poisson MLE (the reference's default ERTL_MLE), by damped Newton on
-    u = log(x).  Initialized from the improved estimator."""
+    u = log(x) with the analytic Hessian.  Initialized from the improved
+    estimator.  The log-likelihood in u is smooth and unimodal; 24 damped
+    steps reach float32 fixed point from the improved-estimator init
+    (validated against the float64 bisection oracle in tests)."""
     m = float(1 << p)
     q = C.shape[-1] - 2
     mtot = C.sum(-1)
@@ -156,13 +182,10 @@ def mle_estimate(C: jnp.ndarray, p: int, iters: int = 40) -> jnp.ndarray:
 
     def body(_, u):
         x = jnp.exp(u)
-        g = _mle_dlogl(x, C, q)
-        # numeric second derivative in u (cheap, robust, branch-free)
-        eps = 1e-3
-        gp = _mle_dlogl(jnp.exp(u + eps), C, q)
-        # dL/du = x*g ; d2L/du2 approx (x+ * g+ - x * g)/eps
+        g, gp = _mle_dlogl12(x, C, q)
+        # chain rule into u = log x: dL/du = x g ; d2L/du2 = x g + x^2 g'
         dldu = x * g
-        d2 = (jnp.exp(u + eps) * gp - dldu) / eps
+        d2 = dldu + x * x * gp
         step = dldu / jnp.minimum(d2, -1e-9)
         step = jnp.clip(step, -1.0, 1.0)
         return u - step
