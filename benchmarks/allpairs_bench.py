@@ -35,18 +35,31 @@ def main(n: int = 1024, p: int = 14):
 
     a = jnp.asarray(regs)
 
-    @jax.jit
-    def compare(a):
-        stats = pw.pair_stats(a, a, kmax, False, kmin)
-        tri = pw.triples_from_stats(stats, p, est.ERTL_MLE, est.ERTL_MLE, kmin)
-        return pw.measure_from_triples(tri, pw.JI, 1.0 / 21)
+    REPS = 8
 
-    out = compare(a)
-    _ = jax.device_get(out)      # compile + warm
-    t0 = time.perf_counter()
-    out = compare(a)
-    _ = jax.device_get(out)
-    dt = time.perf_counter() - t0
+    @jax.jit
+    def compare_loop(a):
+        # The tunnel backend only synchronizes on data pulls, so the timing
+        # loop lives inside jit and returns one scalar: per-rep cost =
+        # (t(REPS) amortized), transfer = 4 bytes.
+        def body(i, acc):
+            # thread the carry into the input: a genuine cross-iteration
+            # data dependence, so XLA cannot hoist the body out of the loop
+            bump = (acc - jnp.floor(acc) > 2.0).astype(a.dtype)  # always 0
+            aa = a.at[0, 0].add(bump)
+            stats = pw.pair_stats(aa, a, kmax, False, kmin)
+            tri = pw.triples_from_stats(stats, p, est.ERTL_MLE,
+                                        est.ERTL_MLE, kmin)
+            out = pw.measure_from_triples(tri, pw.JI, 1.0 / 21)
+            return acc + out.sum()
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+    _ = jax.device_get(compare_loop(a))      # compile + warm
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = jax.device_get(compare_loop(a))
+        dt = min(dt, (time.perf_counter() - t0) / REPS)
     pairs = n * n
     flops = 2.0 * (kmax - kmin + 1) * n * n * (1 << p)
     print(f"all-pairs JI: {dt*1000:.1f} ms for {pairs} pairs "

@@ -207,8 +207,26 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
         return [sketch_or_load(p, opts) for p in paths_list]
     import jax
     import jax.numpy as jnp
+    from ..parallel import distributed
     params = sketch_params(opts)
     p = hll_p_from_S(opts.sketch_size)
+    nproc = distributed.process_count()
+    if nproc > 1:
+        # Multi-host sketch phase: each process sketches a stride of the
+        # genome list, then ONE allgather-max rebuilds every sketch on every
+        # process (rows this process didn't compute stay zero and the
+        # elementwise max fills them in).
+        n = len(paths_list)
+        all_regs = np.zeros((n, 1 << p), np.uint8)
+        mine = distributed.my_shard(list(enumerate(paths_list)))
+        handles = [(i, pipeline.sketch_file_hll_async(path, params, p))
+                   for i, path in mine]
+        for i, regs_dev in handles:
+            all_regs[i] = np.clip(np.asarray(jax.device_get(regs_dev)),
+                                  0, 255).astype(np.uint8)
+        all_regs = distributed.global_register_max(all_regs).astype(np.uint8)
+        return [HLL(p, opts.estim, opts.jestim, all_regs[i])
+                for i in range(n)]
     handles = []
     for path in paths_list:
         handles.append(pipeline.sketch_file_hll_async(path, params, p))

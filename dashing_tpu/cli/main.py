@@ -359,8 +359,15 @@ def sketch_main(argv: List[str]) -> int:
                   (o.sketch_by_fname and fasta.fname_is_fq(p))
                   for p in inpaths]
 
+    work = list(enumerate(inpaths))
+    from ..parallel import distributed
+    if not output_file and distributed.process_count() > 1:
+        # per-file outputs: processes write disjoint strides of the list
+        # (the reference's OMP-dynamic file loop, lifted to hosts)
+        work = distributed.my_shard(work)
+
     sketches = []
-    for i, path in enumerate(inpaths):
+    for i, path in work:
         fname = cache.make_fname(path, core.hll_p_from_S(o.sketch_size),
                                  sp.w, o.k, sp.c, o.spacing, o.suffix,
                                  o.prefix, o.encoding, ext)
@@ -457,10 +464,16 @@ def hll_main(argv: List[str]) -> int:
     params = core.sketch_params(o)
     p = core.hll_p_from_S(o.sketch_size)
     regs = np.zeros(1 << p, np.uint8)
-    for path in inpaths:
+    # Multi-host: each process folds its stride of the file list, then one
+    # register-max all-reduce merges the partials (the distributed form of
+    # the reference's per-thread clone + merge, src/dashing.h:630-639).
+    from ..parallel import distributed
+    for path in distributed.my_shard(inpaths):
         np.maximum(regs, pipeline.sketch_file_hll(path, params, p), out=regs)
+    regs = distributed.global_register_max(regs).astype(np.uint8)
     h = HLL(p, o.estim, o.jestim, regs)
-    print(f"Estimated number of unique exact matches: {h.report():f}")
+    if distributed.is_main():
+        print(f"Estimated number of unique exact matches: {h.report():f}")
     return 0
 
 
@@ -488,9 +501,24 @@ def union_main(argv: List[str]) -> int:
     plist += positional
     if not plist:
         _union_usage()
-    merged = core.read_sketch_auto(plist[0], sketch_type)
-    for path in plist[1:]:
-        merged += core.read_sketch_auto(path, sketch_type)
+    from ..parallel import distributed
+    if sketch_type == "hll" and distributed.process_count() > 1:
+        # Each process merges its stride; one register-max all-reduce
+        # replaces the reference's log2-depth OpenMP tree (union.cpp:11-24).
+        mine = distributed.my_shard(plist)
+        first = core.read_sketch_auto(plist[0], sketch_type)
+        regs = np.zeros_like(first.regs)
+        for path in mine:
+            np.maximum(regs, core.read_sketch_auto(path, sketch_type).regs,
+                       out=regs)
+        merged = HLL(first.p, first.estim, first.jestim,
+                     distributed.global_register_max(regs).astype(np.uint8))
+        if not distributed.is_main():
+            return 0
+    else:
+        merged = core.read_sketch_auto(plist[0], sketch_type)
+        for path in plist[1:]:
+            merged += core.read_sketch_auto(path, sketch_type)
     if opath in ("-", "/dev/stdout"):
         merged.write_record(sys.stdout.buffer)
     else:
@@ -1013,6 +1041,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # Multi-host: wires up jax.distributed when DASHING_TPU_DISTRIBUTED is
+    # set (parallel/distributed.py); a no-op in single-process runs.
+    from ..parallel import distributed
+    distributed.maybe_initialize()
     eprint(f"dashing_tpu version: {__version__}")
     if not argv:
         _main_usage()

@@ -48,6 +48,10 @@ def process_count() -> int:
     return jax.process_count()
 
 
+def is_main() -> bool:
+    return process_index() == 0
+
+
 def my_shard(items: Sequence, strided: bool = True) -> List:
     """This process's share of a work list.
 

@@ -117,14 +117,21 @@ def original_estimate(C: jnp.ndarray, p: int) -> jnp.ndarray:
 
 
 def improved_estimate(C: jnp.ndarray, p: int) -> jnp.ndarray:
-    """Ertl's improved raw estimator (arXiv:1706.07290 eq. 28)."""
+    """Ertl's improved raw estimator (arXiv:1706.07290 eq. 28).
+
+    sigma's series term is x^(2^k)*2^(k-1) with x <= 1 - 1/m, so by
+    k = p + 6 the term is below exp(-64)*2^k — float32 converged; tau's
+    terms shrink ~8x per iteration once k > log2(-ln x), so 24 covers any
+    p.  (These loops are the dominant cost of the n^2-pair estimator init,
+    so the iteration counts matter.)
+    """
     m = float(1 << p)
     q = C.shape[-1] - 2
     k = jnp.arange(1, q + 1, dtype=jnp.float32)
     mid = (C[..., 1:q + 1] * jnp.exp2(-k)).sum(-1)
-    denom = (m * _sigma(C[..., 0] / m)
+    denom = (m * _sigma(C[..., 0] / m, iters=p + 6)
              + mid
-             + m * _tau(1.0 - C[..., q + 1] / m) * (2.0 ** -q))
+             + m * _tau(1.0 - C[..., q + 1] / m, iters=24) * (2.0 ** -q))
     return _ALPHA_INF * m * m / denom
 
 

@@ -1,0 +1,114 @@
+"""True multi-process integration: 2 jax.distributed processes on CPU.
+
+Exercises the multi-host wiring the reference never had (SURVEY.md sec 2.4
+P7): sharded sketching + cross-process register-max merge, driven through
+the real CLI in subprocesses.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_pair(args, tmp_path, timeout=240):
+    """Run the CLI twice (process 0/1) under jax.distributed; returns the
+    completed processes in rank order."""
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update(
+            PYTHONPATH=REPO,
+            DASHING_TPU_PLATFORM="cpu",
+            DASHING_TPU_DISTRIBUTED="1",
+            DASHING_TPU_NO_PALLAS="1",
+            JAX_COORDINATOR=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+        )
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "dashing_tpu.cli"] + args,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=str(tmp_path), env=env, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("jax.distributed 2-process run timed out here")
+        outs.append((p.returncode, out, err))
+    return outs
+
+
+def _run_single(args, tmp_path, timeout=240):
+    env = dict(os.environ)
+    env.update(PYTHONPATH=REPO, DASHING_TPU_PLATFORM="cpu",
+               DASHING_TPU_NO_PALLAS="1")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([sys.executable, "-m", "dashing_tpu.cli"] + args,
+                       capture_output=True, cwd=str(tmp_path), env=env,
+                       text=True, timeout=timeout)
+    assert r.returncode == 0, r.stderr
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def genomes(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dist2p")
+    rng = np.random.default_rng(17)
+    names = []
+    for i in range(4):
+        s = "".join(rng.choice(list("ACGT"), size=4000))
+        (tmp / f"g{i}.fa").write_text(f">g{i}\n{s}\n")
+        names.append(f"g{i}.fa")
+    return tmp, names
+
+
+def test_hll_two_process_matches_single(genomes):
+    tmp, names = genomes
+    args = ["hll", "-k", "17", "-S", "14"] + names
+    single = _run_single(args, tmp)
+    outs = _run_pair(args, tmp)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    line = [l for l in single.splitlines() if "Estimated" in l]
+    line0 = [l for l in outs[0][1].splitlines() if "Estimated" in l]
+    assert line and line0
+    assert line[0] == line0[0]
+    # non-main process stays silent
+    assert "Estimated" not in outs[1][1]
+
+
+def test_dist_two_process_matches_single(genomes):
+    tmp, names = genomes
+    args = ["dist", "-k", "17", "-S", "12", "--avoid-sorting"] + names
+    single = _run_single(args, tmp)
+    outs = _run_pair(args, tmp)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    # both ranks compute identical full results (sketches allgathered)
+    assert outs[0][1] == single
+    assert outs[1][1] == single
+
+
+def test_sketch_two_process_shards_files(genomes):
+    tmp, names = genomes
+    args = ["sketch", "-k", "17", "-S", "12", "--avoid-sorting"] + names
+    outs = _run_pair(args, tmp)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    for n in names:
+        assert (tmp / (n + ".w.17.spacing.12.hll")).exists()
