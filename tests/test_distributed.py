@@ -100,9 +100,14 @@ def test_dist_two_process_matches_single(genomes):
     single = _run_single(args, tmp)
     outs = _run_pair(args, tmp)
     assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+
+    def clean(s):  # gloo prints a connection banner to stdout
+        return "\n".join(l for l in s.splitlines()
+                         if not l.startswith("[Gloo]"))
+
     # both ranks compute identical full results (sketches allgathered)
-    assert outs[0][1] == single
-    assert outs[1][1] == single
+    assert clean(outs[0][1]) == clean(single)
+    assert clean(outs[1][1]) == clean(single)
 
 
 def test_sketch_two_process_shards_files(genomes):
