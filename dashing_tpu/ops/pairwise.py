@@ -79,7 +79,9 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
                 gtbs.append(z)
             else:
                 gtas.append(_dot(oa, cb_prev))
-                gtbs.append(_dot(ob, ca_prev))
+                # note operand order: _dot's FIRST arg indexes the output's
+                # rows (the A side), so the B-side indicator goes second
+                gtbs.append(_dot(ca_prev, ob))
         ca_prev, cb_prev = ca, cb
     out = {"cum_union": jnp.stack(cums, axis=-1)}
     if joint:

@@ -159,16 +159,16 @@ def _mle_dlogl12(x, C, q):
     k = jnp.arange(1, q + 1, dtype=jnp.float32)
     zk = jnp.exp2(-k)
     a = jnp.maximum(x[..., None] * zk, 1e-30)
-    em = jnp.expm1(a)
-    inv = 1.0 / em
-    mid1 = (C[..., 1:q + 1] * zk * (inv - 1.0)).sum(-1)
-    mid2 = (C[..., 1:q + 1] * zk * zk * (-(inv + inv * inv))).sum(-1)
+    # w = z/expm1(x z) <= 1/x stays f32-finite even when z*inv alone would
+    # not (inv^2 overflows f32 for a < ~1e-19); always form z*inv first.
+    w = zk / jnp.expm1(a)
+    mid1 = (C[..., 1:q + 1] * (w - zk)).sum(-1)
+    mid2 = (C[..., 1:q + 1] * (-(w * w + zk * w))).sum(-1)
     zq = 2.0 ** -q
     aq = jnp.maximum(x * zq, 1e-30)
-    emq = jnp.expm1(aq)
-    invq = 1.0 / emq
-    top1 = C[..., q + 1] * zq * invq
-    top2 = C[..., q + 1] * zq * zq * (-(invq + invq * invq))
+    wq = zq / jnp.expm1(aq)
+    top1 = C[..., q + 1] * wq
+    top2 = C[..., q + 1] * (-(wq * wq + zq * wq))
     return -C[..., 0] + mid1 + top1, mid2 + top2
 
 
@@ -273,9 +273,123 @@ def _joint_logl(theta, stats, m: float, q: int):
                     jnp.exp(-((la + lx) * zk1 + lb * zk) / m))
     g_b = jnp.where(jnp.isinf(zk1), 0.0,
                     jnp.exp(-((lb + lx) * zk1 + la * zk) / m))
-    p_eq = jnp.maximum(e_kk - g_a - g_b + e_k1, 1e-38)
-    L += (stats["eq"] * jnp.log(p_eq)).sum(-1)
+    # clamp at a NORMAL f32 (1e-38 is subnormal and flushes to 0 on XLA,
+    # making log() -inf), and zero unobserved bins explicitly: 0 * -inf = nan
+    p_eq = jnp.maximum(e_kk - g_a - g_b + e_k1, 1e-30)
+    w = stats["eq"]
+    L += jnp.where(w > 0, w * jnp.log(p_eq), 0.0).sum(-1)
     return L
+
+
+def _f_val_d1_d2(h, lam, m: float, q: int):
+    """(value, d/dlam, d2/dlam2) of sum_k h[k] log f(k; lam), sharing the
+    expm1 evaluations across the three outputs.  Derivatives are w.r.t.
+    x = lam/m (the caller applies the 1/m chain factors)."""
+    x = lam / m
+    k = jnp.arange(1, q + 1, dtype=jnp.float32)
+    zk = jnp.exp2(-k)
+    a = jnp.maximum(x[..., None] * zk, 1e-30)
+    em = jnp.expm1(a)
+    w = zk / em                      # z/(e^a - 1), <= 1/x: f32-safe
+    hm = h[..., 1:q + 1]
+    # log f(k) = -a + log(1 - e^-a); the (log(em) - 2a) form overflows f32
+    # for a > ~88, so evaluate 1 - e^-a directly as -expm1(-a)
+    val = (hm * (-a + jnp.log(-jnp.expm1(-a)))).sum(-1)
+    d1 = (hm * (w - zk)).sum(-1)
+    d2 = (hm * (-(w * w + zk * w))).sum(-1)
+    zq = 2.0 ** -q
+    aq = jnp.maximum(x * zq, 1e-30)
+    emq = jnp.expm1(aq)
+    wq = zq / emq
+    htop = h[..., q + 1]
+    val = val + h[..., 0] * (-x) + htop * jnp.log(-jnp.expm1(-aq))
+    d1 = d1 - h[..., 0] + htop * wq
+    d2 = d2 + htop * (-(wq * wq + zq * wq))
+    return val, d1, d2
+
+
+def _joint_val_grad_hess(theta, stats, m: float, q: int):
+    """Analytic (value, gradient, Hessian) of _joint_logl at theta = log
+    lambda — one fused pass instead of value_and_grad + jacfwd(grad).
+
+    Hand-derived out of necessity, not only speed: autodiff of _joint_logl
+    is UNCONDITIONALLY nan (the z_{-1} = inf sentinel lane makes the where-
+    branch cotangent 0 * inf), which had silently reduced the old Newton
+    loop to its inclusion-exclusion initialization.  Verified to ~1e-7/1e-5
+    relative against float64 central differences (tests/test_hll.py).
+
+    Structure: every term of the likelihood is exp(-(c . lambda)/m) for a
+    level-dependent coefficient vector c, so each term contributes
+    T*c/(-m) to the gradient and T*c c^T/m^2 to the Hessian of its log."""
+    la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
+
+    # -- off-diagonal factors: four single-sketch likelihoods -------------
+    vA, gA, hA = _f_val_d1_d2(stats["gt_a"], la, m, q)        # w = (1,0,0)
+    vB, gB, hB = _f_val_d1_d2(stats["gt_b"], lb, m, q)        # w = (0,1,0)
+    vAB, gAB, hAB = _f_val_d1_d2(stats["lt_b"], lb + lx, m, q)  # w = (0,1,1)
+    vBA, gBA, hBA = _f_val_d1_d2(stats["lt_a"], la + lx, m, q)  # w = (1,0,1)
+    val = vA + vB + vAB + vBA
+    ga = gA + gBA
+    gb = gB + gAB
+    gx = gAB + gBA
+    Haa = hA + hBA
+    Hbb = hB + hAB
+    Hxx = hAB + hBA
+    Hax = hBA
+    Hbx = hAB
+    Hab = jnp.zeros_like(Haa)
+
+    # -- diagonal (equal-register) term ------------------------------------
+    kk = jnp.arange(0, q + 2, dtype=jnp.float32)
+    zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)
+    zk1f = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), 0.0)   # z_{k-1}; 0 at k=0
+    labx = (la + lb + lx) / m
+    T1 = jnp.exp(-labx * zk)
+    T4 = jnp.where(kk >= 1, jnp.exp(-labx * zk1f), 0.0)
+    T2 = jnp.where(kk >= 1,
+                   jnp.exp(-((la + lx) * zk1f + lb * zk) / m), 0.0)
+    T3 = jnp.where(kk >= 1,
+                   jnp.exp(-((lb + lx) * zk1f + la * zk) / m), 0.0)
+    # clamp at a NORMAL f32 (subnormals flush to 0 on XLA) and zero
+    # unobserved bins: their P can be 0 and 0 * -inf = nan otherwise
+    P = jnp.maximum(T1 - T2 - T3 + T4, 1e-30)
+    w = stats["eq"]
+    wpos = w > 0
+    val = val + jnp.where(wpos, w * jnp.log(P), 0.0).sum(-1)
+    # first derivatives of P (times m)
+    Sa = -T1 * zk + T2 * zk1f + T3 * zk - T4 * zk1f
+    Sb = -T1 * zk + T2 * zk + T3 * zk1f - T4 * zk1f
+    Sx = -T1 * zk + T2 * zk1f + T3 * zk1f - T4 * zk1f
+    wp = jnp.where(wpos, w / P, 0.0)
+    ga = ga + (wp * Sa).sum(-1)
+    gb = gb + (wp * Sb).sum(-1)
+    gx = gx + (wp * Sx).sum(-1)
+    # second derivatives of P (times m^2), minus the rank-1 log correction
+    z2, z12, zz1 = zk * zk, zk1f * zk1f, zk * zk1f
+    wp2 = jnp.where(wpos, wp / P, 0.0)
+    Haa = Haa + (wp * (T1 * z2 - T2 * z12 - T3 * z2 + T4 * z12)
+                 - wp2 * Sa * Sa).sum(-1)
+    Hbb = Hbb + (wp * (T1 * z2 - T2 * z2 - T3 * z12 + T4 * z12)
+                 - wp2 * Sb * Sb).sum(-1)
+    Hxx = Hxx + (wp * (T1 * z2 - T2 * z12 - T3 * z12 + T4 * z12)
+                 - wp2 * Sx * Sx).sum(-1)
+    Hab = Hab + (wp * (T1 * z2 - T2 * zz1 - T3 * zz1 + T4 * z12)
+                 - wp2 * Sa * Sb).sum(-1)
+    Hax = Hax + (wp * (T1 * z2 - T2 * z12 - T3 * zz1 + T4 * z12)
+                 - wp2 * Sa * Sx).sum(-1)
+    Hbx = Hbx + (wp * (T1 * z2 - T2 * zz1 - T3 * z12 + T4 * z12)
+                 - wp2 * Sb * Sx).sum(-1)
+
+    # -- chain rule into theta = log lambda --------------------------------
+    lam = jnp.stack([la, lb, lx])
+    g_lam = jnp.stack([ga, gb, gx]) / m
+    grad = lam * g_lam
+    ll = lam[:, None] * lam[None, :] / (m * m)
+    H_lam = jnp.stack([jnp.stack([Haa, Hab, Hax]),
+                       jnp.stack([Hab, Hbb, Hbx]),
+                       jnp.stack([Hax, Hbx, Hxx])])
+    hess = ll * H_lam + jnp.diag(grad)
+    return val, grad, hess
 
 
 def _solve3_sym(H, g):
@@ -319,13 +433,10 @@ def joint_mle(stats, p: int, iters: int = 20) -> jnp.ndarray:
     lx0 = jnp.maximum(c_a + c_b - c_u, tiny)
     theta0 = jnp.stack([jnp.log(la0), jnp.log(lb0), jnp.log(lx0)])
 
-    val_grad = jax.value_and_grad(_joint_logl)
-    hess_fn = jax.jacfwd(jax.grad(_joint_logl))
-
     def body(_, carry):
         theta, best_val = carry
-        val, g = val_grad(theta, stats, m, q)
-        H = hess_fn(theta, stats, m, q) - 1e-4 * jnp.eye(3)
+        val, g, H = _joint_val_grad_hess(theta, stats, m, q)
+        H = H - 1e-4 * jnp.eye(3)
         step = _solve3_sym(H, g)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         norm = jnp.sqrt((step ** 2).sum())
