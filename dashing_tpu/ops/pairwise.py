@@ -109,34 +109,36 @@ def triples_from_stats(stats: Dict[str, jnp.ndarray], p: int,
     """(na, nb, 3) set triples (onlyA, onlyB, shared) for every pair."""
     q = 64 - p
     cum = stats["cum_union"]
-    hist_u = _pad_levels(
-        jnp.concatenate([cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1),
-        q, kmin)
+    hist_u_w = jnp.concatenate([cum[..., :1], cum[..., 1:] - cum[..., :-1]],
+                               axis=-1)
+    na, nb = cum.shape[0], cum.shape[1]
+    if jestim != est.ERTL_JOINT_MLE:
+        # windowed estimators skip the zero bins AND (window permitting)
+        # the sigma/tau series — the dominant n^2 estimator cost
+        c_a = est.estimate_windowed(stats["hist_a"], p, kmin, estim)
+        c_b = est.estimate_windowed(stats["hist_b"], p, kmin, estim)
+        c_u = est.estimate_windowed(hist_u_w, p, kmin, estim)
+        shared = jnp.maximum(0.0, c_a[:, None] + c_b[None, :] - c_u)
+        only_a = jnp.maximum(c_a[:, None] - shared, 0.0)
+        only_b = jnp.maximum(c_b[None, :] - shared, 0.0)
+        return jnp.stack([only_a, only_b, shared], axis=-1)
+    hist_u = _pad_levels(hist_u_w, q, kmin)
     hist_a = _pad_levels(stats["hist_a"], q, kmin)   # (na, K)
     hist_b = _pad_levels(stats["hist_b"], q, kmin)   # (nb, K)
-    na, nb = cum.shape[0], cum.shape[1]
-    if jestim == est.ERTL_JOINT_MLE:
-        eq = _pad_levels(stats["eq"], q, kmin)
-        gt_a = _pad_levels(stats["gt_a"], q, kmin)
-        gt_b = _pad_levels(stats["gt_b"], q, kmin)
-        ha = jnp.broadcast_to(hist_a[:, None, :], eq.shape)
-        hb = jnp.broadcast_to(hist_b[None, :, :], eq.shape)
-        lt_a = ha - eq - gt_a
-        lt_b = hb - eq - gt_b
-        flat = lambda x: x.reshape(-1, x.shape[-1])
-        sdict = dict(eq=flat(eq), gt_a=flat(gt_a), gt_b=flat(gt_b),
-                     lt_a=flat(lt_a), lt_b=flat(lt_b),
-                     hist_a=flat(ha), hist_b=flat(hb),
-                     hist_u=flat(hist_u))
-        tri = jax.vmap(lambda s: est.joint_mle(s, p))(sdict)
-        return tri.reshape(na, nb, 3)
-    c_a = est.estimate(hist_a, p, estim)           # (na,)
-    c_b = est.estimate(hist_b, p, estim)           # (nb,)
-    c_u = est.estimate(hist_u, p, estim)           # (na, nb)
-    shared = jnp.maximum(0.0, c_a[:, None] + c_b[None, :] - c_u)
-    only_a = jnp.maximum(c_a[:, None] - shared, 0.0)
-    only_b = jnp.maximum(c_b[None, :] - shared, 0.0)
-    return jnp.stack([only_a, only_b, shared], axis=-1)
+    eq = _pad_levels(stats["eq"], q, kmin)
+    gt_a = _pad_levels(stats["gt_a"], q, kmin)
+    gt_b = _pad_levels(stats["gt_b"], q, kmin)
+    ha = jnp.broadcast_to(hist_a[:, None, :], eq.shape)
+    hb = jnp.broadcast_to(hist_b[None, :, :], eq.shape)
+    lt_a = ha - eq - gt_a
+    lt_b = hb - eq - gt_b
+    flat = lambda x: x.reshape(-1, x.shape[-1])
+    sdict = dict(eq=flat(eq), gt_a=flat(gt_a), gt_b=flat(gt_b),
+                 lt_a=flat(lt_a), lt_b=flat(lt_b),
+                 hist_a=flat(ha), hist_b=flat(hb),
+                 hist_u=flat(hist_u))
+    tri = jax.vmap(lambda s: est.joint_mle(s, p))(sdict)
+    return tri.reshape(na, nb, 3)
 
 
 # ---------------------------------------------------------------------------

@@ -212,6 +212,115 @@ def estimate(C: jnp.ndarray, p: int, method: int = ERTL_MLE) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Level-windowed estimators: registers cluster in ~a dozen consecutive
+# levels, so the all-pairs engine (ops/pairwise.py) resolves only levels
+# [kmin, kmax].  Estimating directly on the windowed histogram (exact when
+# every register lies inside the window) skips both the zero-bin compute
+# and — when the window excludes levels 0 and q+1 — the sigma/tau series
+# entirely, which dominated the n^2-pair estimator cost.
+# ---------------------------------------------------------------------------
+
+def _win_parts(Cw: jnp.ndarray, p: int, kmin: int):
+    """Split a windowed histogram into (C0, Cmid, Ctop, mid levels)."""
+    q = 64 - p
+    K = Cw.shape[-1]
+    kmax = kmin + K - 1
+    c0 = Cw[..., 0] if kmin == 0 else jnp.zeros(Cw.shape[:-1], Cw.dtype)
+    ctop = (Cw[..., -1] if kmax == q + 1
+            else jnp.zeros(Cw.shape[:-1], Cw.dtype))
+    lo = max(kmin, 1)
+    hi = min(kmax, q)
+    sl = slice(lo - kmin, hi - kmin + 1)
+    k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
+    return c0, Cw[..., sl], ctop, k
+
+
+def improved_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int
+                               ) -> jnp.ndarray:
+    m = float(1 << p)
+    q = 64 - p
+    c0, cmid, ctop, k = _win_parts(Cw, p, kmin)
+    mid = (cmid * jnp.exp2(-k)).sum(-1)
+    denom = mid
+    if kmin == 0:
+        denom = denom + m * _sigma(c0 / m, iters=p + 6)
+    if kmin + Cw.shape[-1] - 1 == q + 1:
+        denom = denom + m * _tau(1.0 - ctop / m, iters=24) * (2.0 ** -q)
+    return _ALPHA_INF * m * m / denom
+
+
+def _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q: int):
+    zk = jnp.exp2(-k)
+    a = jnp.maximum(x[..., None] * zk, 1e-30)
+    w = zk / jnp.expm1(a)
+    d1 = (cmid * (w - zk)).sum(-1) - c0
+    d2 = (cmid * (-(w * w + zk * w))).sum(-1)
+    zq = 2.0 ** -q
+    aq = jnp.maximum(x * zq, 1e-30)
+    wq = zq / jnp.expm1(aq)
+    return d1 + ctop * wq, d2 + ctop * (-(wq * wq + zq * wq))
+
+
+def mle_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
+                          iters: int = 12) -> jnp.ndarray:
+    """MLE on a level-windowed histogram (levels kmin..kmin+K-1).
+
+    Exact when every register lies inside the window — the all-pairs engine
+    guarantees this by setting kmin/kmax from the stacked registers.
+    12 iterations: the improved-estimator init is within ~2x of the optimum
+    (<1 in log space) and each damped Newton step is superlinear once near
+    it; measured f32 fixpoint by iteration 8 across 10..2e6 cardinalities."""
+    m = float(1 << p)
+    q = 64 - p
+    c0, cmid, ctop, k = _win_parts(Cw, p, kmin)
+    mtot = Cw.sum(-1)
+    empty = c0 >= mtot
+    full = ctop >= mtot
+
+    x0 = jnp.clip(improved_estimate_windowed(Cw, p, kmin) / m,
+                  1e-12, 2.0 ** (q + 1))
+    u0 = jnp.log(x0)
+
+    def body(_, u):
+        x = jnp.exp(u)
+        g, gp = _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q)
+        dldu = x * g
+        d2 = dldu + x * x * gp
+        step = dldu / jnp.minimum(d2, -1e-9)
+        return u - jnp.clip(step, -1.0, 1.0)
+
+    u = jax.lax.fori_loop(0, iters, body, u0)
+    est = jnp.exp(u) * m
+    est = jnp.where(empty, 0.0, est)
+    return jnp.where(full, jnp.inf, est)
+
+
+def original_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int
+                               ) -> jnp.ndarray:
+    m = float(1 << p)
+    K = Cw.shape[-1]
+    k = jnp.arange(kmin, kmin + K, dtype=jnp.float32)
+    denom = (Cw * jnp.exp2(-k)).sum(-1)
+    alpha = (0.7213 / (1.0 + 1.079 / m) if m >= 128
+             else {16: 0.673, 32: 0.697, 64: 0.709}.get(
+                 int(m), 0.7213 / (1.0 + 1.079 / m)))
+    e = alpha * m * m / denom
+    c0 = Cw[..., 0] if kmin == 0 else jnp.zeros(Cw.shape[:-1], Cw.dtype)
+    small = (e <= 2.5 * m) & (c0 > 0)
+    e_small = m * jnp.log(m / jnp.maximum(c0, 1e-9))
+    return jnp.where(small, e_small, e)
+
+
+def estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
+                      method: int = ERTL_MLE) -> jnp.ndarray:
+    if method == ORIGINAL:
+        return original_estimate_windowed(Cw, p, kmin)
+    if method == ERTL_IMPROVED:
+        return improved_estimate_windowed(Cw, p, kmin)
+    return mle_estimate_windowed(Cw, p, kmin)
+
+
+# ---------------------------------------------------------------------------
 # Joint MLE over register pairs.
 # ---------------------------------------------------------------------------
 

@@ -113,3 +113,21 @@ def test_symmetry_helpers():
     assert pw.is_symmetric(pw.JI) and pw.is_symmetric(pw.MASH_DIST)
     assert not pw.is_symmetric(pw.CONTAINMENT_DIST)
     assert pw.is_similarity(pw.JI) and not pw.is_similarity(pw.MASH_DIST)
+
+
+@pytest.mark.parametrize("method", [est.ORIGINAL, est.ERTL_IMPROVED,
+                                    est.ERTL_MLE])
+@pytest.mark.parametrize("kmin,kmax", [(0, 53), (3, 20), (1, 53), (0, 18)])
+def test_windowed_estimators_match_full(rng, method, kmin, kmax):
+    """estimate_windowed on the [kmin, kmax] slice must equal estimate on
+    the full zero-padded histogram whenever all registers fit the window."""
+    import jax.numpy as jnp
+    p = 12
+    q = 64 - p
+    vals = rng.integers(max(kmin, 0), kmax + 1, size=(8, 1 << p))
+    C = np.stack([np.bincount(v, minlength=q + 2).astype(np.float32)
+                  for v in vals])
+    full = np.asarray(est.estimate(jnp.asarray(C), p, method))
+    win = np.asarray(est.estimate_windowed(
+        jnp.asarray(C[:, kmin:kmax + 1]), p, kmin, method))
+    np.testing.assert_allclose(win, full, rtol=2e-6)
