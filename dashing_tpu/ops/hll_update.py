@@ -50,8 +50,9 @@ def update_registers(regs: jnp.ndarray, h: U64, valid: jnp.ndarray, p: int) -> j
     return regs.at[idx.reshape(-1)].max(rank.reshape(-1), mode="drop")
 
 
-_ROW = 8192          # compaction row width
-_CAPR = 256          # survivor capacity per row (1/32; TPU-sweeped optimum)
+_ROW = 2048          # compaction row width (TPU-sweeped: narrow rows at
+                     # constant survivor ratio beat wide ones, 584 vs 556 M/s)
+_CAPR = 64           # survivor capacity per row (1/32; TPU-sweeped optimum)
 
 
 

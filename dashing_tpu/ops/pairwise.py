@@ -94,20 +94,10 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
     return out
 
 
-def _pad_levels(x: jnp.ndarray, q: int, kmin: int = 0) -> jnp.ndarray:
-    """Pad a (..., K) level stack (levels kmin..kmin+K-1) to (..., q+2)."""
-    K = x.shape[-1]
-    if kmin == 0 and K == q + 2:
-        return x
-    pad = [(0, 0)] * (x.ndim - 1) + [(kmin, q + 2 - K - kmin)]
-    return jnp.pad(x, pad)
-
-
 @functools.partial(jax.jit, static_argnames=("p", "estim", "jestim", "kmin"))
 def triples_from_stats(stats: Dict[str, jnp.ndarray], p: int,
                        estim: int, jestim: int, kmin: int = 0) -> jnp.ndarray:
     """(na, nb, 3) set triples (onlyA, onlyB, shared) for every pair."""
-    q = 64 - p
     cum = stats["cum_union"]
     hist_u_w = jnp.concatenate([cum[..., :1], cum[..., 1:] - cum[..., :-1]],
                                axis=-1)
@@ -122,22 +112,20 @@ def triples_from_stats(stats: Dict[str, jnp.ndarray], p: int,
         only_a = jnp.maximum(c_a[:, None] - shared, 0.0)
         only_b = jnp.maximum(c_b[None, :] - shared, 0.0)
         return jnp.stack([only_a, only_b, shared], axis=-1)
-    hist_u = _pad_levels(hist_u_w, q, kmin)
-    hist_a = _pad_levels(stats["hist_a"], q, kmin)   # (na, K)
-    hist_b = _pad_levels(stats["hist_b"], q, kmin)   # (nb, K)
-    eq = _pad_levels(stats["eq"], q, kmin)
-    gt_a = _pad_levels(stats["gt_a"], q, kmin)
-    gt_b = _pad_levels(stats["gt_b"], q, kmin)
-    ha = jnp.broadcast_to(hist_a[:, None, :], eq.shape)
-    hb = jnp.broadcast_to(hist_b[None, :, :], eq.shape)
+    # joint MLE consumes the level window directly (no zero-padding)
+    eq = stats["eq"]
+    gt_a = stats["gt_a"]
+    gt_b = stats["gt_b"]
+    ha = jnp.broadcast_to(stats["hist_a"][:, None, :], eq.shape)
+    hb = jnp.broadcast_to(stats["hist_b"][None, :, :], eq.shape)
     lt_a = ha - eq - gt_a
     lt_b = hb - eq - gt_b
     flat = lambda x: x.reshape(-1, x.shape[-1])
     sdict = dict(eq=flat(eq), gt_a=flat(gt_a), gt_b=flat(gt_b),
                  lt_a=flat(lt_a), lt_b=flat(lt_b),
                  hist_a=flat(ha), hist_b=flat(hb),
-                 hist_u=flat(hist_u))
-    tri = jax.vmap(lambda s: est.joint_mle(s, p))(sdict)
+                 hist_u=flat(jnp.broadcast_to(hist_u_w, eq.shape)))
+    tri = jax.vmap(lambda s: est.joint_mle(s, p, kmin=kmin))(sdict)
     return tri.reshape(na, nb, 3)
 
 

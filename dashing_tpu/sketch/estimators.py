@@ -349,32 +349,40 @@ def pair_statistics(a: jnp.ndarray, b: jnp.ndarray, q: int):
     )
 
 
-def _log_f(k_hist: jnp.ndarray, lam, m: float, q: int):
-    """sum_k hist[k] * log f(k; lam): single-register pmf log-likelihood."""
+def _log_f(k_hist: jnp.ndarray, lam, m: float, q: int, kmin: int = 0):
+    """sum_k hist[k] * log f(k; lam): single-register pmf log-likelihood.
+
+    `k_hist` covers levels kmin..kmin+K-1 (kmin=0, K=q+2 is the full
+    histogram); the window form feeds the level-windowed joint MLE."""
     x = lam / m
-    k = jnp.arange(1, q + 1, dtype=jnp.float32)
+    K = k_hist.shape[-1]
+    kmax = kmin + K - 1
+    lo, hi = max(kmin, 1), min(kmax, q)
+    k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
     zk = jnp.exp2(-k)
     a = x[..., None] * zk
     log_mid = -a + jnp.log(-jnp.expm1(-jnp.maximum(a, 1e-38)))
-    aq = x * (2.0 ** -q)
-    log_top = jnp.log(-jnp.expm1(-jnp.maximum(aq, 1e-38)))
-    return (k_hist[..., 0] * (-x)
-            + (k_hist[..., 1:q + 1] * log_mid).sum(-1)
-            + k_hist[..., q + 1] * log_top)
+    L = (k_hist[..., lo - kmin:hi - kmin + 1] * log_mid).sum(-1)
+    if kmin == 0:
+        L = L + k_hist[..., 0] * (-x)
+    if kmax == q + 1:
+        aq = x * (2.0 ** -q)
+        L = L + k_hist[..., -1] * jnp.log(-jnp.expm1(-jnp.maximum(aq, 1e-38)))
+    return L
 
 
-def _joint_logl(theta, stats, m: float, q: int):
+def _joint_logl(theta, stats, m: float, q: int, kmin: int = 0):
     """Joint Poisson log-likelihood at theta = (log la, log lb, log lx)."""
     la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
-    L = _log_f(stats["gt_a"], la, m, q)
-    L += _log_f(stats["lt_b"], lb + lx, m, q)
-    L += _log_f(stats["gt_b"], lb, m, q)
-    L += _log_f(stats["lt_a"], la + lx, m, q)
+    L = _log_f(stats["gt_a"], la, m, q, kmin)
+    L += _log_f(stats["lt_b"], lb + lx, m, q, kmin)
+    L += _log_f(stats["gt_b"], lb, m, q, kmin)
+    L += _log_f(stats["lt_a"], la + lx, m, q, kmin)
     # diagonal terms
-    kk = jnp.arange(0, q + 2, dtype=jnp.float32)
+    K = stats["eq"].shape[-1]
+    kk = jnp.arange(kmin, kmin + K, dtype=jnp.float32)
     zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)           # z_k, z_{q+1}=0
     zk1 = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), jnp.inf)  # z_{k-1}, z_-1=inf
-    zk1 = jnp.where(kk - 1.0 > q, 2.0 ** -q, zk1)          # (never hit: k<=q+1)
     labx = la + lb + lx
     e_kk = jnp.exp(-labx * zk / m)
     e_k1 = jnp.where(jnp.isinf(zk1), 0.0, jnp.exp(-labx * zk1 / m))
@@ -390,34 +398,42 @@ def _joint_logl(theta, stats, m: float, q: int):
     return L
 
 
-def _f_val_d1_d2(h, lam, m: float, q: int):
+def _f_val_d1_d2(h, lam, m: float, q: int, kmin: int = 0):
     """(value, d/dlam, d2/dlam2) of sum_k h[k] log f(k; lam), sharing the
     expm1 evaluations across the three outputs.  Derivatives are w.r.t.
-    x = lam/m (the caller applies the 1/m chain factors)."""
+    x = lam/m (the caller applies the 1/m chain factors).  `h` covers
+    levels kmin..kmin+K-1 (windowed joint MLE); kmin=0, K=q+2 is full."""
     x = lam / m
-    k = jnp.arange(1, q + 1, dtype=jnp.float32)
+    K = h.shape[-1]
+    kmax = kmin + K - 1
+    lo, hi = max(kmin, 1), min(kmax, q)
+    k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
     zk = jnp.exp2(-k)
     a = jnp.maximum(x[..., None] * zk, 1e-30)
     em = jnp.expm1(a)
     w = zk / em                      # z/(e^a - 1), <= 1/x: f32-safe
-    hm = h[..., 1:q + 1]
+    hm = h[..., lo - kmin:hi - kmin + 1]
     # log f(k) = -a + log(1 - e^-a); the (log(em) - 2a) form overflows f32
     # for a > ~88, so evaluate 1 - e^-a directly as -expm1(-a)
     val = (hm * (-a + jnp.log(-jnp.expm1(-a)))).sum(-1)
     d1 = (hm * (w - zk)).sum(-1)
     d2 = (hm * (-(w * w + zk * w))).sum(-1)
-    zq = 2.0 ** -q
-    aq = jnp.maximum(x * zq, 1e-30)
-    emq = jnp.expm1(aq)
-    wq = zq / emq
-    htop = h[..., q + 1]
-    val = val + h[..., 0] * (-x) + htop * jnp.log(-jnp.expm1(-aq))
-    d1 = d1 - h[..., 0] + htop * wq
-    d2 = d2 + htop * (-(wq * wq + zq * wq))
+    if kmin == 0:
+        val = val + h[..., 0] * (-x)
+        d1 = d1 - h[..., 0]
+    if kmax == q + 1:
+        zq = 2.0 ** -q
+        aq = jnp.maximum(x * zq, 1e-30)
+        wq = zq / jnp.expm1(aq)
+        htop = h[..., -1]
+        val = val + htop * jnp.log(-jnp.expm1(-aq))
+        d1 = d1 + htop * wq
+        d2 = d2 + htop * (-(wq * wq + zq * wq))
     return val, d1, d2
 
 
-def _joint_val_grad_hess(theta, stats, m: float, q: int):
+def _joint_val_grad_hess(theta, stats, m: float, q: int,
+                         kmin: int = 0):
     """Analytic (value, gradient, Hessian) of _joint_logl at theta = log
     lambda — one fused pass instead of value_and_grad + jacfwd(grad).
 
@@ -433,10 +449,10 @@ def _joint_val_grad_hess(theta, stats, m: float, q: int):
     la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
 
     # -- off-diagonal factors: four single-sketch likelihoods -------------
-    vA, gA, hA = _f_val_d1_d2(stats["gt_a"], la, m, q)        # w = (1,0,0)
-    vB, gB, hB = _f_val_d1_d2(stats["gt_b"], lb, m, q)        # w = (0,1,0)
-    vAB, gAB, hAB = _f_val_d1_d2(stats["lt_b"], lb + lx, m, q)  # w = (0,1,1)
-    vBA, gBA, hBA = _f_val_d1_d2(stats["lt_a"], la + lx, m, q)  # w = (1,0,1)
+    vA, gA, hA = _f_val_d1_d2(stats["gt_a"], la, m, q, kmin)   # w = (1,0,0)
+    vB, gB, hB = _f_val_d1_d2(stats["gt_b"], lb, m, q, kmin)   # w = (0,1,0)
+    vAB, gAB, hAB = _f_val_d1_d2(stats["lt_b"], lb + lx, m, q, kmin)  # (0,1,1)
+    vBA, gBA, hBA = _f_val_d1_d2(stats["lt_a"], la + lx, m, q, kmin)  # (1,0,1)
     val = vA + vB + vAB + vBA
     ga = gA + gBA
     gb = gB + gAB
@@ -449,7 +465,7 @@ def _joint_val_grad_hess(theta, stats, m: float, q: int):
     Hab = jnp.zeros_like(Haa)
 
     # -- diagonal (equal-register) term ------------------------------------
-    kk = jnp.arange(0, q + 2, dtype=jnp.float32)
+    kk = jnp.arange(kmin, kmin + stats["eq"].shape[-1], dtype=jnp.float32)
     zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)
     zk1f = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), 0.0)   # z_{k-1}; 0 at k=0
     labx = (la + lb + lx) / m
@@ -521,20 +537,22 @@ def _solve3_sym(H, g):
     return jnp.stack([x0, x1, x2])
 
 
-@partial(jax.jit, static_argnames=("p", "iters"))
-def joint_mle(stats, p: int, iters: int = 20) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("p", "iters", "kmin"))
+def joint_mle(stats, p: int, iters: int = 20, kmin: int = 0) -> jnp.ndarray:
     """Maximize the joint likelihood; returns (|A\\B|, |B\\A|, |A&B|).
 
-    `stats` is a dict of (q+2,) histograms (vmap over leading axes for
-    batches).  Mirrors the contract of hll_t::full_set_comparison /
-    ertl_joint (reference src/dashing.h:190, src/readfilt.cpp:118).
+    `stats` is a dict of histograms (vmap over leading axes for batches)
+    covering levels kmin..kmin+K-1 — kmin=0, K=q+2 is the full histogram,
+    which is what hll_t::full_set_comparison / ertl_joint use (reference
+    src/dashing.h:190, src/readfilt.cpp:118); the all-pairs engine passes
+    the level window directly (exact when all registers fall inside it).
     """
     m = float(1 << p)
-    q = stats["eq"].shape[-1] - 2
+    q = 64 - p
 
-    c_a = mle_estimate(stats["hist_a"], p)
-    c_b = mle_estimate(stats["hist_b"], p)
-    c_u = mle_estimate(stats["hist_u"], p)
+    c_a = mle_estimate_windowed(stats["hist_a"], p, kmin)
+    c_b = mle_estimate_windowed(stats["hist_b"], p, kmin)
+    c_u = mle_estimate_windowed(stats["hist_u"], p, kmin)
     # disjoint / degenerate initializations, clamped to a tiny positive rate
     tiny = 1e-3
     la0 = jnp.maximum(c_u - c_b, tiny)
@@ -544,7 +562,7 @@ def joint_mle(stats, p: int, iters: int = 20) -> jnp.ndarray:
 
     def body(_, carry):
         theta, best_val = carry
-        val, g, H = _joint_val_grad_hess(theta, stats, m, q)
+        val, g, H = _joint_val_grad_hess(theta, stats, m, q, kmin)
         H = H - 1e-4 * jnp.eye(3)
         step = _solve3_sym(H, g)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
@@ -554,7 +572,7 @@ def joint_mle(stats, p: int, iters: int = 20) -> jnp.ndarray:
         ok = jnp.all(jnp.isfinite(new))
         # accept the move; if the likelihood later drops we still keep the
         # best-seen theta via the carry comparison below
-        new_val = _joint_logl(new, stats, m, q)
+        new_val = _joint_logl(new, stats, m, q, kmin)
         take = ok & (new_val >= val)
         return (jnp.where(take, new, theta),
                 jnp.maximum(best_val, jnp.where(ok, new_val, -jnp.inf)))
