@@ -1,0 +1,67 @@
+"""Per-read containment-query throughput (the readfilt hot path).
+
+Batched sparse joint-MLE queries of short reads against one dense genome
+sketch (sketch/sparse.py; reference src/readfilt.cpp:102-110 does this one
+read at a time with a std::map).
+
+    python benchmarks/readfilt_bench.py [n_reads] [read_len] [p]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_reads: int = 16384, read_len: int = 150, p: int = 14, k: int = 21):
+    import jax
+    import jax.numpy as jnp
+    from dashing_tpu.pipeline import (_tile_to_hashes, SketchParams)
+    from dashing_tpu.ops.hll_update import bucket_rank
+    from dashing_tpu.sketch.sparse import sparse_joint_triples
+    from dashing_tpu.sketch.hll import HLL
+
+    rng = np.random.default_rng(0)
+    # reference sketch of a 5 Mb genome
+    ref = HLL(p)
+    ref.addh_np(rng.integers(0, 2 ** 63, 5_000_000, dtype=np.uint64) << np.uint64(1))
+    ref_regs = jnp.asarray(ref.regs.astype(np.int32))
+    ref_hist = jnp.asarray(ref.histogram())
+
+    width = 256
+    assert read_len + k <= width
+    tiles = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                       size=(n_reads, width))
+    tiles[:, read_len:] = ord("N")
+    tiles = jnp.asarray(tiles)
+    params = SketchParams(k=k)
+    sp = params.spacer()
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=True, encoding="bonsai", rehash=True)
+
+    @jax.jit
+    def query(tiles):
+        h, valid = _tile_to_hashes(tiles, **kw)
+        idx, rank = bucket_rank(h, p)
+        rank = jnp.where(valid, rank, 0)
+        tri = sparse_joint_triples(idx, rank, ref_regs, ref_hist, p)
+        denom = tri[:, 0] + tri[:, 2]
+        return jnp.where(denom > 0, tri[:, 2] / jnp.maximum(denom, 1e-30), 0.0)
+
+    _ = jax.device_get(query(tiles))
+    best = 1e9
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = jax.device_get(query(tiles))
+        best = min(best, time.perf_counter() - t0)
+    print(f"readfilt sparse query: {n_reads} reads x {read_len} bp, p={p}: "
+          f"{best * 1e3:.1f} ms -> {n_reads / best:,.0f} reads/s")
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)
