@@ -191,8 +191,17 @@ def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
         return read_sketch_auto(fname, opts.sketch_type)
     sk = build_sketch(path, opts, params)
     if opts.cache_sketch:
-        sk.write(fname)
+        atomic_write_sketch(sk, fname)
     return sk
+
+
+def atomic_write_sketch(sk, fname: str):
+    """Write-then-rename: concurrent writers of the same cache file (other
+    jobs, or other ranks in a multi-host run) each produce a complete file
+    and the last rename wins, instead of interleaving into a corrupt one."""
+    tmp = f"{fname}.tmp.{os.getpid()}"
+    sk.write(tmp)
+    os.replace(tmp, fname)
 
 
 def sketch_paths(paths_list: List[str], opts: CommonOpts):

@@ -158,6 +158,13 @@ def dist_main(argv: List[str]) -> int:
         if isinstance(sk, HLL):
             sk.estim, sk.jestim = o.estim, o.jestim
 
+    # Multi-host: the sketch phase above sharded+allgathered; comparison
+    # and every output file is rank 0's job (other ranks writing the same
+    # -O/-o paths would race).
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
+
     fp_sizes, close_sizes = core.open_output(out_sizes)
     core.emit_cardinalities(fp_sizes, names, sketches)
     if close_sizes:
@@ -200,6 +207,7 @@ def dist_main(argv: List[str]) -> int:
     if emit_fmt == BINARY:
         if mm is not None:
             mm.flush()
+            distmat.finalize_binary_mmap(out_dists)
         else:
             fp, close = core.open_output(out_dists, binary=True)
             distmat.write_binary(fp, cond, n)
@@ -361,10 +369,16 @@ def sketch_main(argv: List[str]) -> int:
 
     work = list(enumerate(inpaths))
     from ..parallel import distributed
-    if not output_file and distributed.process_count() > 1:
-        # per-file outputs: processes write disjoint strides of the list
-        # (the reference's OMP-dynamic file loop, lifted to hosts)
-        work = distributed.my_shard(work)
+    if distributed.process_count() > 1:
+        if output_file:
+            # single-stream output: one writer; other ranks would race on
+            # the same gzip file
+            if not distributed.is_main():
+                return 0
+        else:
+            # per-file outputs: processes write disjoint strides of the
+            # list (the reference's OMP-dynamic file loop, lifted to hosts)
+            work = distributed.my_shard(work)
 
     sketches = []
     for i, path in work:
@@ -382,7 +396,7 @@ def sketch_main(argv: List[str]) -> int:
         if output_file:
             sketches.append(sk)
         else:
-            sk.write(fname)
+            core.atomic_write_sketch(sk, fname)
     if output_file:
         with gzip.open(output_file + ".labels.gz", "wt") as fp:
             for path in inpaths:
@@ -430,6 +444,9 @@ def card_main(argv: List[str]) -> int:
         querypaths = paths.sort_paths_by_fsize(querypaths)
     inpaths += querypaths
     sketches = core.sketch_paths(inpaths, o)
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     if emit_binary:
         fp, close = core.open_output(out, binary=True)
         cards = np.asarray([s.report() for s in sketches], np.float32)
@@ -468,8 +485,25 @@ def hll_main(argv: List[str]) -> int:
     # register-max all-reduce merges the partials (the distributed form of
     # the reference's per-thread clone + merge, src/dashing.h:630-639).
     from ..parallel import distributed
+    import jax
+    from collections import deque
+    # bounded dispatch window: hll defaults to -S 24, so each in-flight
+    # handle pins a 64 MiB device register buffer — overlap host parsing
+    # with device compute without holding every file's buffer at once
+    window: deque = deque()
+    WINDOW = 4
+
+    def drain_one():
+        h = window.popleft()
+        dev = np.clip(np.asarray(jax.device_get(h)), 0, 255).astype(np.uint8)
+        np.maximum(regs, dev, out=regs)
+
     for path in distributed.my_shard(inpaths):
-        np.maximum(regs, pipeline.sketch_file_hll(path, params, p), out=regs)
+        window.append(pipeline.sketch_file_hll_async(path, params, p))
+        if len(window) >= WINDOW:
+            drain_one()
+    while window:
+        drain_one()
     regs = distributed.global_register_max(regs).astype(np.uint8)
     h = HLL(p, o.estim, o.jestim, regs)
     if distributed.is_main():
@@ -937,31 +971,50 @@ def readfilt_main(argv: List[str]) -> int:
     if not positional or not hllpath:
         eprint("readfilt -s ref.hll [-k 21] [-f 0.5] reads.fq [mates.fq]")
         return 1
+    import itertools
     ref = HLL.read(hllpath)
     fp, close = core.open_output(opath)
-    files = [list(fasta.read_records(p)) for p in positional[:2]]
-    if len(files) == 2 and len(files[0]) != len(files[1]):
-        eprint("Warning: mismatched numbers of reads between paired-end "
-               "files")
-        n = min(len(files[0]), len(files[1]))
-        files = [f[:n] for f in files]
-    pairs = (list(zip(*files)) if len(files) == 2
-             else [(r,) for r in files[0]])
     params = core.sketch_params(o)
     sp = params.spacer()
     # Paired mates join with an invalid separator so k-mers never span them
     # (same per-read k-mer set as the reference's two for_each calls,
     # readfilt.cpp:96-103).
     sepN = b"N" * sp.halo
-    seqs = [sepN.join(seq for _, seq in recs) for recs in pairs]
-    tri = pipeline.records_joint_triples(
-        seqs, params, ref.regs.astype(np.int32), ref.histogram(), ref.p)
-    denom = tri[:, 0] + tri[:, 2]
-    ci = np.where(denom > 0, tri[:, 2] / np.maximum(denom, 1e-300), 0.0)
-    for recs, c in zip(pairs, ci):
-        if c >= frac_cutoff:
-            for name, seq in recs:
-                fp.write(f">{name.decode()} {c:.4f}\n{seq.decode()}\n")
+    ref_regs = ref.regs.astype(np.int32)
+    ref_hist = ref.histogram()
+    CHUNK = 4096      # stream in bounded batches: read sets can be huge
+    iters = [iter(fasta.read_records(pth)) for pth in positional[:2]]
+    _end = object()
+    if len(iters) == 2:
+        pairs_iter = itertools.zip_longest(*iters, fillvalue=_end)
+    else:
+        pairs_iter = ((r,) for r in iters[0])
+    truncated = False
+    while True:
+        batch = []
+        for recs in pairs_iter:
+            if _end in recs:
+                if not truncated:
+                    eprint("Warning: mismatched numbers of reads between "
+                           "paired-end files")
+                    truncated = True
+                break
+            batch.append(recs)
+            if len(batch) >= CHUNK:
+                break
+        if not batch:
+            break
+        seqs = [sepN.join(seq for _, seq in recs) for recs in batch]
+        tri = pipeline.records_joint_triples(seqs, params, ref_regs,
+                                             ref_hist, ref.p)
+        denom = tri[:, 0] + tri[:, 2]
+        ci = np.where(denom > 0, tri[:, 2] / np.maximum(denom, 1e-300), 0.0)
+        for recs, c in zip(batch, ci):
+            if c >= frac_cutoff:
+                for name, seq in recs:
+                    fp.write(f">{name.decode()} {c:.4f}\n{seq.decode()}\n")
+        if truncated or len(batch) < CHUNK:
+            break
     if close:
         fp.close()
     return 0

@@ -52,6 +52,7 @@ def write_binary(path_or_fp: Union[str, IO[bytes]], condensed: np.ndarray,
 
 
 HEADER_BYTES = 9
+MAGIC_IN_PROGRESS = 0xFF   # dtype byte while tiles are still being written
 
 
 def create_binary_mmap(path: str, n: int) -> np.ndarray:
@@ -60,8 +61,11 @@ def create_binary_mmap(path: str, n: int) -> np.ndarray:
     land in the page cache while the device computes the next ones, the
     same compute/IO overlap as dm::parallel_fill :459-512).
 
-    Reattaches to an existing right-sized file (the reference's resume
-    behavior, distmat.h:209-232), so an interrupted run can be continued.
+    The dtype byte is held at MAGIC_IN_PROGRESS until finalize_binary_mmap
+    flips it, so a file from a crashed run is rejected by read_binary
+    instead of silently parsing as a complete matrix.  An existing
+    right-sized file's allocation is reused (reference distmat.h:209-232);
+    its contents are fully overwritten by the fill.
     """
     import os
     ne = n * (n - 1) // 2
@@ -70,14 +74,18 @@ def create_binary_mmap(path: str, n: int) -> np.ndarray:
     if os.path.exists(path) and os.path.getsize(path) == total:
         with open(path, "rb") as fp:
             hdr = fp.read(HEADER_BYTES)
-        if hdr[0] == MAGIC_FLOAT and struct.unpack("<Q", hdr[1:])[0] == n:
-            attach = True
-    if not attach:
-        with open(path, "wb") as fp:
-            fp.write(bytes([MAGIC_FLOAT]))
-            fp.write(struct.pack("<Q", n))
-            fp.truncate(total)
+        attach = struct.unpack("<Q", hdr[1:])[0] == n
+    with open(path, "r+b" if attach else "wb") as fp:
+        fp.write(bytes([MAGIC_IN_PROGRESS]))
+        fp.write(struct.pack("<Q", n))
+        fp.truncate(total)
     return np.memmap(path, np.float32, "r+", offset=HEADER_BYTES, shape=(ne,))
+
+
+def finalize_binary_mmap(path: str):
+    """Mark a create_binary_mmap file complete (call after flush)."""
+    with open(path, "r+b") as fp:
+        fp.write(bytes([MAGIC_FLOAT]))
 
 
 def read_binary(path: str):
@@ -89,6 +97,9 @@ def read_binary(path: str):
             opener = gzip.open
     with opener(path, "rb") as fp:
         magic = fp.read(1)[0]
+        if magic == MAGIC_IN_PROGRESS:
+            raise ValueError(f"{path}: incomplete distance matrix (the "
+                             "writing run crashed before finalizing)")
         if magic != MAGIC_FLOAT:
             raise ValueError(f"unsupported distance-matrix dtype code {magic}")
         (n,) = struct.unpack("<Q", fp.read(8))

@@ -298,6 +298,40 @@ def _records_to_registers(tiles: jnp.ndarray, *, k, w, positions, span, canon,
     return jax.vmap(one)(regs, idx, rank)
 
 
+MAX_RECORD_WIDTH = 65536
+
+
+def _record_batches(seqs: List[bytes], halo: int, batch: int):
+    """Group records into fixed-shape device batches.
+
+    Yields (take, tiles): `take` indexes into seqs; `tiles` is a
+    (rows_pow2, width_pow2) N-padded uint8 array, or None for batches of
+    huge records (width would exceed MAX_RECORD_WIDTH) that callers should
+    stream individually.  Length-sorting keeps the padded widths tight.
+    """
+    order = np.argsort([len(s) for s in seqs], kind="stable")
+    pos = 0
+    n = len(seqs)
+    while pos < n:
+        take = order[pos:pos + batch]
+        pos += len(take)
+        maxlen = max(len(seqs[i]) for i in take)
+        width = 128
+        while width < maxlen + halo:
+            width *= 2
+        if width > MAX_RECORD_WIDTH:
+            yield take, None
+            continue
+        gpad = 8
+        while gpad < len(take):
+            gpad *= 2
+        tiles = np.full((gpad, width), ord("N"), np.uint8)
+        for row, i in enumerate(take):
+            s = seqs[i]
+            tiles[row, :len(s)] = np.frombuffer(s, np.uint8)
+        yield take, tiles
+
+
 def sketch_records_hll(seqs: List[bytes], params: SketchParams, p: int,
                        batch: int = 2048) -> np.ndarray:
     """Per-record HLL registers for a list of sequences -> (n, 2^p) uint8.
@@ -309,33 +343,15 @@ def sketch_records_hll(seqs: List[bytes], params: SketchParams, p: int,
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
               canon=params.canon, encoding=params.encoding,
               rehash=params.rehash, entropy=params.entropy)
-    n = len(seqs)
-    out = np.zeros((n, 1 << p), np.uint8)
-    order = np.argsort([len(s) for s in seqs], kind="stable")
-    pos = 0
-    while pos < n:
-        take = order[pos:pos + batch]
-        maxlen = max(len(seqs[i]) for i in take)
-        width = 128
-        while width < maxlen + sp.halo:
-            width *= 2
-        if width > 65536:
-            # huge records: stream them individually
+    out = np.zeros((len(seqs), 1 << p), np.uint8)
+    for take, tiles in _record_batches(seqs, sp.halo, batch):
+        if tiles is None:
             for i in take:
                 out[i] = sketch_file_seq(seqs[i], params, p)
-            pos += len(take)
             continue
-        G = len(take)
-        gpad = 1
-        while gpad < G:
-            gpad *= 2
-        tiles = np.full((gpad, width), ord("N"), np.uint8)
-        for row, i in enumerate(take):
-            s = seqs[i]
-            tiles[row, :len(s)] = np.frombuffer(s, np.uint8)
         regs = _records_to_registers(jnp.asarray(tiles), **kw, p=p)
-        out[take] = np.clip(np.asarray(regs)[:G], 0, 255).astype(np.uint8)
-        pos += len(take)
+        out[take] = np.clip(np.asarray(regs)[:len(take)], 0, 255
+                            ).astype(np.uint8)
     return out
 
 
@@ -352,7 +368,6 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
     """
     from .sketch.sparse import sparse_joint_triples
     from .sketch.hll import HLL, ertl_joint
-    from .sketch import estimators as est
 
     sp = params.spacer()
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
@@ -360,40 +375,21 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
               rehash=params.rehash, entropy=params.entropy)
     ref_regs_d = jnp.asarray(np.asarray(ref_regs, np.int32))
     ref_hist_d = jnp.asarray(np.asarray(ref_hist, np.float32))
-    n = len(seqs)
-    out = np.zeros((n, 3), np.float64)
-    order = np.argsort([len(s) for s in seqs], kind="stable")
-    pos = 0
-    while pos < n:
-        take = order[pos:pos + batch]
-        maxlen = max(len(seqs[i]) for i in take)
-        width = 128
-        while width < maxlen + sp.halo:
-            width *= 2
-        if width > 65536:
+    out = np.zeros((len(seqs), 3), np.float64)
+    for take, tiles in _record_batches(seqs, sp.halo, batch):
+        if tiles is None:
             # huge records: dense per-record path
             ref_hll = HLL(p, regs=np.clip(np.asarray(ref_regs), 0, 255
                                           ).astype(np.uint8))
             for i in take:
-                regs = sketch_file_seq(seqs[i], params, p)
-                q = HLL(p, regs=regs)
+                q = HLL(p, regs=sketch_file_seq(seqs[i], params, p))
                 out[i] = ertl_joint(q, ref_hll)
-            pos += len(take)
             continue
-        G = len(take)
-        gpad = 8
-        while gpad < G:
-            gpad *= 2
-        tiles = np.full((gpad, width), ord("N"), np.uint8)
-        for row, i in enumerate(take):
-            s = seqs[i]
-            tiles[row, :len(s)] = np.frombuffer(s, np.uint8)
         h, valid = _tile_to_hashes(jnp.asarray(tiles), **kw)
         idx, rank = bucket_rank(h, p)
         rank = jnp.where(valid, rank, 0)
         tri = sparse_joint_triples(idx, rank, ref_regs_d, ref_hist_d, p)
-        out[take] = np.asarray(tri)[:G]
-        pos += len(take)
+        out[take] = np.asarray(tri)[:len(take)]
     return out
 
 

@@ -242,7 +242,8 @@ def test_sketch_records_batched_matches_individual(rng):
         assert (regs[i] == want.regs).all(), i
 
 
-def test_distmat_mmap_roundtrip_and_reattach(tmp_path):
+def test_distmat_mmap_roundtrip_and_crash_detection(tmp_path):
+    import pytest
     from dashing_tpu.io import distmat
     n = 6
     path = str(tmp_path / "m.bin")
@@ -251,14 +252,19 @@ def test_distmat_mmap_roundtrip_and_reattach(tmp_path):
     mm[:] = vals
     mm.flush()
     del mm
+    # not finalized -> read must refuse (crashed-run artifact)
+    with pytest.raises(ValueError, match="incomplete"):
+        distmat.read_binary(path)
+    distmat.finalize_binary_mmap(path)
     n2, data = distmat.read_binary(path)
     assert n2 == n
     np.testing.assert_array_equal(data, vals)
-    # reattach preserves existing contents (resume semantics,
-    # reference distmat.h:209-232)
+    # reattach reuses the allocation (and re-marks it in-progress)
     mm2 = distmat.create_binary_mmap(path, n)
     np.testing.assert_array_equal(np.asarray(mm2), vals)
-    # size/precision mismatch recreates from scratch
+    with pytest.raises(ValueError, match="incomplete"):
+        distmat.read_binary(path)
+    # size mismatch recreates from scratch
     mm3 = distmat.create_binary_mmap(path, n + 1)
     assert np.asarray(mm3).shape == ((n + 1) * n // 2,)
     assert (np.asarray(mm3) == 0).all()
