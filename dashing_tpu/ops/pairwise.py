@@ -214,6 +214,21 @@ def _auto_kmin(regs: np.ndarray) -> int:
     return int(regs.min(initial=0))
 
 
+def compare_tile_async(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
+                       result_type: int, ksinv: float, estim: int,
+                       jestim: int, kmax: int, kmin: int) -> jnp.ndarray:
+    """One (na, nb) tile of the measure matrix, left on device.
+
+    jax dispatch is asynchronous, so callers can enqueue a window of tiles
+    and gather finished ones while the device works on the next — the
+    compute/transfer overlap the reference gets from its double-buffered
+    row writers (src/sketch_and_cmp.h:802-836)."""
+    stats = pair_stats(jnp.asarray(regs_a), jnp.asarray(regs_b), kmax,
+                       jestim == est.ERTL_JOINT_MLE, kmin)
+    tri = triples_from_stats(stats, p, estim, jestim, kmin)
+    return measure_from_triples(tri, result_type, ksinv)
+
+
 def compare_tile(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
                  result_type: int, ksinv: float, estim: int, jestim: int,
                  kmax: Optional[int] = None, kmin: int = 0) -> np.ndarray:
@@ -222,10 +237,11 @@ def compare_tile(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
     if kmax is None:
         kmax = max(_auto_kmax(regs_a, q), _auto_kmax(regs_b, q))
         kmin = min(_auto_kmin(regs_a), _auto_kmin(regs_b))
-    stats = pair_stats(jnp.asarray(regs_a), jnp.asarray(regs_b), kmax,
-                       jestim == est.ERTL_JOINT_MLE, kmin)
-    tri = triples_from_stats(stats, p, estim, jestim, kmin)
-    return np.asarray(measure_from_triples(tri, result_type, ksinv))
+    return np.asarray(compare_tile_async(regs_a, regs_b, p, result_type,
+                                         ksinv, estim, jestim, kmax, kmin))
+
+
+_TILE_WINDOW = 4          # async tiles in flight during all-pairs loops
 
 
 def all_pairs_condensed(sketches, result_type: int, k: int,
@@ -262,13 +278,20 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
             base = (gi * (2 * n - gi - 1)) // 2
             out[base + js_sel - gi - 1] = block[ii, sel]
 
+    from collections import deque
+    pending: deque = deque()
     for i0 in range(0, n, tile):
         a = regs[i0:i0 + tile]
         for j0 in range(i0, n, tile):
             b = regs[j0:j0 + tile]
-            block = compare_tile(a, b, p, result_type, ksinv, estim, jestim,
-                                 kmax, kmin)
-            put(i0, j0, block)
+            pending.append((i0, j0, compare_tile_async(
+                a, b, p, result_type, ksinv, estim, jestim, kmax, kmin)))
+            if len(pending) >= _TILE_WINDOW:
+                pi, pj, dev = pending.popleft()
+                put(pi, pj, np.asarray(dev))
+    while pending:
+        pi, pj, dev = pending.popleft()
+        put(pi, pj, np.asarray(dev))
     return out
 
 
@@ -287,13 +310,23 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
     kmin = min(_auto_kmin(rr), _auto_kmin(qq))
     nq, nr = qq.shape[0], rr.shape[0]
     out = np.empty((nq, nr), np.float32)
+    from collections import deque
+    pending: deque = deque()
+
+    def drain():
+        pi, pj, dev = pending.popleft()
+        out[pj:pj + tile, pi:pi + tile] = np.asarray(dev).T
+
     for i0 in range(0, nr, tile):
         for j0 in range(0, nq, tile):
             # triple order: lhs = reference, rhs = query (result_cmp(hlls[j], hq))
-            block = compare_tile(rr[i0:i0 + tile], qq[j0:j0 + tile], p,
-                                 result_type, ksinv, estim, jestim, kmax,
-                                 kmin)
-            out[j0:j0 + tile, i0:i0 + tile] = block.T
+            pending.append((i0, j0, compare_tile_async(
+                rr[i0:i0 + tile], qq[j0:j0 + tile], p, result_type, ksinv,
+                estim, jestim, kmax, kmin)))
+            if len(pending) >= _TILE_WINDOW:
+                drain()
+    while pending:
+        drain()
     return out
 
 
@@ -308,10 +341,21 @@ def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
     kmax = _auto_kmax(regs, 64 - p)
     kmin = _auto_kmin(regs)
     out = np.empty((n, n), np.float32)
+    from collections import deque
+    pending: deque = deque()
+
+    def drain():
+        pi, pj, dev = pending.popleft()
+        out[pi:pi + tile, pj:pj + tile] = np.asarray(dev)
+
     for i0 in range(0, n, tile):
         for j0 in range(0, n, tile):
-            out[i0:i0 + tile, j0:j0 + tile] = compare_tile(
+            pending.append((i0, j0, compare_tile_async(
                 regs[i0:i0 + tile], regs[j0:j0 + tile], p, result_type,
-                ksinv, estim, jestim, kmax, kmin)
+                ksinv, estim, jestim, kmax, kmin)))
+            if len(pending) >= _TILE_WINDOW:
+                drain()
+    while pending:
+        drain()
     np.fill_diagonal(out, 0.0)
     return out
