@@ -94,8 +94,12 @@ class Spacer:
     """
 
     def __init__(self, k: int, w: int = 0, gaps: Optional[List[int]] = None):
-        if k < 1 or k > 32:
-            raise ValueError("BONSAI exact encoding requires 1 <= k <= 32")
+        # k > 32 is legal for the rolling encoders (reference
+        # src/enums.h:42-47: NTHASH/CYCLIC are unbounded); the BONSAI
+        # 2-bit-exact limit is enforced where that encoding is actually
+        # used (encode_tile / cli validate_k).
+        if k < 1:
+            raise ValueError("k must be >= 1")
         gaps = gaps if gaps is not None else [0] * (k - 1)
         self.k = k
         self.positions = [0]

@@ -344,3 +344,24 @@ def test_qr_binary_raw_rows(genomes, tmp_path, capsys):
     # raw f32 rows, no header (reference partdist_loop binary mode)
     assert data.shape == (2,)
     assert os.path.exists(out + ".labels")
+
+
+@pytest.mark.parametrize("flag", ["--use-nthash", "--use-cyclic-hash"])
+def test_dist_rolling_k_above_32(genomes, tmp_path, capsys, flag):
+    """k > 32 must work with the rolling encoders (reference src/enums.h:
+    42-47 NTHASH/CYCLIC are unbounded; only BONSAI is k<=32).  Regression:
+    the Spacer constructor used to reject k>32 for every encoding."""
+    capsys.readouterr()
+    run_cli(["dist", flag, "-k", "40", "-S", "12", "--avoid-sorting"]
+            + genomes)
+    out = capsys.readouterr().out
+    assert "##Names" in out
+    # self-similarity sanity: values parse as floats in [0, 1]
+    row = out.splitlines()[-2].split("\t")
+    vals = [float(v) for v in row[2:] if v != "-"]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_dist_bonsai_k_above_32_rejected(genomes, capsys):
+    with pytest.raises(SystemExit, match="k must be <= 32"):
+        run_cli(["dist", "-k", "40", "-S", "12"] + genomes)
