@@ -105,6 +105,9 @@ def parse_common(opts: CommonOpts, flag: str, val: str) -> bool:
         "--wj-exact": ("exact_weighted", True),
         "--use-bb-minhash": ("sketch_type", "bbmh"), "-8": ("sketch_type", "bbmh"),
         "--use-range-minhash": ("sketch_type", "rmh"),
+        # the reference declares this flag but ships it commented out
+        # (src/dashing.cpp:282); ours works
+        "--use-counting-range-minhash": ("sketch_type", "crmh"),
         "--use-bloom-filter": ("sketch_type", "bf"),
         "--use-full-khash-sets": ("sketch_type", "khset"),
         "--use-full-hash-sets": ("sketch_type", "khset"),
