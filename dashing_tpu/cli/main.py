@@ -451,6 +451,7 @@ def card_main(argv: List[str]) -> int:
         return 0
     if emit_binary:
         fp, close = core.open_output(out, binary=True)
+        core.batch_hll_reports(sketches)
         cards = np.asarray([s.report() for s in sketches], np.float32)
         fp.write(cards.tobytes())
         if close:
@@ -1096,6 +1097,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # Persistent XLA compilation cache: TPU compiles cost 60-160 s and
+    # dominated cold-start CLI wall time; cached reruns skip them entirely.
+    # Override the location with DASHING_TPU_CACHE_DIR; disable with "".
+    cache_dir = os.environ.get(
+        "DASHING_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "dashing_tpu_xla"))
+    if cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # Multi-host: wires up jax.distributed when DASHING_TPU_DISTRIBUTED is
     # set (parallel/distributed.py); a no-op in single-process runs.
     from ..parallel import distributed

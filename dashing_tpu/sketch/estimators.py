@@ -203,7 +203,11 @@ def mle_estimate(C: jnp.ndarray, p: int, iters: int = 24) -> jnp.ndarray:
     return jnp.where(full, jnp.inf, est)
 
 
+@partial(jax.jit, static_argnames=("p", "method"))
 def estimate(C: jnp.ndarray, p: int, method: int = ERTL_MLE) -> jnp.ndarray:
+    # jitted: called OUTSIDE jit (HLL.report, cardinality emission) this
+    # would otherwise run eagerly — one tunnel dispatch per op, ~10 s per
+    # histogram on the remote TPU.  Nested use inside other jits inlines.
     if method == ORIGINAL:
         return original_estimate(C, p)
     if method == ERTL_IMPROVED:
@@ -311,6 +315,7 @@ def original_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int
     return jnp.where(small, e_small, e)
 
 
+@partial(jax.jit, static_argnames=("p", "kmin", "method"))
 def estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
                       method: int = ERTL_MLE) -> jnp.ndarray:
     if method == ORIGINAL:
@@ -324,6 +329,7 @@ def estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
 # Joint MLE over register pairs.
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("q",))
 def pair_statistics(a: jnp.ndarray, b: jnp.ndarray, q: int):
     """Sufficient statistics for one register pair (each (..., m) int).
 
@@ -592,6 +598,7 @@ def joint_mle(stats, p: int, iters: int = 20, kmin: int = 0) -> jnp.ndarray:
 # Set-operation helpers used by the measures layer.
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("p", "method"))
 def union_triple_incl_excl(hist_a, hist_b, hist_u, p: int, method: int = ERTL_MLE):
     """(onlyA, onlyB, shared) by inclusion-exclusion on three cardinalities
     (the reference's non-JMLE path: us::intersection_size,
