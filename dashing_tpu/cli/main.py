@@ -481,6 +481,7 @@ def hll_main(argv: List[str]) -> int:
     if not inpaths:
         eprint("usage: hll [-k k] [-S p] [-F paths] files...")
         return 1
+    core.validate_k(o)
     params = core.sketch_params(o)
     p = core.hll_p_from_S(o.sketch_size)
     regs = np.zeros(1 << p, np.uint8)
@@ -925,6 +926,7 @@ def panel_main(argv: List[str]) -> int:
         raise SystemExit(f"Read {len(refs)} sketches but {len(labels)} labels")
     qpaths = paths.get_paths(inpath) if filesinfile else [inpath]
     o.sketch_size = refs[0].p
+    core.validate_k(o)
     params = core.sketch_params(o)
     fp, close = core.open_output(outpath)
     fp.write("#Query\tBestMatch\tContainment\tJaccard\n")
@@ -974,6 +976,7 @@ def readfilt_main(argv: List[str]) -> int:
     if not positional or not hllpath:
         eprint("readfilt -s ref.hll [-k 21] [-f 0.5] reads.fq [mates.fq]")
         return 1
+    core.validate_k(o)
     import itertools
     ref = HLL.read(hllpath)
     fp, close = core.open_output(opath)
@@ -1102,11 +1105,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     # Override the location with DASHING_TPU_CACHE_DIR; disable with "".
     cache_dir = os.environ.get(
         "DASHING_TPU_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "dashing_tpu_xla"))
+        os.path.join(os.environ.get("XDG_CACHE_HOME",
+                                    os.path.join(os.path.expanduser("~"),
+                                                 ".cache")),
+                     "dashing_tpu_xla"))
     if cache_dir:
-        import jax
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            import jax
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except OSError:
+            pass    # read-only HOME etc.: run without the persistent cache
     # Multi-host: wires up jax.distributed when DASHING_TPU_DISTRIBUTED is
     # set (parallel/distributed.py); a no-op in single-process runs.
     from ..parallel import distributed

@@ -242,6 +242,9 @@ def encode_tile(tile: jnp.ndarray, *, k: int, w: int, positions: Tuple[int, ...]
     base composition instead of the lexicographic value (the reference's
     -g/--by-entropy, bonsai score::Entropy; src/distmain.cpp:68).
     """
+    if k > 32:
+        raise ValueError("BONSAI exact encoding requires k <= 32 "
+                         "(use the nthash/cyclic rolling encoders)")
     code, valid = base_codes(tile)
     contiguous = span == k and positions == tuple(range(k))
     if contiguous:

@@ -244,6 +244,21 @@ def compare_tile(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
 _TILE_WINDOW = 4          # async tiles in flight during all-pairs loops
 
 
+def _windowed(tiles, writeback, window: int = _TILE_WINDOW):
+    """Drive (key, device_future) pairs keeping `window` tiles in flight;
+    `writeback(key, np_block)` lands each finished tile."""
+    from collections import deque
+    pending: deque = deque()
+    for key, dev in tiles:
+        pending.append((key, dev))
+        if len(pending) >= window:
+            k, d = pending.popleft()
+            writeback(k, np.asarray(d))
+    while pending:
+        k, d = pending.popleft()
+        writeback(k, np.asarray(d))
+
+
 def all_pairs_condensed(sketches, result_type: int, k: int,
                         estim: int, jestim: int, tile: int = 256,
                         out: Optional[np.ndarray] = None) -> np.ndarray:
@@ -278,20 +293,12 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
             base = (gi * (2 * n - gi - 1)) // 2
             out[base + js_sel - gi - 1] = block[ii, sel]
 
-    from collections import deque
-    pending: deque = deque()
-    for i0 in range(0, n, tile):
-        a = regs[i0:i0 + tile]
-        for j0 in range(i0, n, tile):
-            b = regs[j0:j0 + tile]
-            pending.append((i0, j0, compare_tile_async(
-                a, b, p, result_type, ksinv, estim, jestim, kmax, kmin)))
-            if len(pending) >= _TILE_WINDOW:
-                pi, pj, dev = pending.popleft()
-                put(pi, pj, np.asarray(dev))
-    while pending:
-        pi, pj, dev = pending.popleft()
-        put(pi, pj, np.asarray(dev))
+    _windowed((((i0, j0), compare_tile_async(
+                    regs[i0:i0 + tile], regs[j0:j0 + tile], p, result_type,
+                    ksinv, estim, jestim, kmax, kmin))
+                for i0 in range(0, n, tile)
+                for j0 in range(i0, n, tile)),
+               lambda key, block: put(key[0], key[1], block))
     return out
 
 
@@ -310,23 +317,15 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
     kmin = min(_auto_kmin(rr), _auto_kmin(qq))
     nq, nr = qq.shape[0], rr.shape[0]
     out = np.empty((nq, nr), np.float32)
-    from collections import deque
-    pending: deque = deque()
-
-    def drain():
-        pi, pj, dev = pending.popleft()
-        out[pj:pj + tile, pi:pi + tile] = np.asarray(dev).T
-
-    for i0 in range(0, nr, tile):
-        for j0 in range(0, nq, tile):
-            # triple order: lhs = reference, rhs = query (result_cmp(hlls[j], hq))
-            pending.append((i0, j0, compare_tile_async(
-                rr[i0:i0 + tile], qq[j0:j0 + tile], p, result_type, ksinv,
-                estim, jestim, kmax, kmin)))
-            if len(pending) >= _TILE_WINDOW:
-                drain()
-    while pending:
-        drain()
+    # triple order: lhs = reference, rhs = query (result_cmp(hlls[j], hq))
+    _windowed((((i0, j0), compare_tile_async(
+                    rr[i0:i0 + tile], qq[j0:j0 + tile], p, result_type,
+                    ksinv, estim, jestim, kmax, kmin))
+                for i0 in range(0, nr, tile)
+                for j0 in range(0, nq, tile)),
+               lambda key, block: out.__setitem__(
+                   (slice(key[1], key[1] + tile),
+                    slice(key[0], key[0] + tile)), block.T))
     return out
 
 
@@ -341,21 +340,13 @@ def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
     kmax = _auto_kmax(regs, 64 - p)
     kmin = _auto_kmin(regs)
     out = np.empty((n, n), np.float32)
-    from collections import deque
-    pending: deque = deque()
-
-    def drain():
-        pi, pj, dev = pending.popleft()
-        out[pi:pi + tile, pj:pj + tile] = np.asarray(dev)
-
-    for i0 in range(0, n, tile):
-        for j0 in range(0, n, tile):
-            pending.append((i0, j0, compare_tile_async(
-                regs[i0:i0 + tile], regs[j0:j0 + tile], p, result_type,
-                ksinv, estim, jestim, kmax, kmin)))
-            if len(pending) >= _TILE_WINDOW:
-                drain()
-    while pending:
-        drain()
+    _windowed((((i0, j0), compare_tile_async(
+                    regs[i0:i0 + tile], regs[j0:j0 + tile], p, result_type,
+                    ksinv, estim, jestim, kmax, kmin))
+                for i0 in range(0, n, tile)
+                for j0 in range(0, n, tile)),
+               lambda key, block: out.__setitem__(
+                   (slice(key[0], key[0] + tile),
+                    slice(key[1], key[1] + tile)), block))
     np.fill_diagonal(out, 0.0)
     return out

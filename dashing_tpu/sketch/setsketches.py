@@ -256,7 +256,10 @@ class CountingBottomK(BottomK):
         return self.histogram_intersection(other)
 
     def full_set_comparison(self, other):
-        ji = BottomK.jaccard_index(self, other)
+        # triple built so shared/union == histogram_intersection: every
+        # emitted measure then derives from the WEIGHTED Jaccard, matching
+        # similarity<CRMFinal> (reference src/dashing.h:142-144)
+        ji = self.histogram_intersection(other)
         ca, cb = self.report(), other.report()
         cu = (ca + cb) / (1.0 + ji) if (1.0 + ji) else 0.0
         shared = ji * cu

@@ -111,3 +111,18 @@ def test_cli_type_dispatch(tmp_path, rng, capsys, flag):
     out = capsys.readouterr().out
     ji = float(out.splitlines()[-2].split("\t")[-1])
     assert 0.2 < ji < 0.65, (flag, ji)
+
+
+def test_crmh_weighted_jaccard_reflects_multiplicity():
+    """similarity<CRMFinal> = histogram intersection (reference
+    src/dashing.h:142-144): same SET with different multiplicities must NOT
+    give JI 1.0, and the comparison triple must agree with it."""
+    from dashing_tpu.sketch.setsketches import CountingBottomK
+    a, b = CountingBottomK(64), CountingBottomK(64)
+    vals = np.arange(1, 40, dtype=np.uint64)
+    a.addh_np(np.repeat(vals, 3))
+    b.addh_np(vals)
+    ji = a.jaccard_index(b)
+    assert abs(ji - 1.0 / 3.0) < 1e-9
+    tri = a.full_set_comparison(b)
+    assert abs(tri[2] / sum(tri) - ji) < 1e-9
