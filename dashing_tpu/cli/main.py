@@ -560,7 +560,9 @@ def union_main(argv: List[str]) -> int:
     if opath in ("-", "/dev/stdout"):
         merged.write_record(sys.stdout.buffer)
     else:
-        merged.write(opath)
+        # honor -Z gzip level (reference union.cpp compression flag)
+        with gzip.open(opath, "wb", compresslevel=compression_level) as fp:
+            merged.write_record(fp)
     return 0
 
 
