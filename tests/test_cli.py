@@ -365,3 +365,20 @@ def test_dist_rolling_k_above_32(genomes, tmp_path, capsys, flag):
 def test_dist_bonsai_k_above_32_rejected(genomes, capsys):
     with pytest.raises(SystemExit, match="k must be <= 32"):
         run_cli(["dist", "-k", "40", "-S", "12"] + genomes)
+
+
+def test_multifile_logical_path(genomes, tmp_path, capsys):
+    """One -F line with space-separated files = ONE logical genome
+    (for_each_substr, reference src/substrs.h:7-26): its sketch must equal
+    the union of the parts' sketches."""
+    pf = tmp_path / "paths.txt"
+    pf.write_text(f"{genomes[0]} {genomes[1]}\n{genomes[2]}\n")
+    run_cli(["sketch", "-k", "17", "-S", "11", "--avoid-sorting",
+             "-F", str(pf)])
+    # cache name drops everything before the first space, like the
+    # reference's make_fname (dashing.h:505: strchr(path, FNAME_SEP))
+    combo = HLL.read(genomes[1] + ".w.17.spacing.11.hll")
+    run_cli(["sketch", "-k", "17", "-S", "11", genomes[0], genomes[1]])
+    a = HLL.read(genomes[0] + ".w.17.spacing.11.hll")
+    b = HLL.read(genomes[1] + ".w.17.spacing.11.hll")
+    np.testing.assert_array_equal(combo.regs, np.maximum(a.regs, b.regs))
