@@ -206,6 +206,14 @@ def _stack_regs(sketches) -> np.ndarray:
     return np.stack([s.regs for s in sketches]).astype(np.int32)
 
 
+def _device_regs(regs: np.ndarray) -> jnp.ndarray:
+    """Upload the full register matrix ONCE as int8 (values <= 64 always
+    fit) and slice tiles on device — re-uploading 16 MB register slices
+    per tile dominated large-n runs over the tunnel (measured 0.1 M
+    pairs/s at n=4096 before this)."""
+    return jnp.asarray(regs.astype(np.int8))
+
+
 def _auto_kmax(regs: np.ndarray, q: int) -> int:
     return int(min(int(regs.max(initial=0)) + 1, q + 1))
 
@@ -260,7 +268,7 @@ def _windowed(tiles, writeback, window: int = _TILE_WINDOW):
 
 
 def all_pairs_condensed(sketches, result_type: int, k: int,
-                        estim: int, jestim: int, tile: int = 256,
+                        estim: int, jestim: int, tile: int = 1024,
                         out: Optional[np.ndarray] = None) -> np.ndarray:
     """Full symmetric comparison -> condensed upper-triangular vector of
     length n(n-1)/2, ordered like the reference's DistanceMatrix
@@ -293,9 +301,10 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
             base = (gi * (2 * n - gi - 1)) // 2
             out[base + js_sel - gi - 1] = block[ii, sel]
 
+    regs_d = _device_regs(regs)
     _windowed((((i0, j0), compare_tile_async(
-                    regs[i0:i0 + tile], regs[j0:j0 + tile], p, result_type,
-                    ksinv, estim, jestim, kmax, kmin))
+                    regs_d[i0:i0 + tile], regs_d[j0:j0 + tile], p,
+                    result_type, ksinv, estim, jestim, kmax, kmin))
                 for i0 in range(0, n, tile)
                 for j0 in range(i0, n, tile)),
                lambda key, block: put(key[0], key[1], block))
@@ -303,7 +312,7 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
 
 
 def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
-               estim: int, jestim: int, tile: int = 256) -> np.ndarray:
+               estim: int, jestim: int, tile: int = 1024) -> np.ndarray:
     """Query x reference rectangular comparison -> (nq, nr) matrix.
 
     Matches partdist_loop's orientation: row = query, entry j =
@@ -317,9 +326,10 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
     kmin = min(_auto_kmin(rr), _auto_kmin(qq))
     nq, nr = qq.shape[0], rr.shape[0]
     out = np.empty((nq, nr), np.float32)
+    rr_d, qq_d = _device_regs(rr), _device_regs(qq)
     # triple order: lhs = reference, rhs = query (result_cmp(hlls[j], hq))
     _windowed((((i0, j0), compare_tile_async(
-                    rr[i0:i0 + tile], qq[j0:j0 + tile], p, result_type,
+                    rr_d[i0:i0 + tile], qq_d[j0:j0 + tile], p, result_type,
                     ksinv, estim, jestim, kmax, kmin))
                 for i0 in range(0, nr, tile)
                 for j0 in range(0, nq, tile)),
@@ -330,7 +340,7 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
 
 
 def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
-                tile: int = 256) -> np.ndarray:
+                tile: int = 1024) -> np.ndarray:
     """(n, n) square matrix with 0 diagonal (FULL_TSV path,
     reference src/sketch_and_cmp.h:851-877)."""
     regs = _stack_regs(sketches)
@@ -340,9 +350,10 @@ def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
     kmax = _auto_kmax(regs, 64 - p)
     kmin = _auto_kmin(regs)
     out = np.empty((n, n), np.float32)
+    regs_d = _device_regs(regs)
     _windowed((((i0, j0), compare_tile_async(
-                    regs[i0:i0 + tile], regs[j0:j0 + tile], p, result_type,
-                    ksinv, estim, jestim, kmax, kmin))
+                    regs_d[i0:i0 + tile], regs_d[j0:j0 + tile], p,
+                    result_type, ksinv, estim, jestim, kmax, kmin))
                 for i0 in range(0, n, tile)
                 for j0 in range(0, n, tile)),
                lambda key, block: out.__setitem__(

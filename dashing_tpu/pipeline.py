@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+from collections import OrderedDict
 from typing import Iterable, List, Optional, Tuple
 
 import jax
@@ -107,9 +109,17 @@ def _tile_to_hashes(tile: jnp.ndarray, *, k, w, positions, span, canon,
     return h, valid
 
 
-def _read_joined(path: str, sep_len: int) -> np.ndarray:
-    """Logical path -> one separator-joined uint8 array.  Prefers the native
-    C++ loader (io/native.py); falls back to the numpy parser."""
+# Joined-bytes LRU: multi-k runs (mkdist) re-read every file once per k;
+# record separators only need >= halo invalid bytes and LONGER is harmless
+# (they stay invalid), so one cached join at _CACHE_SEP serves any
+# sep_len <= _CACHE_SEP.  Bounded by DASHING_TPU_JOIN_CACHE_MB (0 disables).
+_CACHE_SEP = 63
+_JOIN_CACHE: "OrderedDict[str, np.ndarray]" = OrderedDict()
+_JOIN_CACHE_LIMIT = int(float(os.environ.get(
+    "DASHING_TPU_JOIN_CACHE_MB", "512")) * 1e6)
+
+
+def _read_joined_uncached(path: str, sep_len: int) -> np.ndarray:
     from .io import native
     parts: List[np.ndarray] = []
     for sub in split_subpaths(path):
@@ -128,6 +138,24 @@ def _read_joined(path: str, sep_len: int) -> np.ndarray:
             glued.append(sep)
         glued.append(arr)
     return np.concatenate(glued) if glued else np.zeros(0, np.uint8)
+
+
+def _read_joined(path: str, sep_len: int) -> np.ndarray:
+    """Logical path -> one separator-joined uint8 array.  Prefers the native
+    C++ loader (io/native.py); falls back to the numpy parser."""
+    if sep_len > _CACHE_SEP or _JOIN_CACHE_LIMIT <= 0:
+        return _read_joined_uncached(path, sep_len)
+    arr = _JOIN_CACHE.pop(path, None)          # pop+reinsert = LRU order
+    if arr is None:
+        arr = _read_joined_uncached(path, _CACHE_SEP)
+        if arr.nbytes > _JOIN_CACHE_LIMIT:
+            return arr
+    _JOIN_CACHE[path] = arr
+    total = sum(a.nbytes for a in _JOIN_CACHE.values())
+    while total > _JOIN_CACHE_LIMIT and len(_JOIN_CACHE) > 1:
+        _, old = _JOIN_CACHE.popitem(last=False)   # evict least-recent
+        total -= old.nbytes
+    return arr
 
 
 def _file_tiles(path: str, sp: Spacer) -> Iterable[np.ndarray]:
