@@ -669,6 +669,8 @@ def mkdist_main(argv: List[str]) -> int:
         step = -step
     ks = list(range(s, e, step))
     fpaths = []
+    # per-k passes re-read every input: cache the joined bytes across ks
+    pipeline.set_join_cache(True)
     for k in ks:
         outp = f"_{outpref}_{k}"
         args = ["-b", "-O", outp, "-k", str(k)] + rest
@@ -677,8 +679,10 @@ def mkdist_main(argv: List[str]) -> int:
             args = ["--sizes", "--avoid-sorting"] + args
         rc = dist_main(args)
         if rc != 0:
+            pipeline.set_join_cache(False)
             return rc
         fpaths.append(outp)
+    pipeline.set_join_cache(False)
     eprint("Finished distance matrix calculations. Now flattening")
     rc = distmat.flatten_all(fpaths, outpref + ".bin", ks)
     if rc != 0 or not jukes_cantor:

@@ -210,8 +210,11 @@ def _device_regs(regs: np.ndarray) -> jnp.ndarray:
     """Upload the full register matrix ONCE as int8 (values <= 64 always
     fit) and slice tiles on device — re-uploading 16 MB register slices
     per tile dominated large-n runs over the tunnel (measured 0.1 M
-    pairs/s at n=4096 before this)."""
-    return jnp.asarray(regs.astype(np.int8))
+    pairs/s at n=4096 before this).  Clamp before the cast: legitimate
+    registers are <= 64, but a corrupt presketched file could carry values
+    >= 128 which would WRAP negative in int8 and satisfy every a<=lev
+    indicator instead of staying above the window."""
+    return jnp.asarray(np.minimum(regs, 127).astype(np.int8))
 
 
 def _auto_kmax(regs: np.ndarray, q: int) -> int:

@@ -112,11 +112,31 @@ def _tile_to_hashes(tile: jnp.ndarray, *, k, w, positions, span, canon,
 # Joined-bytes LRU: multi-k runs (mkdist) re-read every file once per k;
 # record separators only need >= halo invalid bytes and LONGER is harmless
 # (they stay invalid), so one cached join at _CACHE_SEP serves any
-# sep_len <= _CACHE_SEP.  Bounded by DASHING_TPU_JOIN_CACHE_MB (0 disables).
+# sep_len <= _CACHE_SEP.  OPT-IN (mkdist enables it around its per-k loop;
+# single-pass commands never re-read a path, so caching would only burn
+# RSS).  Bounded by DASHING_TPU_JOIN_CACHE_MB; entries are keyed with the
+# file's (mtime_ns, size) so a rewritten file is never served stale.
 _CACHE_SEP = 63
-_JOIN_CACHE: "OrderedDict[str, np.ndarray]" = OrderedDict()
+_JOIN_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
 _JOIN_CACHE_LIMIT = int(float(os.environ.get(
     "DASHING_TPU_JOIN_CACHE_MB", "512")) * 1e6)
+_JOIN_CACHE_ON = False
+
+
+def set_join_cache(enabled: bool):
+    """Toggle the joined-bytes cache (and drop it when disabling)."""
+    global _JOIN_CACHE_ON
+    _JOIN_CACHE_ON = enabled
+    if not enabled:
+        _JOIN_CACHE.clear()
+
+
+def _path_stamp(path: str):
+    try:
+        return tuple((st.st_mtime_ns, st.st_size)
+                     for st in (os.stat(sub) for sub in split_subpaths(path)))
+    except OSError:
+        return None
 
 
 def _read_joined_uncached(path: str, sep_len: int) -> np.ndarray:
@@ -143,18 +163,21 @@ def _read_joined_uncached(path: str, sep_len: int) -> np.ndarray:
 def _read_joined(path: str, sep_len: int) -> np.ndarray:
     """Logical path -> one separator-joined uint8 array.  Prefers the native
     C++ loader (io/native.py); falls back to the numpy parser."""
-    if sep_len > _CACHE_SEP or _JOIN_CACHE_LIMIT <= 0:
+    if not _JOIN_CACHE_ON or sep_len > _CACHE_SEP or _JOIN_CACHE_LIMIT <= 0:
         return _read_joined_uncached(path, sep_len)
-    arr = _JOIN_CACHE.pop(path, None)          # pop+reinsert = LRU order
-    if arr is None:
+    stamp = _path_stamp(path)
+    hit = _JOIN_CACHE.pop(path, None)          # pop+reinsert = LRU order
+    if hit is not None and hit[0] == stamp and stamp is not None:
+        arr = hit[1]
+    else:
         arr = _read_joined_uncached(path, _CACHE_SEP)
-        if arr.nbytes > _JOIN_CACHE_LIMIT:
+        if stamp is None or arr.nbytes > _JOIN_CACHE_LIMIT:
             return arr
-    _JOIN_CACHE[path] = arr
-    total = sum(a.nbytes for a in _JOIN_CACHE.values())
+    _JOIN_CACHE[path] = (stamp, arr)
+    total = sum(a[1].nbytes for a in _JOIN_CACHE.values())
     while total > _JOIN_CACHE_LIMIT and len(_JOIN_CACHE) > 1:
         _, old = _JOIN_CACHE.popitem(last=False)   # evict least-recent
-        total -= old.nbytes
+        total -= old[1].nbytes
     return arr
 
 

@@ -268,3 +268,25 @@ def test_distmat_mmap_roundtrip_and_crash_detection(tmp_path):
     mm3 = distmat.create_binary_mmap(path, n + 1)
     assert np.asarray(mm3).shape == ((n + 1) * n // 2,)
     assert (np.asarray(mm3) == 0).all()
+
+
+def test_join_cache_stat_invalidation(tmp_path):
+    """The opt-in joined-bytes cache must serve fresh content after a file
+    is rewritten (entries keyed on mtime/size)."""
+    from dashing_tpu import pipeline
+    fa = tmp_path / "x.fa"
+    fa.write_text(">a\nACGTACGTACGT\n")
+    pipeline.set_join_cache(True)
+    try:
+        first = pipeline._read_joined(str(fa), 10).copy()
+        # cache hit returns identical content
+        again = pipeline._read_joined(str(fa), 10)
+        np.testing.assert_array_equal(first, again)
+        import os, time
+        time.sleep(0.01)
+        fa.write_text(">a\nTTTTTTTTTTTT\n")
+        fresh = pipeline._read_joined(str(fa), 10)
+        assert not np.array_equal(first, fresh)
+        assert bytes(fresh[:12]) == b"TTTTTTTTTTTT"
+    finally:
+        pipeline.set_join_cache(False)
