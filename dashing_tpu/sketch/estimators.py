@@ -135,20 +135,6 @@ def improved_estimate(C: jnp.ndarray, p: int) -> jnp.ndarray:
     return _ALPHA_INF * m * m / denom
 
 
-def _mle_dlogl(x, C, q):
-    """d/dx of the Poisson log-likelihood at rate-per-register x = lambda/m."""
-    # k = 0 term: C0 * d(-x)/dx = -C0
-    k = jnp.arange(1, q + 1, dtype=jnp.float32)
-    zk = jnp.exp2(-k)
-    a = x[..., None] * zk
-    # d/dx [ -a + log(1 - e^-a) ] = z_k * (-1 + 1/(e^a - 1))
-    mid = (C[..., 1:q + 1] * zk * (-1.0 + 1.0 / jnp.expm1(jnp.maximum(a, 1e-30)))).sum(-1)
-    zq = 2.0 ** -q
-    aq = x * zq
-    top = C[..., q + 1] * zq / jnp.expm1(jnp.maximum(aq, 1e-30))
-    return -C[..., 0] + mid + top
-
-
 def _mle_dlogl12(x, C, q):
     """(L'(x), L''(x)) of the Poisson log-likelihood, one fused pass.
 
@@ -544,7 +530,7 @@ def _solve3_sym(H, g):
 
 
 @partial(jax.jit, static_argnames=("p", "iters", "kmin"))
-def joint_mle(stats, p: int, iters: int = 20, kmin: int = 0) -> jnp.ndarray:
+def joint_mle(stats, p: int, iters: int = 14, kmin: int = 0) -> jnp.ndarray:
     """Maximize the joint likelihood; returns (|A\\B|, |B\\A|, |A&B|).
 
     `stats` is a dict of histograms (vmap over leading axes for batches)
