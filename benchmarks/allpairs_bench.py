@@ -16,6 +16,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor the CLI's platform override (estimator sweeps run fine on CPU)
+if os.environ.get("DASHING_TPU_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["DASHING_TPU_PLATFORM"])
+
 
 def main(n: int = 1024, p: int = 14):
     import jax
