@@ -73,33 +73,37 @@ def device_rate() -> float:
 
 def host_baseline_rate() -> float:
     """Single-thread numpy version of the same pipeline (measured, then
-    treated as the per-core CPU baseline)."""
+    treated as the per-core CPU baseline).  Best of 3: single-shot host
+    timings vary ~5x with machine load."""
     from dashing_tpu.hashes import wang_hash_np
 
     rng = np.random.default_rng(0)
     n = 1 << 20
     seq = rng.integers(0, 4, n + K - 1, dtype=np.uint64)
-    t0 = time.perf_counter()
-    # shift-or encode (forward + rc + canonical), hash, bucket/rank, scatter
-    fwd = np.zeros(n, np.uint64)
-    rc = np.zeros(n, np.uint64)
-    for t in range(K):
-        fwd = (fwd << np.uint64(2)) | seq[t:t + n]
-        rc |= (np.uint64(3) - seq[t:t + n]) << np.uint64(2 * t)
-    km = np.minimum(fwd, rc)
-    h = wang_hash_np(km)
-    idx = (h >> np.uint64(64 - P)).astype(np.int64)
-    rest = (h << np.uint64(P)) | np.uint64(1 << (P - 1))
-    cnt = np.zeros(n, np.int64)
-    y = rest.copy()
-    for s in (32, 16, 8, 4, 2, 1):
-        zt = (y >> np.uint64(64 - s)) == 0
-        cnt += np.where(zt, s, 0)
-        y = np.where(zt, y << np.uint64(s), y)
-    regs = np.zeros(1 << P, np.uint8)
-    np.maximum.at(regs, idx, (cnt + 1).astype(np.uint8))
-    dt = time.perf_counter() - t0
-    return n / dt
+    best = 0.0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        # shift-or encode (fwd + rc + canonical), hash, bucket/rank, scatter
+        fwd = np.zeros(n, np.uint64)
+        rc = np.zeros(n, np.uint64)
+        for t in range(K):
+            fwd = (fwd << np.uint64(2)) | seq[t:t + n]
+            rc |= (np.uint64(3) - seq[t:t + n]) << np.uint64(2 * t)
+        km = np.minimum(fwd, rc)
+        h = wang_hash_np(km)
+        idx = (h >> np.uint64(64 - P)).astype(np.int64)
+        rest = (h << np.uint64(P)) | np.uint64(1 << (P - 1))
+        cnt = np.zeros(n, np.int64)
+        y = rest.copy()
+        for sh in (32, 16, 8, 4, 2, 1):
+            zt = (y >> np.uint64(64 - sh)) == 0
+            cnt += np.where(zt, sh, 0)
+            y = np.where(zt, y << np.uint64(sh), y)
+        regs = np.zeros(1 << P, np.uint8)
+        np.maximum.at(regs, idx, (cnt + 1).astype(np.uint8))
+        dt = time.perf_counter() - t0
+        best = max(best, n / dt)
+    return best
 
 
 def main():
