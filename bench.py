@@ -63,12 +63,14 @@ def device_rate() -> float:
                                     size=(ITERS, ROWS, C)))
     regs = jnp.zeros(1 << P, jnp.int32)
     _ = jax.device_get(run(chunks, regs))         # compile + warm
-    t0 = time.perf_counter()
-    out = run(chunks, regs)
-    _ = jax.device_get(out)                       # forces real completion
-    dt = time.perf_counter() - t0
     kmers = ROWS * CONTENT * ITERS
-    return kmers / dt
+    best = 0.0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        out = run(chunks, regs)
+        _ = jax.device_get(out)                   # forces real completion
+        best = max(best, kmers / (time.perf_counter() - t0))
+    return best
 
 
 def host_baseline_rate() -> float:
