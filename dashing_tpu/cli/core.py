@@ -161,7 +161,28 @@ def gather_inpaths(opts: CommonOpts, positional: List[str]) -> List[str]:
     return inp
 
 
+# file magic -> sketch type, for -H convenience (the reference requires
+# the matching type flag; we sniff and auto-correct with a warning)
+_MAGIC_TYPES = {b"DTPUHLL1": "hll", b"DTPUBF01": "bf", b"DTPURMH1": "rmh",
+                b"DTPUCRM1": "crmh", b"DTPUBBM1": "bbmh",
+                b"DTPUWHL1": "wide_hll", b"DTPUHMH1": "hmh",
+                b"DTPUSMH1": "superminhash"}
+
+
+def _sniff_sketch_type(path: str) -> Optional[str]:
+    try:
+        with gzip.open(path, "rb") as fp:
+            return _MAGIC_TYPES.get(fp.read(8))
+    except OSError:
+        return None
+
+
 def read_sketch_auto(path: str, sketch_type: str):
+    sniffed = _sniff_sketch_type(path) if isinstance(path, str) else None
+    if sniffed and sniffed != sketch_type:
+        eprint(f"Note: {path} is a .{SKETCH_EXTS[sniffed].lstrip('.')} "
+               f"sketch; loading as {sniffed} (requested {sketch_type})")
+        sketch_type = sniffed
     if sketch_type == "hll":
         return HLL.read(path)
     if sketch_type == "khset":
