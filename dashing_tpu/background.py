@@ -50,12 +50,17 @@ def background_match(freq_a: np.ndarray, freq_b: np.ndarray) -> float:
 
 
 def jukes_cantor_p(k_values: Sequence[int], isizes: Sequence[float],
-                   bg: float, n1: float, n2: float) -> float:
-    """Regress log(isz_k - bg^k * 4 * n1 * n2) on k; slope -> p = e^slope
-    (reference jukes_cantor_p, background.cpp:78-99)."""
+                   bg: float, n1: float, n2: float,
+                   ns1: int = 1, ns2: int = 1) -> float:
+    """Regress log(isz_k - bg^k * 4 * c1 * c2) on k; slope -> p = e^slope,
+    where c = size - (k-1)*numseqs is the per-k corrected k-mer count
+    (reference jukes_cantor_p, background.cpp:78-99: corrected_size
+    lambda at :85 — matters for fragmented assemblies at large k)."""
     xs, ys = [], []
     for k, isz in zip(k_values, isizes):
-        corrected = isz - (bg ** k) * 4.0 * n1 * n2
+        c1 = max(n1 - (k - 1) * ns1, 0.0)
+        c2 = max(n2 - (k - 1) * ns2, 0.0)
+        corrected = isz - (bg ** k) * 4.0 * c1 * c2
         if corrected > 0:
             xs.append(float(k))
             ys.append(math.log(corrected))
@@ -80,7 +85,7 @@ def mkmat2jcdistmat(flat_path: str, genome_paths: Sequence[str]) -> np.ndarray:
     (reference mkmat2jcdistmat, background.cpp:102-175)."""
     from .io.distmat import read_flattened
     nsets, ks, data = read_flattened(flat_path)   # data: (ne, nk)
-    freqs, sizes, _ = nuc_freqs(genome_paths)
+    freqs, sizes, numseqs = nuc_freqs(genome_paths)
     n = int(nsets)
     assert len(genome_paths) == n
     out = np.empty(data.shape[0], np.float32)
@@ -89,7 +94,8 @@ def mkmat2jcdistmat(flat_path: str, genome_paths: Sequence[str]) -> np.ndarray:
         for j in range(i + 1, n):
             bg = background_match(freqs[i], freqs[j])
             p = jukes_cantor_p(list(map(int, ks)), data[pos], bg,
-                               float(sizes[i]), float(sizes[j]))
+                               float(sizes[i]), float(sizes[j]),
+                               int(numseqs[i]), int(numseqs[j]))
             out[pos] = jcp2dist(p) if p == p else float("nan")
             pos += 1
     return out

@@ -317,6 +317,18 @@ def check_compatible(sketches):
         raise SystemExit(
             f"sketches have mixed precisions p={sorted(ps)}; re-sketch with "
             "a common -S or fold the larger ones down (dashing_tpu fold)")
+    # bottom-k family sizes (kk) must match too: comparing kk=128 against
+    # kk=1024 truncates to the left operand and gives an asymmetric JI
+    kks = {getattr(s, "kk", None) for s in sketches}
+    kks.discard(None)
+    if len(kks) > 1:
+        raise SystemExit(
+            f"minhash sketches have mixed sizes kk={sorted(kks)}; re-sketch "
+            "with a common -S")
+    types = {type(s).__name__ for s in sketches}
+    if len(types) > 1:
+        raise SystemExit(f"mixed sketch types {sorted(types)} cannot be "
+                         "compared")
 
 
 def compare_condensed(sketches, result_type: int, k: int, estim: int,

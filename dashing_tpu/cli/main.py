@@ -156,8 +156,10 @@ def dist_main(argv: List[str]) -> int:
         with metrics.phase("sketch", items=len(allpaths), unit="files"):
             sketches = core.sketch_paths(allpaths, o)
     for sk in sketches:
-        if isinstance(sk, HLL):
-            sk.estim, sk.jestim = o.estim, o.jestim
+        if hasattr(sk, "estim"):
+            sk.estim = o.estim
+        if hasattr(sk, "jestim"):
+            sk.jestim = o.jestim
 
     # Multi-host: the sketch phase above sharded+allgathered; comparison
     # and every output file is rank 0's job (other ranks writing the same
@@ -869,8 +871,10 @@ def dist_by_seq_main(argv: List[str]) -> int:
                 qsketches = [core.read_sketch_auto(qfp, o.sketch_type)
                              for _ in qnames]
     for sk in sketches:
-        if isinstance(sk, HLL):
-            sk.estim, sk.jestim = o.estim, o.jestim
+        if hasattr(sk, "estim"):
+            sk.estim = o.estim
+        if hasattr(sk, "jestim"):
+            sk.jestim = o.jestim
     fp, close = core.open_output(outpath, binary=(emit_fmt == BINARY))
     nq = 0
     if otherpath:

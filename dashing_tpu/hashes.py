@@ -56,3 +56,41 @@ def wang_hash_np(x: np.ndarray) -> np.ndarray:
 
 def seeded_wang_hash_np(x: np.ndarray, seed: int) -> np.ndarray:
     return wang_hash_np(np.asarray(x, np.uint64) ^ np.uint64(seed))
+
+
+def clz64_np(x: "np.ndarray") -> "np.ndarray":
+    """Branchless leading-zero count of nonzero uint64s (log-doubling).
+
+    Shared by the host HLL/WideHLL/HyperMinHash rank computations so the
+    rank semantics cannot drift between structures."""
+    import numpy as np
+    cnt = np.zeros(len(x), np.int64)
+    y = np.asarray(x, np.uint64).copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        zt = (y >> np.uint64(64 - s)) == 0
+        cnt += np.where(zt, s, 0)
+        y = np.where(zt, y << np.uint64(s), y)
+    return cnt
+
+
+def poisson_min_cardinality(mins: "np.ndarray", m: int) -> float:
+    """Invert E[min of uniforms per Poisson(lambda) bucket] = (1-e^-l)/l
+    by log-space bisection; cardinality = lambda * m.  `mins` holds the
+    FILLED buckets' minima as uint64; empty buckets count as min = 1.
+    Shared by the minhash family cardinality estimators."""
+    import math
+    import numpy as np
+    nfill = len(mins)
+    if nfill == 0:
+        return 0.0
+    u = np.asarray(mins, np.uint64).astype(np.float64) / 2.0 ** 64
+    u = np.concatenate([u, np.ones(m - nfill)])
+    mean = min(max(float(u.mean()), 1e-18), 1.0 - 1e-12)
+    lo, hi = 1e-9, 1e12
+    for _ in range(100):
+        lam = math.sqrt(lo * hi)
+        if -math.expm1(-lam) / lam > mean:
+            lo = lam
+        else:
+            hi = lam
+    return math.sqrt(lo * hi) * m

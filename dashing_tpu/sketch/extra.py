@@ -28,8 +28,9 @@ from typing import IO, Tuple
 
 import numpy as np
 
-from ..hashes import wang_hash_np
+from ..hashes import wang_hash_np, clz64_np, poisson_min_cardinality
 from . import estimators as est
+from .setsketches import _read_exact
 
 _HDR = struct.Struct("<8sII")
 
@@ -57,13 +58,8 @@ class WideHLL:
         hashes = np.asarray(hashes, np.uint64)
         idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (hashes << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        cnt = np.zeros(len(hashes), np.int64)
-        y = rest.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            zt = (y >> np.uint64(64 - s)) == 0
-            cnt += np.where(zt, s, 0)
-            y = np.where(zt, y << np.uint64(s), y)
-        np.maximum.at(self.regs, idx, (cnt + 1).astype(np.uint16))
+        rank = clz64_np(rest) + 1
+        np.maximum.at(self.regs, idx, rank.astype(np.uint16))
 
     def finalize(self):
         pass
@@ -80,6 +76,13 @@ class WideHLL:
 
     def full_set_comparison(self, other: "WideHLL"):
         import jax.numpy as jnp
+        if self.jestim == est.ERTL_JOINT_MLE:
+            # same register semantics as HLL, so the joint pair MLE applies
+            stats = est.pair_statistics(
+                jnp.asarray(self.regs.astype(np.int32)),
+                jnp.asarray(other.regs.astype(np.int32)), self.q)
+            tri = est.joint_mle(stats, self.p)
+            return tuple(float(x) for x in np.asarray(tri))
         ha = jnp.asarray(self.histogram())
         hb = jnp.asarray(other.histogram())
         hu = jnp.asarray(np.bincount(np.maximum(self.regs, other.regs),
@@ -121,7 +124,8 @@ class WideHLL:
         magic, p, ej = _HDR.unpack(hdr)
         if magic != cls.MAGIC:
             raise ValueError(f"bad WideHLL magic {magic!r}")
-        regs = np.frombuffer(fp.read(2 << p), "<u2").astype(np.uint16)
+        regs = np.frombuffer(_read_exact(fp, 2 << p, "WideHLL registers"),
+                             "<u2").astype(np.uint16)
         return cls(p, ej >> 8, ej & 0xFF, regs)
 
     @classmethod
@@ -142,7 +146,10 @@ class HyperMinHash:
 
     def __init__(self, p: int, regwidth: int = 16, regs: np.ndarray = None):
         self.p = int(p)
-        self.regwidth = int(regwidth)          # total bits (bbnbits)
+        # registers are packed (rank:6 | subhash:rbits) in uint32, so the
+        # usable width caps at 32; a requested 64 would shift the rank out
+        # of the register entirely
+        self.regwidth = min(int(regwidth), 32)  # total bits (bbnbits)
         self.rbits = max(self.regwidth - 6, 2)  # sub-hash bits
         self.regs = (np.zeros(1 << p, np.uint32) if regs is None
                      else np.asarray(regs, np.uint32))
@@ -154,13 +161,7 @@ class HyperMinHash:
     def _rank_sub(self, hashes: np.ndarray):
         idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (hashes << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        cnt = np.zeros(len(hashes), np.int64)
-        y = rest.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            zt = (y >> np.uint64(64 - s)) == 0
-            cnt += np.where(zt, s, 0)
-            y = np.where(zt, y << np.uint64(s), y)
-        rank = cnt + 1
+        rank = clz64_np(rest) + 1
         sub = (hashes & np.uint64((1 << self.rbits) - 1)).astype(np.int64)
         return idx, rank, sub
 
@@ -238,7 +239,8 @@ class HyperMinHash:
         magic, p, w = _HDR.unpack(hdr)
         if magic != cls.MAGIC:
             raise ValueError(f"bad HMH magic {magic!r}")
-        regs = np.frombuffer(fp.read(4 << p), "<u4").astype(np.uint32)
+        regs = np.frombuffer(_read_exact(fp, 4 << p, "HMH registers"),
+                             "<u4").astype(np.uint32)
         return cls(p, w, regs)
 
     @classmethod
@@ -261,6 +263,7 @@ class DensifiedMinHash:
         self.mins = (np.full(1 << p, self.EMPTY, np.uint64) if mins is None
                      else np.asarray(mins, np.uint64))
         self._dense = None
+        self._card = None
 
     @property
     def m(self) -> int:
@@ -275,6 +278,7 @@ class DensifiedMinHash:
         val = hashes << np.uint64(self.p)
         np.minimum.at(self.mins, idx, val)
         self._dense = None
+        self._card = None
 
     def finalize(self):
         self._densified()
@@ -300,22 +304,10 @@ class DensifiedMinHash:
         return dense
 
     def report(self) -> float:
-        filled = self.mins != self.EMPTY
-        if not filled.any():
-            return 0.0
-        import math
-        u = self.mins[filled].astype(np.float64) / 2.0 ** 64
-        u = np.concatenate([u, np.ones(self.m - int(filled.sum()))])
-        # E[min] = (1 - e^-lambda)/lambda under the Poisson bucket model
-        mean = min(max(float(u.mean()), 1e-18), 1.0 - 1e-12)
-        lo, hi = 1e-9, 1e12
-        for _ in range(100):
-            lam = math.sqrt(lo * hi)
-            if -math.expm1(-lam) / lam > mean:
-                lo = lam
-            else:
-                hi = lam
-        return math.sqrt(lo * hi) * self.m
+        if self._card is None:
+            filled = self.mins != self.EMPTY
+            self._card = poisson_min_cardinality(self.mins[filled], self.m)
+        return self._card
 
     cardinality_estimate = report
 
@@ -337,6 +329,7 @@ class DensifiedMinHash:
     def __iadd__(self, other: "DensifiedMinHash") -> "DensifiedMinHash":
         np.minimum(self.mins, other.mins, out=self.mins)
         self._dense = None
+        self._card = None
         return self
 
     def write_record(self, fp: IO[bytes]):
@@ -358,7 +351,8 @@ class DensifiedMinHash:
         magic, p, b = _HDR.unpack(hdr)
         if magic != cls.MAGIC:
             raise ValueError(f"bad SMH magic {magic!r}")
-        mins = np.frombuffer(fp.read(8 << p), "<u8").astype(np.uint64)
+        mins = np.frombuffer(_read_exact(fp, 8 << p, "SMH buckets"),
+                             "<u8").astype(np.uint64)
         return cls(p, b, mins)
 
     @classmethod

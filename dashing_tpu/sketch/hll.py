@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import u64
-from ..hashes import wang_hash, wang_hash_np
+from ..hashes import wang_hash, wang_hash_np, clz64_np
 from ..ops import hll_update
 from . import estimators as est
 
@@ -82,15 +82,9 @@ class HLL:
         hashes = np.asarray(hashes, np.uint64)
         idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (hashes << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # branchless clz on uint64 (rest is never zero: a bit is planted)
-        cnt = np.zeros(len(hashes), np.int64)
-        y = rest.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            zero_top = (y >> np.uint64(64 - s)) == 0
-            cnt += np.where(zero_top, s, 0)
-            y = np.where(zero_top, y << np.uint64(s), y)
-        rank = (cnt + 1).astype(np.uint8)
-        np.maximum.at(self.regs, idx, rank)
+        # rest is never zero (a bit is planted), so clz is well-defined
+        rank = clz64_np(rest) + 1
+        np.maximum.at(self.regs, idx, rank.astype(np.uint8))
         self._card = None
 
     def add_device(self, h: u64.U64, valid, backend: str = "scatter"):

@@ -41,6 +41,14 @@ def _read_gz(path_or_fp, fn):
     return fn(path_or_fp)
 
 
+def _read_exact(fp, nbytes: int, what: str) -> bytes:
+    data = fp.read(nbytes)
+    if len(data) != nbytes:
+        raise EOFError(f"truncated {what}: wanted {nbytes} payload bytes, "
+                       f"got {len(data)}")
+    return data
+
+
 def _expect_magic(fp, magic: bytes):
     hdr = fp.read(_HDR.size)
     if len(hdr) < _HDR.size:
@@ -128,7 +136,7 @@ class BloomFilter:
     def read_record(cls, fp: IO[bytes]) -> "BloomFilter":
         nbl2, nh = _expect_magic(fp, cls.MAGIC)
         nwords = (1 << nbl2) // 64 or 1
-        data = fp.read(8 * nwords)
+        data = _read_exact(fp, 8 * nwords, "bloom filter")
         return cls(nbl2, nh, np.frombuffer(data, "<u8").astype(np.uint64))
 
     @classmethod
@@ -206,7 +214,8 @@ class BottomK:
     @classmethod
     def read_record(cls, fp) -> "BottomK":
         kk, n = _expect_magic(fp, cls.MAGIC)
-        vals = np.frombuffer(fp.read(8 * n), "<u8").astype(np.uint64)
+        vals = np.frombuffer(_read_exact(fp, 8 * n, "minhash values"),
+                             "<u8").astype(np.uint64)
         return cls(kk, vals)
 
     @classmethod
@@ -228,14 +237,7 @@ class CountingBottomK(BottomK):
     def addh_np(self, raw: np.ndarray):
         h = wang_hash_np(np.asarray(raw, np.uint64))
         vals, cnts = np.unique(h, return_counts=True)
-        allv = np.concatenate([self.values, vals])
-        allc = np.concatenate([self.counts.astype(np.int64), cnts])
-        uniq, inv = np.unique(allv, return_inverse=True)
-        summed = np.zeros(uniq.size, np.int64)
-        np.add.at(summed, inv, allc)
-        keep = slice(0, self.kk)
-        self.values = uniq[keep]
-        self.counts = summed[keep].astype(np.uint32)
+        self._merge(vals, cnts)
 
     def finalize(self):
         pass
@@ -255,6 +257,26 @@ class CountingBottomK(BottomK):
     def jaccard_index(self, other: "CountingBottomK") -> float:
         return self.histogram_intersection(other)
 
+    def add_np(self, hashes: np.ndarray):
+        # BottomK.add_np would update values without counts; route through
+        # the counting insert (each hash counts once)
+        self._merge(np.asarray(hashes, np.uint64),
+                    np.ones(len(hashes), np.int64))
+
+    def _merge(self, vals: np.ndarray, cnts: np.ndarray):
+        allv = np.concatenate([self.values, vals])
+        allc = np.concatenate([self.counts.astype(np.int64), cnts])
+        uniq, inv = np.unique(allv, return_inverse=True)
+        summed = np.zeros(uniq.size, np.int64)
+        np.add.at(summed, inv, allc)
+        self.values = uniq[:self.kk]
+        self.counts = summed[:self.kk].astype(np.uint32)
+
+    def __iadd__(self, other: "CountingBottomK") -> "CountingBottomK":
+        self._merge(np.asarray(other.values, np.uint64),
+                    np.asarray(other.counts, np.int64))
+        return self
+
     def full_set_comparison(self, other):
         # triple built so shared/union == histogram_intersection: every
         # emitted measure then derives from the WEIGHTED Jaccard, matching
@@ -273,8 +295,10 @@ class CountingBottomK(BottomK):
     @classmethod
     def read_record(cls, fp) -> "CountingBottomK":
         kk, n = _expect_magic(fp, cls.MAGIC)
-        vals = np.frombuffer(fp.read(8 * n), "<u8").astype(np.uint64)
-        cnts = np.frombuffer(fp.read(4 * n), "<u4").astype(np.uint32)
+        vals = np.frombuffer(_read_exact(fp, 8 * n, "minhash values"),
+                             "<u8").astype(np.uint64)
+        cnts = np.frombuffer(_read_exact(fp, 4 * n, "minhash counts"),
+                             "<u4").astype(np.uint32)
         return cls(kk, vals, cnts)
 
 
@@ -317,26 +341,11 @@ class BBitMinHash:
     def finalize(self):
         if self._finalized:
             return
+        from ..hashes import poisson_min_cardinality
         filled = self.mins != self.EMPTY
-        nfill = int(filled.sum())
-        if nfill == 0:
-            self.est_cardinality_ = 0.0
-        else:
-            # Per-bucket min of N ~ Poisson(lambda) uniforms (empty: min = 1):
-            # E[min] = E[1/(N+1)] = (1 - e^-lambda)/lambda.  Invert the
-            # average by bisection in log-space, cardinality = lambda * m.
-            u = self.mins[filled].astype(np.float64) / 2.0 ** 64
-            u = np.concatenate([u, np.ones(self.m - nfill)])
-            mean = min(max(float(u.mean()), 1e-18), 1.0 - 1e-12)
-            lo, hi = 1e-9, 1e12
-            for _ in range(100):
-                lam = math.sqrt(lo * hi)
-                val = -math.expm1(-lam) / lam
-                if val > mean:
-                    lo = lam
-                else:
-                    hi = lam
-            self.est_cardinality_ = math.sqrt(lo * hi) * self.m
+        # per-bucket min of N ~ Poisson(lambda) uniforms: invert E[min]
+        self.est_cardinality_ = poisson_min_cardinality(
+            self.mins[filled], self.m)
         self._finalized = True
 
     def _regs_b(self) -> np.ndarray:
@@ -350,7 +359,15 @@ class BBitMinHash:
     cardinality_estimate = report
 
     def jaccard_index(self, other: "BBitMinHash") -> float:
-        f = float((self._regs_b() == other._regs_b()).mean())
+        # mutually-EMPTY buckets compare equal (both all-ones) but carry no
+        # evidence — counting them would report JI ~1 for two tiny disjoint
+        # sets; exclude them (a single-empty bucket is a true mismatch)
+        occupied = (self.mins != self.EMPTY) | (other.mins != other.EMPTY)
+        nocc = int(occupied.sum())
+        if nocc == 0:
+            return 0.0
+        eq = (self._regs_b() == other._regs_b()) & occupied
+        f = float(eq.sum()) / nocc
         c = 2.0 ** -self.b
         return max(0.0, (f - c) / (1.0 - c))
 
@@ -382,8 +399,9 @@ class BBitMinHash:
     @classmethod
     def read_record(cls, fp) -> "BBitMinHash":
         p, b = _expect_magic(fp, cls.MAGIC)
-        (card,) = struct.unpack("<d", fp.read(8))
-        mins = np.frombuffer(fp.read(8 * (1 << p)), "<u8").astype(np.uint64)
+        (card,) = struct.unpack("<d", _read_exact(fp, 8, "bbmh header"))
+        mins = np.frombuffer(_read_exact(fp, 8 * (1 << p), "bbmh buckets"),
+                             "<u8").astype(np.uint64)
         return cls(p, b, mins, card)
 
     @classmethod

@@ -126,3 +126,78 @@ def test_crmh_weighted_jaccard_reflects_multiplicity():
     assert abs(ji - 1.0 / 3.0) < 1e-9
     tri = a.full_set_comparison(b)
     assert abs(tri[2] / sum(tri) - ji) < 1e-9
+
+
+def test_crmh_union_preserves_counts():
+    """CountingBottomK merge must combine counts, not just values (the
+    inherited BottomK merge silently desynced values from counts)."""
+    from dashing_tpu.sketch.setsketches import CountingBottomK
+    a, b = CountingBottomK(64), CountingBottomK(64)
+    vals = np.arange(1, 30, dtype=np.uint64)
+    a.addh_np(np.repeat(vals, 2))
+    b.addh_np(vals)
+    a += b
+    assert a.values.size == a.counts.size
+    # every merged element should carry count 3 (2 from a + 1 from b)
+    want = CountingBottomK(64)
+    want.addh_np(np.repeat(vals, 3))
+    np.testing.assert_array_equal(a.values, want.values)
+    np.testing.assert_array_equal(a.counts, want.counts)
+    # and the record round-trips coherently
+    import io as _io
+    buf = _io.BytesIO()
+    a.write_record(buf)
+    buf.seek(0)
+    back = CountingBottomK.read_record(buf)
+    np.testing.assert_array_equal(back.counts, a.counts)
+
+
+def test_bbmh_disjoint_sparse_sets_not_inflated(rng):
+    """Mutually-empty buckets must not count as register matches: two tiny
+    DISJOINT sets must give JI ~0, not ~1."""
+    from dashing_tpu.sketch.setsketches import BBitMinHash
+    a, b = BBitMinHash(9, 16), BBitMinHash(9, 16)
+    a.addh_np(rng.integers(0, 2 ** 63, 10, dtype=np.uint64))
+    b.addh_np(rng.integers(0, 2 ** 63, 10, dtype=np.uint64))
+    assert a.jaccard_index(b) < 0.2
+    # identical sets still give 1
+    c = BBitMinHash(9, 16)
+    c.mins = a.mins.copy()
+    assert a.jaccard_index(c) > 0.95
+
+
+def test_hmh_regwidth_64_clamped(rng):
+    from dashing_tpu.sketch.extra import HyperMinHash
+    h = HyperMinHash(10, regwidth=64)
+    assert h.regwidth == 32
+    vals = rng.integers(0, 2 ** 63, 5000, dtype=np.uint64)
+    h.addh_np(vals)
+    card = h.getcard()
+    assert 0.8 * 5000 < card < 1.25 * 5000
+
+
+def test_truncated_sketch_files_rejected(tmp_path, rng):
+    import gzip
+    from dashing_tpu.sketch.extra import WideHLL
+    w = WideHLL(8)
+    w.addh_np(rng.integers(0, 2 ** 63, 100, dtype=np.uint64))
+    path = str(tmp_path / "w.whll")
+    w.write(path)
+    blob = gzip.open(path, "rb").read()
+    with gzip.open(path, "wb") as fp:
+        fp.write(blob[:len(blob) // 2])
+    with pytest.raises(EOFError, match="truncated"):
+        WideHLL.read(path)
+
+
+def test_jukes_cantor_corrected_counts():
+    """jukes_cantor_p must use size - (k-1)*numseqs per k (reference
+    background.cpp:85): fragmented assemblies overstate k-mer counts."""
+    from dashing_tpu import background as bg
+    ks = [15, 17, 19]
+    # synthetic: sizes chosen so the correction changes the background term
+    isz = [1e5, 6e4, 4e4]
+    p_whole = bg.jukes_cantor_p(ks, isz, 0.25, 1e6, 1e6, 1, 1)
+    p_frag = bg.jukes_cantor_p(ks, isz, 0.25, 1e6, 1e6, 10000, 10000)
+    assert p_whole == p_whole and p_frag == p_frag
+    assert p_whole != p_frag   # the numseqs correction must matter
