@@ -62,8 +62,9 @@ def clz64_np(x: "np.ndarray") -> "np.ndarray":
     """Branchless leading-zero count of nonzero uint64s (log-doubling).
 
     Shared by the host HLL/WideHLL/HyperMinHash rank computations so the
-    rank semantics cannot drift between structures."""
-    import numpy as np
+    rank semantics cannot drift between structures.  Callers guarantee
+    nonzero inputs (a guard bit is always planted)."""
+    x = np.atleast_1d(np.asarray(x, np.uint64))
     cnt = np.zeros(len(x), np.int64)
     y = np.asarray(x, np.uint64).copy()
     for s in (32, 16, 8, 4, 2, 1):
@@ -79,7 +80,6 @@ def poisson_min_cardinality(mins: "np.ndarray", m: int) -> float:
     FILLED buckets' minima as uint64; empty buckets count as min = 1.
     Shared by the minhash family cardinality estimators."""
     import math
-    import numpy as np
     nfill = len(mins)
     if nfill == 0:
         return 0.0

@@ -84,21 +84,15 @@ def _parse_fastq(data: bytes) -> List[Record]:
             continue
         if not header.startswith(b"@"):
             raise ValueError(f"malformed FASTQ near line {i}")
-        seq = lines[i + 1]
+        seq = lines[i + 1].rstrip(b"\r")   # CRLF files: kseq strips '\r' 
         # '+' line and quality line; quality may contain '@', hence fixed
         # 4-line stride (multi-line FASTQ is archaic and unsupported, as in
         # practice by kseq-based tools for quality-bearing reads).
         i += 4
-        name = header[1:].split()[0] if header[1:].split() else header[1:]
+        name = header[1:].split()[0] if header[1:].split() else header[1:].rstrip(b"\r")
         out.append((bytes(name), bytes(seq)))
     return out
 
-
-def iter_fastq_batches(path: str, batch_size: int) -> Iterator[List[Record]]:
-    """Stream FASTQ records in batches (for large read sets)."""
-    recs = read_records(path)
-    for i in range(0, len(recs), batch_size):
-        yield recs[i:i + batch_size]
 
 
 def fname_is_fq(path: str) -> bool:

@@ -130,7 +130,6 @@ def _pack_doubling(vals: jnp.ndarray, k: int, W: int, reverse: bool) -> U64:
     C = vals.shape[-1]
     f: U64 = (jnp.zeros(vals.shape, jnp.uint32), vals.astype(jnp.uint32))
     length = 1
-    blocks = [(f, 1)]
     while length * 2 <= k:
         off = length
         avail = C - (length * 2 - 1)
@@ -142,7 +141,6 @@ def _pack_doubling(vals: jnp.ndarray, k: int, W: int, reverse: bool) -> U64:
             lo_part = (f[0][..., off:off + avail], f[1][..., off:off + avail])
         f = u64.or_(u64.shl(hi_part, 2 * length), lo_part)
         length *= 2
-        blocks.append((f, length))
     if length == k:
         return f[0][..., :W], f[1][..., :W]
     # combine the big block with an overlapping copy covering the tail
@@ -212,11 +210,14 @@ def _shift_or_kmers(code: jnp.ndarray, valid: jnp.ndarray, positions: Tuple[int,
         wvalid = wvalid & v_t
         # forward: position t lands at bit offset 2*(k-1-t)
         fwd = u64.or_(fwd, u64.shl((jnp.zeros_like(c_t), c_t), 2 * (k - 1 - t)))
-        # reverse complement: the rc window reads back-to-front, so slot t of
-        # the rc k-mer samples the complement of the base at the mirrored
-        # offset span-1-positions[t].  (For spaced seeds this assumes a
-        # mirror-symmetric pattern, which contiguous k-mers always satisfy.)
-        p_rc = span - 1 - positions[t]
+        # reverse complement OF THE PACKED k-mer (complement each sampled
+        # base, reverse their order): slot t samples positions[k-1-t].
+        # This matches encode_oracle / bonsai's canonical_representation on
+        # the packed value — for contiguous k-mers it coincides with
+        # sampling the rc strand; for asymmetric spaced seeds it does not,
+        # and the packed-value convention is the one the exact-set oracle
+        # (and the reference) uses.
+        p_rc = positions[k - 1 - t]
         c_rc = (3 - code[..., p_rc:p_rc + W]).astype(jnp.uint32)
         rc = u64.or_(rc, u64.shl((jnp.zeros_like(c_rc), c_rc), 2 * (k - 1 - t)))
     return fwd, rc, wvalid
@@ -260,7 +261,7 @@ def encode_tile(tile: jnp.ndarray, *, k: int, w: int, positions: Tuple[int, ...]
     if w > span:
         win = w - span + 1
         if entropy:
-            km = _entropy_sliding_min(km, code, valid, positions, span, win)
+            km = _entropy_sliding_min(km, wvalid, code, positions, win)
         else:
             km = sliding_min(km, win)
         # A w-window emits only when every k-mer inside it is valid (fully
@@ -275,8 +276,8 @@ def encode_tile(tile: jnp.ndarray, *, k: int, w: int, positions: Tuple[int, ...]
     return km, wvalid
 
 
-def _entropy_sliding_min(km: U64, code: jnp.ndarray, valid: jnp.ndarray,
-                         positions, span: int, win: int) -> U64:
+def _entropy_sliding_min(km: U64, wvalid: jnp.ndarray, code: jnp.ndarray,
+                         positions, win: int) -> U64:
     """Minimizer selection by base-composition entropy.
 
     Key per k-mer = (quantized entropy << 21) | in-row offset, so a sliding
@@ -297,9 +298,11 @@ def _entropy_sliding_min(km: U64, code: jnp.ndarray, valid: jnp.ndarray,
         ent = ent - jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)), 0.0)
     entq = jnp.minimum((ent * (2.0 ** 18)).astype(jnp.uint32), (1 << 20) - 1)
     offs = jax.lax.broadcasted_iota(jnp.uint32, km[0].shape, km[0].ndim - 1)
-    kmer_valid = ~u64.eq(km, u64.full(km[0].shape, _SENTINEL))
+    # validity comes from the caller's window mask, NOT a sentinel-value
+    # compare: a legitimate all-T 32-mer (canon off) aliases the sentinel
+    # and must still be selectable
     # pack: hi = quantized entropy (invalid -> max), lo = in-row offset
-    key_hi = jnp.where(kmer_valid, entq, jnp.uint32(0xFFFFFFFF))
+    key_hi = jnp.where(wvalid, entq, jnp.uint32(0xFFFFFFFF))
     key_lo = offs
     best = sliding_min((key_hi, key_lo), win)
     Wout = best[0].shape[-1]

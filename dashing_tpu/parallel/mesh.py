@@ -15,7 +15,6 @@ chips up to HBM/ICI limits.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

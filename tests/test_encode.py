@@ -137,3 +137,37 @@ def test_entropy_minimizer_count(rng):
                             canon=True, entropy=True)
     n_windows = 300 - sp.w + 1
     assert int(np.asarray(valid).sum()) == n_windows
+
+
+def test_spaced_canonical_matches_oracle(rng):
+    """Asymmetric spaced seed + canonicalization: the device path must use
+    the revcomp of the PACKED sampled k-mer (like encode_oracle / the
+    exact-set backend), not re-sample the pattern on the rc strand."""
+    import jax.numpy as jnp
+    from dashing_tpu import u64
+    seq = "".join(rng.choice(list("ACGT"), size=400)).encode()
+    sp = encode.Spacer(5, 0, encode.parse_spacing("2", 5))  # asymmetric
+    tile = encode.tile_sequence(np.frombuffer(seq, np.uint8), 128, sp.halo)
+    km, valid = encode.encode_tile(jnp.asarray(tile), k=5, w=sp.w,
+                                   positions=tuple(sp.positions), span=sp.c,
+                                   canon=True)
+    got = np.sort(u64.to_np(km)[np.asarray(valid)])
+    want = np.sort(encode.encode_oracle(seq, sp, True))
+    assert got.shape == want.shape and (got == want).all()
+
+
+def test_entropy_minimizer_allT_not_sentinel_aliased():
+    """A valid all-T 32-mer (canon off) packs to 0xFF..FF, aliasing the
+    invalid sentinel; the entropy minimizer must still be able to pick it
+    (validity is a mask, not a value compare)."""
+    import jax.numpy as jnp
+    from dashing_tpu import u64
+    seq = (b"ACGT" * 10 + b"T" * 40 + b"ACGT" * 10)
+    sp = encode.Spacer(32, 40)
+    tile = encode.tile_sequence(np.frombuffer(seq, np.uint8), 128, sp.halo)
+    km, valid = encode.encode_tile(jnp.asarray(tile), k=32, w=40,
+                                   positions=tuple(sp.positions), span=32,
+                                   canon=False, entropy=True)
+    vals = u64.to_np(km)[np.asarray(valid)]
+    # the poly-T region's windows must select the all-T k-mer (entropy 0)
+    assert np.uint64(0xFFFFFFFFFFFFFFFF) in vals
