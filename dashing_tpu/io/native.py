@@ -40,11 +40,13 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO):
-            try:
-                subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
-                               check=True, capture_output=True, timeout=120)
-            except Exception:
+        try:
+            # always invoke make: a no-op when up to date, and it rebuilds
+            # after fastx.cpp edits instead of serving a stale .so
+            subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            if not os.path.exists(_SO):
                 return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -79,7 +81,11 @@ def read_joined(path: str, sep_len: int
         seq = np.ctypeslib.as_array(res.seq, shape=(n,)).copy() if n else \
             np.zeros(0, np.uint8)
         names_blob = ctypes.string_at(res.names, int(res.names_len))
-        names = names_blob.split(b"\n") if names_blob else []
+        nrec_hdr = int(res.nrecords)
+        names = (names_blob.split(b"\n") if nrec_hdr
+                 else [])   # one entry per record even for empty headers
+        if nrec_hdr and len(names) != nrec_hdr:
+            names = (names + [b""] * nrec_hdr)[:nrec_hdr]
         nrec = int(res.nrecords)
         ends = (np.ctypeslib.as_array(res.rec_ends, shape=(nrec,)).copy()
                 if nrec else np.zeros(0, np.uint64))

@@ -32,6 +32,10 @@ def maybe_initialize() -> bool:
     pid = os.environ.get("JAX_PROCESS_ID")
     kwargs = {}
     if coord:
+        if nproc is None or pid is None:
+            raise SystemExit(
+                "DASHING_TPU_DISTRIBUTED: JAX_COORDINATOR is set but "
+                "JAX_NUM_PROCESSES/JAX_PROCESS_ID are missing")
         kwargs = dict(coordinator_address=coord,
                       num_processes=int(nproc), process_id=int(pid))
     jax.distributed.initialize(**kwargs)

@@ -218,9 +218,11 @@ def sketch_file_hll_async(path: str, params: SketchParams, p: int):
             h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
             regs = update_registers(regs, h, valid & mask, p)
     else:
+        # the fused kernel packs (idx << 6 | rank) in int32, so bucket
+        # indices must fit 25 bits; larger p uses the unfused path
         fused_pallas = (_pallas_available() and params.encoding == "bonsai"
                         and not params.entropy and params.rehash
-                        and sp.w == sp.c and not sp.spaced)
+                        and sp.w == sp.c and not sp.spaced and p <= 25)
         for tile in _file_tiles(path, sp):
             if fused_pallas and tile.shape[0] % 8 == 0:
                 regs = _tile_to_registers_pallas(

@@ -100,7 +100,9 @@ class KSet:
         data = fp.read(8 * n)
         if len(data) != 8 * n:
             raise EOFError("truncated khset keys")
-        keys = np.sort(np.frombuffer(data, "<u8").astype(np.uint64))
+        # unique (not just sort): set ops downstream use assume_unique=True,
+        # and an external/corrupt file could carry duplicate keys
+        keys = np.unique(np.frombuffer(data, "<u8").astype(np.uint64))
         return cls(keys)
 
     @classmethod

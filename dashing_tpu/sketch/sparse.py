@@ -149,11 +149,9 @@ class SparseHLL:
     def from_hashes(cls, hashes: np.ndarray, p: int) -> "SparseHLL":
         """Pre-hashed u64 values -> sparse sketch (host)."""
         hashes = np.asarray(hashes, np.uint64)
-        idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
         tmp = HLL(p)
         tmp.add_np(hashes)
         occ = np.nonzero(tmp.regs)[0]
-        del idx
         return cls(p, occ.astype(np.int32),
                    tmp.regs[occ].astype(np.int32))
 
@@ -173,7 +171,11 @@ class SparseHLL:
         if ref.p != self.p:
             raise ValueError("precision mismatch")
         hist = ref.histogram() if ref_hist is None else ref_hist
-        L = max(int(len(self.idx)), 1)
+        # pad to the next power of two: sparse_joint_triples is shape-jitted
+        # and TPU compiles are expensive, so bound the compiled-shape count
+        L = 8
+        while L < len(self.idx):
+            L *= 2
         idx = np.zeros((1, L), np.int32)
         rank = np.zeros((1, L), np.int32)
         idx[0, :len(self.idx)] = self.idx

@@ -48,7 +48,8 @@ def occurrence_expand(kmers: np.ndarray, counts_cap: int = 0) -> np.ndarray:
 
 
 def cm_estimated_counts(kmers: np.ndarray, cmsize_log2: int = 22,
-                        nhashes: int = 10, seed: int = 1337) -> np.ndarray:
+                        nhashes: int = 10, seed: int = 1337
+                        ) -> "tuple[np.ndarray, np.ndarray]":
     """Count-min multiplicity estimates per unique k-mer (host numpy).
 
     Defaults mirror GlobalArgs: wj cm size 22, 10 hashes (reference

@@ -121,6 +121,7 @@ int dtpu_read_fastx(const char *path, uint32_t sep_len, DtpuFastx *out) {
             }
             rec_ends.push_back(seq.size());
             p = nl < end ? nl + 1 : end;           // -> '+' line
+            if (p < end && *p != '+') return -6;   // multi-line FASTQ: punt
             nl = line_end(p);
             p = nl < end ? nl + 1 : end;           // -> quality line
             nl = line_end(p);
@@ -132,8 +133,11 @@ int dtpu_read_fastx(const char *path, uint32_t sep_len, DtpuFastx *out) {
     out->seq = static_cast<uint8_t *>(std::malloc(seq.size() ? seq.size() : 1));
     std::memcpy(out->seq, seq.data(), seq.size());
     out->names_len = names.size();
-    out->names = static_cast<char *>(std::malloc(names.size() ? names.size() : 1));
+    // +1: the Python side reads this as a C string, so it must be
+    // NUL-terminated (ctypes strlen-scans past the end otherwise)
+    out->names = static_cast<char *>(std::malloc(names.size() + 1));
     std::memcpy(out->names, names.data(), names.size());
+    out->names[names.size()] = '\0';
     out->nrecords = rec_ends.size();
     out->rec_ends = static_cast<uint64_t *>(
         std::malloc(rec_ends.size() ? rec_ends.size() * 8 : 8));
