@@ -59,6 +59,8 @@ class CommonOpts:
     seed: int = 1337
     weighted_jaccard: bool = False
     exact_weighted: bool = False
+    wj_cmsize: int = 22            # GlobalArgs weighted_jaccard_cmsize
+    wj_nhashes: int = 10           # GlobalArgs weighted_jaccard_nhashes
     bbnbits: int = 16
     number_neighbors: int = 0
     nperbatch: int = 16
@@ -130,6 +132,15 @@ def parse_common(opts: CommonOpts, flag: str, val: str) -> bool:
     if flag in ("-J", "--ertl-joint-mle"):
         opts.jestim = est.ERTL_JOINT_MLE
         return True
+    if flag == "--wj-cm-sketch-size":
+        # setting the size implies weighted mode (reference distmain.cpp:84)
+        opts.wj_cmsize = int(val)
+        opts.weighted_jaccard = True
+        return True
+    if flag == "--wj-cm-nhashes":
+        opts.wj_nhashes = int(val)
+        opts.weighted_jaccard = True
+        return True
     if flag == "--nearest-neighbors":
         opts.number_neighbors = int(val)
         return True
@@ -152,7 +163,10 @@ def sketch_params(opts: CommonOpts, rehash: bool = True) -> pipeline.SketchParam
         encoding=opts.encoding, rehash=rehash,
         min_count=opts.mincount,
         use_counting_filter=opts.use_counting_filter,
-        entropy=opts.entropy_min)
+        entropy=opts.entropy_min,
+        cm_size_log2=(opts.cmsketchsize if opts.cmsketchsize > 0 else 20),
+        cm_nhashes=(opts.nhashes if opts.nhashes > 1 else 4),
+        cm_seed=opts.seed)
 
 
 def gather_inpaths(opts: CommonOpts, positional: List[str]) -> List[str]:
@@ -293,7 +307,8 @@ def _build_weighted(path: str, opts: CommonOpts, params: pipeline.SketchParams):
     from ..sketch.weighted import weighted_elements
     raw = pipeline.file_raw_kmers(path, _dc.replace(params, rehash=False))
     elements = weighted_elements(raw, exact=opts.exact_weighted,
-                                 cmsize_log2=22, nhashes=10, seed=opts.seed)
+                                 cmsize_log2=opts.wj_cmsize,
+                                 nhashes=opts.wj_nhashes, seed=opts.seed)
     if opts.sketch_type == "hll":
         p = hll_p_from_S(opts.sketch_size)
         h = HLL(p, opts.estim, opts.jestim)
@@ -344,13 +359,15 @@ def compare_condensed(sketches, result_type: int, k: int, estim: int,
     ksinv = 1.0 / k
     if out is None:
         out = np.empty(n * (n - 1) // 2, np.float32)
+    # batch ALL pair triples into one device call: a per-pair
+    # measure_from_triples dispatch costs ~6-9 ms over the tunnel
+    tris = np.empty((n * (n - 1) // 2, 3), np.float64)
     pos = 0
     for i in range(n):
         for j in range(i + 1, n):
-            tri = np.asarray(sketches[i].full_set_comparison(sketches[j]),
-                             np.float64)[None, :]
-            out[pos] = host_measure(tri, result_type, ksinv)[0]
+            tris[pos] = sketches[i].full_set_comparison(sketches[j])
             pos += 1
+    out[:] = host_measure(tris, result_type, ksinv)
     return out
 
 
@@ -359,11 +376,13 @@ def compare_rect(refs, queries, result_type: int, k: int, estim: int,
     if isinstance(refs[0], HLL):
         return pw.rect_pairs(refs, queries, result_type, k, estim, jestim)
     ksinv = 1.0 / k
-    out = np.empty((len(queries), len(refs)), np.float32)
+    nq, nr = len(queries), len(refs)
+    tris = np.empty((nq, nr, 3), np.float64)
     for qi, qs in enumerate(queries):
         for rj, rs in enumerate(refs):
-            tri = np.asarray(rs.full_set_comparison(qs), np.float64)[None, :]
-            out[qi, rj] = host_measure(tri, result_type, ksinv)[0]
+            tris[qi, rj] = rs.full_set_comparison(qs)
+    out = np.asarray(host_measure(tris.reshape(-1, 3), result_type, ksinv),
+                     np.float32).reshape(nq, nr)
     return out
 
 

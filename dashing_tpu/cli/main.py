@@ -191,8 +191,9 @@ def dist_main(argv: List[str]) -> int:
             _write_labels(out_dists, names)
         else:
             fp, close = core.open_output(out_dists)
+            vfmt = "\t%e" if use_scientific else "\t%g"
             for qi, qn in enumerate(q_names):
-                fp.write(qn + "".join("\t%g" % v for v in mat[qi]) + "\n")
+                fp.write(qn + "".join(vfmt % v for v in mat[qi]) + "\n")
             if close:
                 fp.close()
         return 0
@@ -201,7 +202,8 @@ def dist_main(argv: List[str]) -> int:
     # Binary to a real file: stream tiles through an mmap-backed matrix
     # (the reference's ftruncate+mmap parallel_fill path,
     # distmat/distmat.h:193-243,459-512) instead of buffering in RAM.
-    use_mmap = emit_fmt == BINARY and out_dists not in (None, "-")
+    use_mmap = (emit_fmt == BINARY
+                and out_dists not in (None, "-", "/dev/stdout"))
     mm = distmat.create_binary_mmap(out_dists, n) if use_mmap else None
     with metrics.phase("all-pairs compare", items=n * (n - 1) / 2,
                        unit="pairs"):
@@ -219,17 +221,19 @@ def dist_main(argv: List[str]) -> int:
         _write_labels(out_dists, names)
     elif emit_fmt == PHYLIP:
         fp, close = core.open_output(out_dists)
-        distmat.emit_phylip(fp, names, cond)
+        distmat.emit_phylip(fp, names, cond, use_scientific)
         if close:
             fp.close()
     elif emit_fmt == FULL_TSV:
         fp, close = core.open_output(out_dists)
-        distmat.emit_full_tsv(fp, names, distmat.condensed_to_square(cond, n))
+        distmat.emit_full_tsv(fp, names,
+                              distmat.condensed_to_square(cond, n),
+                              use_scientific)
         if close:
             fp.close()
     else:
         fp, close = core.open_output(out_dists)
-        distmat.emit_ut_tsv(fp, names, cond)
+        distmat.emit_ut_tsv(fp, names, cond, use_scientific)
         if close:
             fp.close()
     return 0
@@ -272,7 +276,7 @@ def _nn_emit(sketches, names, o: CommonOpts, result_type: int, emit_fmt: int,
     vals = np.take_along_axis(mat, order, axis=1)
     if emit_fmt == BINARY:
         fp, close = core.open_output(out_dists, binary=True)
-        fp.write(np.uint32(n).tobytes())
+        fp.write(np.uint32(npairs).tobytes())   # rows actually written
         fp.write(np.uint32(nn).tobytes())
         rec = np.zeros(npairs * nn, dtype=[("v", "<f4"), ("i", "<u4")])
         rec["v"] = vals.reshape(-1)
@@ -474,6 +478,8 @@ def hll_main(argv: List[str]) -> int:
     o.sketch_size = 24
     optlist, positional = _getopts(argv, "Cw:s:S:p:k:F:tfh?", ["help"])
     for flag, val in optlist:
+        if flag in ("-t", "-f"):
+            continue    # no-arg here (the reference declares but ignores them)
         if core.parse_common(o, flag, val):
             continue
         if flag in ("-h", "-?", "--help"):
@@ -560,7 +566,11 @@ def union_main(argv: List[str]) -> int:
         for path in plist[1:]:
             merged += core.read_sketch_auto(path, sketch_type)
     if opath in ("-", "/dev/stdout"):
-        merged.write_record(sys.stdout.buffer)
+        # reference union gzopens stdout ("wb6"): the stream must be gzipped
+        # or no other subcommand can read it back
+        with gzip.GzipFile(fileobj=sys.stdout.buffer, mode="wb",
+                           compresslevel=compression_level) as fp:
+            merged.write_record(fp)
     else:
         # honor -Z gzip level (reference union.cpp compression flag)
         with gzip.open(opath, "wb", compresslevel=compression_level) as fp:
@@ -779,14 +789,20 @@ def _sketch_one_seq(seq: bytes, o: CommonOpts, sp, kw, p: int):
             regs = update_registers(regs, h, valid, p)
         return HLL(p, o.estim, o.jestim,
                    np.clip(np.asarray(regs), 0, 255).astype(np.uint8))
-    # exact sets per sequence
+    # other structures build from the raw (unhashed) k-mer stream
     vals = []
     kw_raw = dict(kw, rehash=False)
     for i in range(0, tiles.shape[0], 64):
         h, valid = _tile_to_hashes(jnp.asarray(tiles[i:i + 64]), **kw_raw)
         vals.append(_u.to_np(h)[np.asarray(valid)])
-    return KSet.from_values(np.concatenate(vals) if vals else
-                            np.zeros(0, np.uint64))
+    kmers = np.concatenate(vals) if vals else np.zeros(0, np.uint64)
+    if o.sketch_type == "khset":
+        return KSet.from_values(kmers)
+    from ..sketch.setsketches import make_typed
+    sk = make_typed(o.sketch_type, o)
+    sk.addh_np(kmers)
+    sk.finalize()
+    return sk
 
 
 def dist_by_seq_main(argv: List[str]) -> int:
@@ -927,7 +943,13 @@ def panel_main(argv: List[str]) -> int:
                "[-o out]")
         return 1
     dbpath, inpath = positional
-    labels = [l for l in paths.get_paths(dbpath + ".labels") if l]
+    labels_path = (dbpath + ".labels" if os.path.exists(dbpath + ".labels")
+                   else dbpath + ".labels.gz")
+    if labels_path.endswith(".gz"):
+        with gzip.open(labels_path, "rt") as lf:
+            labels = [l.strip() for l in lf if l.strip()]
+    else:
+        labels = [l for l in paths.get_paths(labels_path) if l]
     refs = []
     with gzip.open(dbpath, "rb") as fp:
         for _ in labels:

@@ -110,11 +110,14 @@ def read_binary(path: str):
     return n, data.copy()
 
 
-def _fmt(v: float) -> str:
-    return "%.6g" % v
+def _fmt(v: float, scientific: bool = False) -> str:
+    # -e/--use-scientific switches the emitted float format (the
+    # reference's %le vs %lf toggle, src/sketch_and_cmp.h emitters)
+    return ("%e" if scientific else "%.6g") % v
 
 
-def emit_ut_tsv(fp, names: Sequence[str], condensed: np.ndarray):
+def emit_ut_tsv(fp, names: Sequence[str], condensed: np.ndarray,
+                scientific: bool = False):
     n = len(names)
     fp.write("##Names\t" + "\t".join(names) + "\n")
     pos = 0
@@ -122,12 +125,13 @@ def emit_ut_tsv(fp, names: Sequence[str], condensed: np.ndarray):
         row = [names[i]]
         row.extend(["-"] * (i + 1))
         cnt = n - i - 1
-        row.extend(_fmt(v) for v in condensed[pos:pos + cnt])
+        row.extend(_fmt(v, scientific) for v in condensed[pos:pos + cnt])
         pos += cnt
         fp.write("\t".join(row) + "\n")
 
 
-def emit_phylip(fp, names: Sequence[str], condensed: np.ndarray):
+def emit_phylip(fp, names: Sequence[str], condensed: np.ndarray,
+                scientific: bool = False):
     n = len(names)
     fp.write(f"{n}\n")
     pos = 0
@@ -136,19 +140,21 @@ def emit_phylip(fp, names: Sequence[str], condensed: np.ndarray):
         if len(name) < 9:
             name = name + " " * (9 - len(name))
         cnt = n - i - 1
-        vals = "".join("\t" + _fmt(v) for v in condensed[pos:pos + cnt])
+        vals = "".join("\t" + _fmt(v, scientific)
+                       for v in condensed[pos:pos + cnt])
         pos += cnt
         fp.write(name + vals + "\n")
 
 
-def emit_full_tsv(fp, names: Sequence[str], square: np.ndarray):
+def emit_full_tsv(fp, names: Sequence[str], square: np.ndarray,
+                  scientific: bool = False):
     # Header replicates the reference byte-for-byte (src/sketch_and_cmp.h:
     # 852-858): fputs("#Names") then each name followed by '\t' (or '\n'
     # after the last) — note NO separator between "#Names" and name 0.
     fp.write("#Names" + "\t".join(names) + "\n")
     n = len(names)
     for i in range(n):
-        vals = "\t".join(_fmt(square[i, j]) for j in range(n))
+        vals = "\t".join(_fmt(square[i, j], scientific) for j in range(n))
         fp.write(f"{names[i]}\t{vals}\n")
 
 

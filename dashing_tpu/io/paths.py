@@ -20,8 +20,8 @@ def get_paths(list_path: str) -> List[str]:
     out = []
     with open(list_path) as fp:
         for line in fp:
-            line = line.rstrip("\n")
-            if line:
+            line = line.rstrip("\r\n")   # CRLF path lists
+            if line.strip():
                 out.append(line)
     return out
 

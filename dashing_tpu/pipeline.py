@@ -44,6 +44,9 @@ class SketchParams:
     min_count: int = 1              # count threshold (--countmin / -c)
     use_counting_filter: bool = False
     entropy: bool = False           # -g/--by-entropy minimizer scoring
+    cm_size_log2: int = 20          # count-min geometry (-t/--cm-sketch-size)
+    cm_nhashes: int = 4             #   (-q/--nhashes when > 1)
+    cm_seed: int = 1337             #   (-R/--seed)
 
     def spacer(self) -> Spacer:
         return Spacer(self.k, self.w, parse_spacing(self.spacing, self.k))
@@ -273,9 +276,6 @@ def file_raw_kmers(path: str, params: SketchParams) -> np.ndarray:
 # count), without the stream-order dependence.
 # ---------------------------------------------------------------------------
 
-CM_SIZE_LOG2 = 20
-CM_NHASHES = 4
-CM_SEED = 1337
 
 
 def _cm_indices(h: u64.U64, nh: int, size_log2: int, seed: int):
@@ -313,15 +313,16 @@ def _count_filtered_tiles(path: str, params: SketchParams, sp: Spacer):
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
               canon=params.canon, encoding=params.encoding,
               rehash=params.rehash, entropy=params.entropy)
+    nh, sz, seed = params.cm_nhashes, params.cm_size_log2, params.cm_seed
     tiles = list(_file_tiles(path, sp))
-    counts = jnp.zeros((CM_NHASHES, 1 << CM_SIZE_LOG2), jnp.int32)
+    counts = jnp.zeros((nh, 1 << sz), jnp.int32)
     cached = []
     for tile in tiles:
         h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
-        counts = _cm_add(counts, h, valid, CM_NHASHES, CM_SIZE_LOG2, CM_SEED)
+        counts = _cm_add(counts, h, valid, nh, sz, seed)
         cached.append((tile, h, valid))
     for tile, h, valid in cached:
-        est = _cm_query(counts, h, CM_NHASHES, CM_SIZE_LOG2, CM_SEED)
+        est = _cm_query(counts, h, nh, sz, seed)
         yield tile, (est >= params.min_count) & valid
 
 
