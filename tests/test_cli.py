@@ -382,3 +382,46 @@ def test_multifile_logical_path(genomes, tmp_path, capsys):
     a = HLL.read(genomes[0] + ".w.17.spacing.11.hll")
     b = HLL.read(genomes[1] + ".w.17.spacing.11.hll")
     np.testing.assert_array_equal(combo.regs, np.maximum(a.regs, b.regs))
+
+
+def test_union_stdout_gzipped(genomes, tmp_path, capsysbinary):
+    """union to stdout must be gzip (reference gzopens stdout), so other
+    subcommands can read it back."""
+    for g in genomes[:2]:
+        run_cli(["sketch", "-k", "17", "-S", "11", g])
+    sks = [g + ".w.17.spacing.11.hll" for g in genomes[:2]]
+    capsysbinary.readouterr()
+    run_cli(["union"] + sks)
+    blob = capsysbinary.readouterr().out
+    assert blob[:2] == b"\x1f\x8b"
+    import io as _io
+    m = HLL.read(gzip.GzipFile(fileobj=_io.BytesIO(blob)))
+    want = HLL.read(sks[0])
+    want += HLL.read(sks[1])
+    np.testing.assert_array_equal(m.regs, want.regs)
+
+
+def test_dist_scientific_format(genomes, capsys):
+    run_cli(["dist", "-e", "-k", "17", "-S", "11", "--avoid-sorting"]
+            + genomes[:2])
+    out = capsys.readouterr().out
+    row = [l for l in out.splitlines() if l.endswith("-") is False
+           and "e-" in l or "e+" in l]
+    assert row, out   # at least one scientific-notation value emitted
+
+
+def test_sketch_by_seq_typed(tmp_path, rng, capsys):
+    seqs = ["".join(rng.choice(list("ACGT"), size=600)) for _ in range(3)]
+    fa = tmp_path / "m.fa"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    out = str(tmp_path / "db8.gz")
+    run_cli(["sketch_by_seq", "-8", "-k", "15", "-S", "11", "-o", out,
+             str(fa)])
+    from dashing_tpu.sketch.setsketches import BBitMinHash
+    with gzip.open(out, "rb") as fp:
+        recs = [BBitMinHash.read_record(fp) for _ in range(3)]
+    assert all(isinstance(r, BBitMinHash) for r in recs)
+    capsys.readouterr()
+    run_cli(["dist_by_seq", "-8", "-n", out + ".names", out])
+    got = capsys.readouterr().out
+    assert "##Names\ts0\ts1\ts2" in got
