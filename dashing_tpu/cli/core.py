@@ -381,8 +381,10 @@ def compare_rect(refs, queries, result_type: int, k: int, estim: int,
     for qi, qs in enumerate(queries):
         for rj, rs in enumerate(refs):
             tris[qi, rj] = rs.full_set_comparison(qs)
+    # .copy(): np.asarray over a jax array is read-only, and NN mode
+    # writes the diagonal
     out = np.asarray(host_measure(tris.reshape(-1, 3), result_type, ksinv),
-                     np.float32).reshape(nq, nr)
+                     np.float32).reshape(nq, nr).copy()
     return out
 
 

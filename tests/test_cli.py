@@ -425,3 +425,16 @@ def test_sketch_by_seq_typed(tmp_path, rng, capsys):
     run_cli(["dist_by_seq", "-8", "-n", out + ".names", out])
     got = capsys.readouterr().out
     assert "##Names\ts0\ts1\ts2" in got
+
+
+@pytest.mark.parametrize("flag", ["--use-bloom-filter",
+                                  "--use-full-khash-sets"])
+def test_nn_mode_non_hll(genomes, capsys, flag):
+    """NN mode must work for host-side sketch types (regression: the
+    batched compare returned a read-only array and the diagonal write
+    crashed)."""
+    run_cli(["dist", flag, "-k", "17", "-S", "12", "--nearest-neighbors",
+             "1", "--avoid-sorting"] + genomes)
+    out = capsys.readouterr().out
+    nn_lines = [l for l in out.splitlines() if ":" in l and "\t" in l]
+    assert len(nn_lines) >= 3
