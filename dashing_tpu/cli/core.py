@@ -186,9 +186,12 @@ _MAGIC_TYPES = {b"DTPUHLL1": "hll", b"DTPUBF01": "bf", b"DTPURMH1": "rmh",
 def _sniff_sketch_type(path: str) -> Optional[str]:
     try:
         with gzip.open(path, "rb") as fp:
-            return _MAGIC_TYPES.get(fp.read(8))
+            t = _MAGIC_TYPES.get(fp.read(8))
     except OSError:
         return None
+    if t is None and path.endswith(".khs"):
+        return "khset"    # reference-compatible khset files carry no magic
+    return t
 
 
 def read_sketch_auto(path: str, sketch_type: str):
