@@ -69,3 +69,61 @@ def encode_hash_keys(tile: jnp.ndarray, *, k: int, p: int, canon: bool = True,
 def keys_to_update_inputs(keys: jnp.ndarray):
     """Packed keys -> (bucket idx, rank) int32 pair."""
     return keys >> 6, keys & 63
+
+
+# ---------------------------------------------------------------------------
+# Packed-input variant: the host ships 2-bit codes (4 bases/byte) plus an
+# in-band validity plane instead of raw ASCII, cutting host->device
+# transfer ~3x (the dominant cost of the real sketch pipeline when the
+# link, not the chip, is the bottleneck).  XLA unpacks in the same jit;
+# the Pallas kernel then consumes code+valid directly.
+# ---------------------------------------------------------------------------
+
+def _codes_kernel(code_ref, valid_ref, out_ref, *, k: int, p: int,
+                  canon: bool):
+    code = code_ref[...].astype(jnp.int32)
+    valid = valid_ref[...] != 0
+    fwd, rc, wvalid = _shift_or_kmers_contiguous(code, valid, k)
+    km = u64.min_(fwd, rc) if canon else fwd
+    h = wang_hash(km)
+    idx = (h[0] >> (32 - p)).astype(jnp.int32)
+    rest = u64.or_(u64.shl(h, p), u64.const(1 << (p - 1)))
+    rank = (u64.clz(rest) + 1).astype(jnp.int32)
+    rank = jnp.where(wvalid, rank, 0)
+    out_ref[...] = (idx << 6) | rank
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p", "canon", "interpret"))
+def encode_hash_keys_from_codes(code: jnp.ndarray, valid: jnp.ndarray, *,
+                                k: int, p: int, canon: bool = True,
+                                interpret: bool = False) -> jnp.ndarray:
+    """(R, C) int32 2-bit codes + validity -> (R, C - k + 1) int32 keys."""
+    R, C = code.shape
+    W = C - k + 1
+    assert R % BLOCK_R == 0, R
+    grid = (R // BLOCK_R,)
+    spec = pl.BlockSpec((BLOCK_R, C), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_codes_kernel, k=k, p=p, canon=canon),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=pl.BlockSpec((BLOCK_R, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, W), jnp.int32),
+        interpret=interpret,
+    )(code, valid)
+
+
+def unpack_2bit(packed: jnp.ndarray, vbits: jnp.ndarray, C: int):
+    """(R, C/4) uint8 packed codes + (R, C/8) uint8 validity bits ->
+    ((R, C) int32 codes, (R, C) int32 valid).  Pure XLA; negligible next
+    to the transfer it saves."""
+    R = packed.shape[0]
+    pb = packed.astype(jnp.int32)
+    code = jnp.stack([(pb >> (2 * j)) & 3 for j in range(4)],
+                     axis=-1).reshape(R, -1)[:, :C]
+    vb = vbits.astype(jnp.int32)
+    valid = jnp.stack([(vb >> j) & 1 for j in range(8)],
+                      axis=-1).reshape(R, -1)[:, :C]
+    return code, valid
