@@ -103,13 +103,26 @@ def _pack_tile_host(tile: np.ndarray):
 def _packed_to_registers(packed: jnp.ndarray, vbits: jnp.ndarray,
                          regs: jnp.ndarray, *, k: int, p: int, canon: bool,
                          C: int) -> jnp.ndarray:
-    from .ops.pallas_encode import (encode_hash_keys_from_codes,
-                                    keys_to_update_inputs, unpack_2bit)
+    from .ops.pallas_encode import keys_to_update_inputs
     from .ops.hll_update import update_from_idx_rank
-    code, valid = unpack_2bit(packed, vbits, C)
-    keys = encode_hash_keys_from_codes(code, valid, k=k, p=p, canon=canon)
+    keys = _packed_to_keys(packed, vbits, k=k, p=p, canon=canon, C=C)
     idx, rank = keys_to_update_inputs(keys)
     return update_from_idx_rank(regs, idx, rank)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p", "canon", "C"))
+def _packed_to_keys(packed: jnp.ndarray, vbits: jnp.ndarray, *, k: int,
+                    p: int, canon: bool, C: int) -> jnp.ndarray:
+    from .ops.pallas_encode import encode_hash_keys_from_codes, unpack_2bit
+    code, valid = unpack_2bit(packed, vbits, C)
+    return encode_hash_keys_from_codes(code, valid, k=k, p=p, canon=canon)
+
+
+def _packed_ok(params: SketchParams, sp: Spacer, p: int) -> bool:
+    """Conditions under which the packed-upload fused path applies."""
+    return (_pallas_available() and params.encoding == "bonsai"
+            and not params.entropy and params.rehash
+            and sp.w == sp.c and not sp.spaced and p <= 25)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
@@ -256,9 +269,7 @@ def sketch_file_hll_async(path: str, params: SketchParams, p: int):
     else:
         # the fused kernel packs (idx << 6 | rank) in int32, so bucket
         # indices must fit 25 bits; larger p uses the unfused path
-        fused_pallas = (_pallas_available() and params.encoding == "bonsai"
-                        and not params.entropy and params.rehash
-                        and sp.w == sp.c and not sp.spaced and p <= 25)
+        fused_pallas = _packed_ok(params, sp, p)
         for tile in _file_tiles(path, sp):
             if fused_pallas and tile.shape[0] % 8 == 0:
                 # ship 2-bit packed codes + validity bits (~0.37 B/base)
@@ -470,6 +481,7 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
     ref_regs_d = jnp.asarray(np.asarray(ref_regs, np.int32))
     ref_hist_d = jnp.asarray(np.asarray(ref_hist, np.float32))
     out = np.zeros((len(seqs), 3), np.float64)
+    use_packed = _packed_ok(params, sp, p)
     for take, tiles in _record_batches(seqs, sp.halo, batch):
         if tiles is None:
             # huge records: dense per-record path
@@ -479,9 +491,17 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
                 q = HLL(p, regs=sketch_file_seq(seqs[i], params, p))
                 out[i] = ertl_joint(q, ref_hll)
             continue
-        h, valid = _tile_to_hashes(jnp.asarray(tiles), **kw)
-        idx, rank = bucket_rank(h, p)
-        rank = jnp.where(valid, rank, 0)
+        if use_packed and tiles.shape[0] % 8 == 0 and tiles.shape[1] % 8 == 0:
+            from .ops.pallas_encode import keys_to_update_inputs
+            packed, vbits = _pack_tile_host(tiles)
+            keys = _packed_to_keys(jnp.asarray(packed), jnp.asarray(vbits),
+                                   k=sp.k, p=p, canon=params.canon,
+                                   C=tiles.shape[1])
+            idx, rank = keys_to_update_inputs(keys)
+        else:
+            h, valid = _tile_to_hashes(jnp.asarray(tiles), **kw)
+            idx, rank = bucket_rank(h, p)
+            rank = jnp.where(valid, rank, 0)
         tri = sparse_joint_triples(idx, rank, ref_regs_d, ref_hist_d, p)
         out[take] = np.asarray(tri)[:len(take)]
     return out
