@@ -28,10 +28,10 @@ from .encode import base_codes, _shift_or_kmers_contiguous
 BLOCK_R = 8
 
 
-def _kernel(tile_ref, out_ref, *, k: int, p: int, canon: bool):
-    # int32 throughout: Mosaic has no int8 vector compares on this target
-    tile = tile_ref[...].astype(jnp.int32)
-    code, valid = base_codes(tile)
+def _keys_from_code_valid(code, valid, *, k: int, p: int, canon: bool):
+    """Shared kernel tail: (code, valid) -> packed (idx << 6 | rank) keys.
+    Both the ASCII and the packed-input kernels MUST stay bitwise
+    identical, so the math lives in exactly one place."""
     fwd, rc, wvalid = _shift_or_kmers_contiguous(code, valid, k)
     km = u64.min_(fwd, rc) if canon else fwd
     h = wang_hash(km)
@@ -39,7 +39,14 @@ def _kernel(tile_ref, out_ref, *, k: int, p: int, canon: bool):
     rest = u64.or_(u64.shl(h, p), u64.const(1 << (p - 1)))
     rank = (u64.clz(rest) + 1).astype(jnp.int32)
     rank = jnp.where(wvalid, rank, 0)
-    out_ref[...] = (idx << 6) | rank
+    return (idx << 6) | rank
+
+
+def _kernel(tile_ref, out_ref, *, k: int, p: int, canon: bool):
+    # int32 throughout: Mosaic has no int8 vector compares on this target
+    tile = tile_ref[...].astype(jnp.int32)
+    code, valid = base_codes(tile)
+    out_ref[...] = _keys_from_code_valid(code, valid, k=k, p=p, canon=canon)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "p", "canon", "interpret"))
@@ -83,14 +90,7 @@ def _codes_kernel(code_ref, valid_ref, out_ref, *, k: int, p: int,
                   canon: bool):
     code = code_ref[...].astype(jnp.int32)
     valid = valid_ref[...] != 0
-    fwd, rc, wvalid = _shift_or_kmers_contiguous(code, valid, k)
-    km = u64.min_(fwd, rc) if canon else fwd
-    h = wang_hash(km)
-    idx = (h[0] >> (32 - p)).astype(jnp.int32)
-    rest = u64.or_(u64.shl(h, p), u64.const(1 << (p - 1)))
-    rank = (u64.clz(rest) + 1).astype(jnp.int32)
-    rank = jnp.where(wvalid, rank, 0)
-    out_ref[...] = (idx << 6) | rank
+    out_ref[...] = _keys_from_code_valid(code, valid, k=k, p=p, canon=canon)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "p", "canon", "interpret"))

@@ -69,29 +69,20 @@ def _pallas_available() -> bool:
     return _PALLAS_OK
 
 
-@functools.partial(jax.jit, static_argnames=("k", "p", "canon"))
-def _tile_to_registers_pallas(tile: jnp.ndarray, regs: jnp.ndarray, *, k: int,
-                              p: int, canon: bool) -> jnp.ndarray:
-    from .ops.pallas_encode import encode_hash_keys, keys_to_update_inputs
-    keys = encode_hash_keys(tile, k=k, p=p, canon=canon)
-    idx, rank = keys_to_update_inputs(keys)
-    from .ops.hll_update import update_from_idx_rank
-    return update_from_idx_rank(regs, idx, rank)
-
-
 def _pack_tile_host(tile: np.ndarray):
     """ASCII (R, C) -> (2-bit codes packed 4/byte, validity bits packed
     8/byte).  The packed pair is ~0.37 B/base vs 1 B/base ASCII — the
     host->device link (tunnel or PCIe) is the real sketch pipeline's
     bottleneck, not the chip.  C must be a multiple of 8."""
+    from .ops.encode import _A, _C, _G, _T   # one classification rule
     R, C = tile.shape
     assert C % 8 == 0, C
     up = tile & 0xDF
     code = np.zeros(tile.shape, np.uint8)
-    code[up == 67] = 1   # C
-    code[up == 71] = 2   # G
-    code[up == 84] = 3   # T
-    valid = (up == 65) | (up == 67) | (up == 71) | (up == 84)
+    code[up == _C] = 1
+    code[up == _G] = 2
+    code[up == _T] = 3
+    valid = (up == _A) | (up == _C) | (up == _G) | (up == _T)
     c4 = code.reshape(R, -1, 4)
     packed = (c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4)
               | (c4[..., 3] << 6))
@@ -231,9 +222,16 @@ def _read_joined(path: str, sep_len: int) -> np.ndarray:
 
 
 def _file_tiles(path: str, sp: Spacer) -> Iterable[np.ndarray]:
-    """Yield (rows, CONTENT+halo) uint8 tiles covering a logical path."""
+    """Yield (rows, CONTENT+halo) uint8 tiles covering a logical path.
+
+    Widths are padded to a multiple of 8 with N once per file (the packed
+    upload path needs %8; trailing N columns only create invalid windows)."""
     joined = _read_joined(path, sp.halo)
     tiles = tile_sequence(joined, CONTENT, sp.halo)
+    padw = (-tiles.shape[1]) % 8
+    if padw:
+        tiles = np.pad(tiles, ((0, 0), (0, padw)),
+                       constant_values=ord("N"))
     for i in range(0, tiles.shape[0], MAX_ROWS):
         chunk = tiles[i:i + MAX_ROWS]
         # pad row count to the next power of two (few jit cache entries)
@@ -273,10 +271,6 @@ def sketch_file_hll_async(path: str, params: SketchParams, p: int):
         for tile in _file_tiles(path, sp):
             if fused_pallas and tile.shape[0] % 8 == 0:
                 # ship 2-bit packed codes + validity bits (~0.37 B/base)
-                pad = (-tile.shape[1]) % 8
-                if pad:
-                    tile = np.pad(tile, ((0, 0), (0, pad)),
-                                  constant_values=ord("N"))
                 packed, vbits = _pack_tile_host(tile)
                 regs = _packed_to_registers(
                     jnp.asarray(packed), jnp.asarray(vbits), regs,

@@ -65,3 +65,42 @@ def test_packed_path_matches_dense(rng):
     regs_dense = update_registers(jnp.zeros(1 << p, jnp.int32), h, wvalid, p)
     np.testing.assert_array_equal(np.asarray(regs_packed),
                                   np.asarray(regs_dense))
+
+
+def test_packed_records_sparse_triples_match(rng):
+    """The packed-upload branch of the per-record path must yield the same
+    sparse joint-MLE triples as the unpacked (_tile_to_hashes) branch."""
+    import jax.numpy as jnp
+    from dashing_tpu import pipeline
+    from dashing_tpu.ops.pallas_encode import (encode_hash_keys_from_codes,
+                                               keys_to_update_inputs,
+                                               unpack_2bit)
+    from dashing_tpu.ops.hll_update import bucket_rank
+    from dashing_tpu.sketch.sparse import sparse_joint_triples
+    from dashing_tpu.sketch.hll import HLL
+
+    k, p = 17, 10
+    ref = HLL(p)
+    ref.addh_np(rng.integers(0, 2 ** 63, 5000, dtype=np.uint64))
+    ref_regs = jnp.asarray(ref.regs.astype(np.int32))
+    ref_hist = jnp.asarray(ref.histogram())
+
+    tiles = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(8, 128))
+    packed, vbits = pipeline._pack_tile_host(tiles)
+    code, valid = unpack_2bit(jnp.asarray(packed), jnp.asarray(vbits), 128)
+    keys = encode_hash_keys_from_codes(code, valid, k=k, p=p, canon=True,
+                                       interpret=True)
+    idx_a, rank_a = keys_to_update_inputs(keys)
+    tri_a = np.asarray(sparse_joint_triples(idx_a, rank_a, ref_regs,
+                                            ref_hist, p))
+
+    params = pipeline.SketchParams(k=k)
+    sp = params.spacer()
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=True, encoding="bonsai", rehash=True)
+    h, valid2 = pipeline._tile_to_hashes(jnp.asarray(tiles), **kw)
+    idx_b, rank_b = bucket_rank(h, p)
+    rank_b = jnp.where(valid2, rank_b, 0)
+    tri_b = np.asarray(sparse_joint_triples(idx_b, rank_b, ref_regs,
+                                            ref_hist, p))
+    np.testing.assert_allclose(tri_a, tri_b, rtol=1e-6)
