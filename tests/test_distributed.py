@@ -118,3 +118,32 @@ def test_sketch_two_process_shards_files(genomes):
     assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
     for n in names:
         assert (tmp / (n + ".w.17.spacing.12.hll")).exists()
+
+
+def test_union_two_process_matches_single(genomes):
+    tmp, names = genomes
+    _run_single(["sketch", "-k", "17", "-S", "11", "--avoid-sorting"]
+                + names, tmp)
+    sks = [n + ".w.17.spacing.11.hll" for n in names]
+    single = _run_single(["union", "-o", "single.hll"] + sks, tmp)
+    outs = _run_pair(["union", "-o", "pair.hll"] + sks, tmp)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    import gzip
+    a = gzip.open(str(tmp / "single.hll"), "rb").read()
+    b = gzip.open(str(tmp / "pair.hll"), "rb").read()
+    assert a == b
+
+
+def test_card_two_process_matches_single(genomes):
+    tmp, names = genomes
+    args = ["card", "-k", "17", "-S", "12", "--avoid-sorting"] + names
+    single = _run_single(args, tmp)
+    outs = _run_pair(args, tmp)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+
+    def clean(s):
+        return "\n".join(l for l in s.splitlines()
+                         if not l.startswith("[Gloo]"))
+
+    assert clean(outs[0][1]) == clean(single)
+    assert "#Path" not in outs[1][1]   # non-main rank silent
