@@ -280,6 +280,67 @@ def sketch_file_hll_async(path: str, params: SketchParams, p: int):
     return regs
 
 
+@functools.partial(jax.jit, static_argnames=("p",))
+def _wj_label_update(hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray,
+                     p: int) -> jnp.ndarray:
+    from .sketch.weighted import occurrence_labels_device
+    from .ops.hll_update import update_from_idx_rank
+    lab, sv = occurrence_labels_device((hi, lo), valid)
+    idx, rank = bucket_rank(lab, p)
+    rank = jnp.where(sv, rank, 0)
+    return update_from_idx_rank(jnp.zeros(1 << p, jnp.int32), idx, rank)
+
+
+WJ_DEVICE_MAX_KMERS = 16 * 1024 * 1024   # the remote TPU compiler OOMs
+# scheduling much larger single sorts; bigger streams use the host path
+
+
+def sketch_file_wj_hll(path: str, params: SketchParams, p: int
+                       ) -> Optional[np.ndarray]:
+    """Weighted (exact multiset) HLL registers, fully on device.
+
+    The k-mer stream stays device-resident: one sort derives exact
+    per-value occurrence indices (sketch/weighted.py) and the labeled
+    elements scatter straight into registers — nothing is pulled to the
+    host (the host path hauls every k-mer across the link).  Returns None
+    when the file is too large for the device sort or the path is not
+    enabled.  DISABLED by default: the labeling is verified bitwise against
+    the host path, but this environment's TPU compiler needs >15 min to
+    schedule multi-million-element sorts, which buries the transfer saving
+    (see BENCH_NOTES.md).  Set DASHING_TPU_WJ_DEVICE=1 to enable on
+    toolchains with a faster sort compile."""
+    if (not _pallas_available()
+            or os.environ.get("DASHING_TPU_WJ_DEVICE", "") in ("", "0")):
+        return None
+    sp = params.spacer()
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=False, entropy=params.entropy)
+    his, los, vs = [], [], []
+    total = 0
+    for tile in _file_tiles(path, sp):
+        h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+        his.append(h[0].reshape(-1))
+        los.append(h[1].reshape(-1))
+        vs.append(valid.reshape(-1))
+        total += his[-1].shape[0]
+        if total > WJ_DEVICE_MAX_KMERS:
+            return None
+    if not his:
+        return np.zeros(1 << p, np.uint8)
+    hi = jnp.concatenate(his)
+    lo = jnp.concatenate(los)
+    v = jnp.concatenate(vs)
+    n = hi.shape[0]
+    N = 1 << max(n - 1, 0).bit_length()    # pow2 pad: bounded jit shapes
+    if N != n:
+        hi = jnp.pad(hi, (0, N - n))
+        lo = jnp.pad(lo, (0, N - n))
+        v = jnp.pad(v, (0, N - n))
+    regs = _wj_label_update(hi, lo, v, p)
+    return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)
+
+
 def file_kmer_hashes(path: str, params: SketchParams) -> np.ndarray:
     """All (hashed or raw per params.rehash) k-mer values of a path, host u64.
 

@@ -77,3 +77,42 @@ def weighted_elements(kmers: np.ndarray, exact: bool, cmsize_log2: int = 22,
     # rebuild a stream with CM-estimated multiplicities, then expand
     stream = np.repeat(uniq, est)
     return occurrence_expand(stream)
+
+
+# ---------------------------------------------------------------------------
+# Device-native occurrence labeling: the whole weighted expansion on the
+# chip.  The host path above pulls every k-mer to the host (640 MB for a
+# 1M-read FASTQ) and sorts there; this one sorts the device-resident
+# stream, derives per-value occurrence indices from run positions (exact
+# counts, order-free), and labels in place — nothing crosses the link.
+# ---------------------------------------------------------------------------
+
+def occurrence_labels_device(h, valid):
+    """Device u64 k-mer stream -> (labeled elements u64, sorted validity).
+
+    h: U64 pair of any shape; valid: matching bool.  Invalid lanes sort to
+    the end (forced to the max key) and stay masked in the output.
+    Element for the i-th occurrence of value v: wang_hash(v ^ i*GOLDEN) —
+    identical to the host occurrence_expand labeling.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .. import u64
+    from ..hashes import wang_hash
+    hi = h[0].reshape(-1)
+    lo = h[1].reshape(-1)
+    v = valid.reshape(-1)
+    # invalid lanes -> all-ones key so they form one run at the end
+    hi = jnp.where(v, hi, jnp.uint32(0xFFFFFFFF))
+    lo = jnp.where(v, lo, jnp.uint32(0xFFFFFFFF))
+    shi, slo, sv = jax.lax.sort((hi, lo, v.astype(jnp.int32)), num_keys=2)
+    n = shi.shape[0]
+    prev_hi = jnp.concatenate([~shi[:1], shi[:-1]])
+    prev_lo = jnp.concatenate([~slo[:1], slo[:-1]])
+    boundary = (shi != prev_hi) | (slo != prev_lo)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, iota, -1))
+    occ = (iota - run_start + 1).astype(jnp.uint32)
+    label = u64.mul_const((jnp.zeros_like(occ), occ), int(_GOLDEN))
+    return wang_hash(u64.xor((shi, slo), label)), sv != 0
