@@ -33,14 +33,20 @@ def occurrence_expand(kmers: np.ndarray, counts_cap: int = 0) -> np.ndarray:
     kmers = np.asarray(kmers, np.uint64)
     if kmers.size == 0:
         return kmers
-    uniq, inv, counts = np.unique(kmers, return_inverse=True,
-                                  return_counts=True)
+    uniq, counts = np.unique(kmers, return_counts=True)
     if counts_cap:
         counts = np.minimum(counts, counts_cap)
-    # occurrence index per element: repeat each unique value counts[j] times
-    # with labels 1..counts[j]
-    reps = np.repeat(uniq, counts)
-    offs = np.arange(counts.sum(), dtype=np.uint64)
+    return expand_unique_counts(uniq, counts)
+
+
+def expand_unique_counts(uniq: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(unique values, multiplicities) -> labeled elements (see
+    occurrence_expand); callers that already hold counts skip a full
+    sort+unique of the expanded stream."""
+    if uniq.size == 0:
+        return np.asarray(uniq, np.uint64)
+    reps = np.repeat(np.asarray(uniq, np.uint64), counts)
+    offs = np.arange(int(counts.sum()), dtype=np.uint64)
     starts = np.repeat(np.cumsum(counts) - counts, counts).astype(np.uint64)
     occ = offs - starts + np.uint64(1)
     with np.errstate(over="ignore"):
@@ -74,9 +80,7 @@ def weighted_elements(kmers: np.ndarray, exact: bool, cmsize_log2: int = 22,
     if exact:
         return occurrence_expand(kmers)
     uniq, est = cm_estimated_counts(kmers, cmsize_log2, nhashes, seed)
-    # rebuild a stream with CM-estimated multiplicities, then expand
-    stream = np.repeat(uniq, est)
-    return occurrence_expand(stream)
+    return expand_unique_counts(uniq, est)
 
 
 # ---------------------------------------------------------------------------
