@@ -307,25 +307,18 @@ def _build_weighted(path: str, opts: CommonOpts, params: pipeline.SketchParams):
     """wj::WeightedSketcher equivalent: occurrence-labeled multiset elements
     fed into the base sketch (see sketch/weighted.py).
 
-    HLL targets run fully on device with EXACT occurrence counts (strictly
-    more accurate than the reference's count-min approximation, which only
-    exists to save CPU memory); other sketch types use the host path."""
+    --wj-exact HLL targets may run fully on device (opt-in,
+    DASHING_TPU_WJ_DEVICE=1): exact counts match the host exact path
+    bitwise, so caches stay interchangeable.  The CM-approximate --wj mode
+    always uses the host path (its estimates are methodology, not just
+    speed, so substituting exact counts would silently mix semantics)."""
     import dataclasses as _dc
     from ..sketch.weighted import weighted_elements
-    if opts.sketch_type == "hll" and not opts.exact_weighted:
-        # --wj with default CM parameters: device-exact path
-        if (opts.wj_cmsize, opts.wj_nhashes) == (22, 10):
-            regs = pipeline.sketch_file_wj_hll(path, params,
-                                               hll_p_from_S(opts.sketch_size))
-            if regs is not None:
-                return HLL(hll_p_from_S(opts.sketch_size), opts.estim,
-                           opts.jestim, regs)
     if opts.sketch_type == "hll" and opts.exact_weighted:
-        regs = pipeline.sketch_file_wj_hll(path, params,
-                                           hll_p_from_S(opts.sketch_size))
+        p = hll_p_from_S(opts.sketch_size)
+        regs = pipeline.sketch_file_wj_hll(path, params, p)
         if regs is not None:
-            return HLL(hll_p_from_S(opts.sketch_size), opts.estim,
-                       opts.jestim, regs)
+            return HLL(p, opts.estim, opts.jestim, regs)
     raw = pipeline.file_raw_kmers(path, _dc.replace(params, rehash=False))
     elements = weighted_elements(raw, exact=opts.exact_weighted,
                                  cmsize_log2=opts.wj_cmsize,

@@ -310,7 +310,9 @@ def sketch_file_wj_hll(path: str, params: SketchParams, p: int
     (see BENCH_NOTES.md).  Set DASHING_TPU_WJ_DEVICE=1 to enable on
     toolchains with a faster sort compile."""
     if (not _pallas_available()
-            or os.environ.get("DASHING_TPU_WJ_DEVICE", "") in ("", "0")):
+            or os.environ.get("DASHING_TPU_WJ_DEVICE", "") in ("", "0")
+            or params.use_counting_filter):
+        # the counting filter's admit mask is host-side; fall back
         return None
     sp = params.spacer()
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,

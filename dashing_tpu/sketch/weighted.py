@@ -106,17 +106,20 @@ def occurrence_labels_device(h, valid):
     hi = h[0].reshape(-1)
     lo = h[1].reshape(-1)
     v = valid.reshape(-1)
-    # invalid lanes -> all-ones key so they form one run at the end
-    hi = jnp.where(v, hi, jnp.uint32(0xFFFFFFFF))
-    lo = jnp.where(v, lo, jnp.uint32(0xFFFFFFFF))
-    shi, slo, sv = jax.lax.sort((hi, lo, v.astype(jnp.int32)), num_keys=2)
+    # validity participates in the sort key (invalid last) so invalid lanes
+    # can NEVER merge into a valid run — not even for a legitimate k-mer
+    # whose value is all-ones (k=32 poly-T without canonicalization)
+    inv = (~v).astype(jnp.int32)
+    sinv, shi, slo = jax.lax.sort((inv, hi, lo), num_keys=3)
+    sv = sinv == 0
     n = shi.shape[0]
     prev_hi = jnp.concatenate([~shi[:1], shi[:-1]])
     prev_lo = jnp.concatenate([~slo[:1], slo[:-1]])
-    boundary = (shi != prev_hi) | (slo != prev_lo)
+    prev_inv = jnp.concatenate([1 - sinv[:1], sinv[:-1]])
+    boundary = (shi != prev_hi) | (slo != prev_lo) | (sinv != prev_inv)
     iota = jnp.arange(n, dtype=jnp.int32)
     run_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(boundary, iota, -1))
     occ = (iota - run_start + 1).astype(jnp.uint32)
     label = u64.mul_const((jnp.zeros_like(occ), occ), int(_GOLDEN))
-    return wang_hash(u64.xor((shi, slo), label)), sv != 0
+    return wang_hash(u64.xor((shi, slo), label)), sv

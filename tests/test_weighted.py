@@ -69,3 +69,47 @@ def test_wj_hll_cli(tmp_path, rng, capsys):
     out = capsys.readouterr().out
     ji = float(out.splitlines()[-2].split("\t")[-1])
     assert abs(ji - 0.5) < 0.08, ji
+
+
+def test_occurrence_labels_device_matches_host(rng):
+    """Device labeling must equal the host expansion — including a valid
+    all-ones k-mer value (which previously merged into the invalid run)."""
+    import jax.numpy as jnp
+    from dashing_tpu import u64
+    from dashing_tpu.sketch.weighted import (occurrence_labels_device,
+                                             occurrence_expand)
+    vals = np.concatenate([
+        rng.integers(0, 50, size=500).astype(np.uint64),
+        np.full(5, np.uint64(0xFFFFFFFFFFFFFFFF)),   # sentinel-valued k-mer
+    ])
+    rng.shuffle(vals)
+    valid = np.ones(vals.size, bool)
+    valid[rng.choice(vals.size, 60, replace=False)] = False
+    lab, sv = occurrence_labels_device(u64.from_np(vals),
+                                       jnp.asarray(valid))
+    got = np.sort(u64.to_np(lab)[np.asarray(sv)])
+    want = np.sort(occurrence_expand(vals[valid]))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sketch_file_wj_hll_matches_host(tmp_path, rng, monkeypatch):
+    """The opt-in device wj-exact path must produce the host path's
+    registers bitwise."""
+    import dashing_tpu.pipeline as pl
+    from dashing_tpu.sketch.hll import HLL
+    seq = "".join(rng.choice(list("ACGT"), size=4000))
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">a\n{seq}\n>b\n{seq}\n")   # every k-mer count >= 2
+    params = pl.SketchParams(k=17)
+    # host reference
+    from dashing_tpu.sketch.weighted import occurrence_expand
+    raw = pl.file_raw_kmers(str(fa), pl.SketchParams(k=17, rehash=False))
+    want = HLL(12)
+    want.add_np(occurrence_expand(raw))
+    # device path (CPU jax works; force the gates open)
+    monkeypatch.setenv("DASHING_TPU_WJ_DEVICE", "1")
+    monkeypatch.setattr(pl, "_PALLAS_OK", True)
+    got = pl.sketch_file_wj_hll(str(fa), params, 12)
+    assert got is not None
+    np.testing.assert_array_equal(got, want.regs)
