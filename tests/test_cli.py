@@ -438,3 +438,17 @@ def test_nn_mode_non_hll(genomes, capsys, flag):
     out = capsys.readouterr().out
     nn_lines = [l for l in out.splitlines() if ":" in l and "\t" in l]
     assert len(nn_lines) >= 3
+
+
+def test_mkdist_jukes_cantor_orders_by_divergence(genomes, tmp_path,
+                                                  capsys, monkeypatch):
+    """JC distances from the multi-k regression must increase with the
+    mutation rate (g0 vs g1 = 2%, g0 vs g2 = 10%)."""
+    monkeypatch.chdir(tmp_path)
+    run_cli(["mkdist", "--multik", "jc,15,22,2", "--jukes-cantor", "-S",
+             "12", "--avoid-sorting"] + genomes)
+    n, cond = distmat.read_binary("jc.jcd")
+    assert n == 3
+    d01, d02, d12 = cond
+    assert np.isfinite(d01) and np.isfinite(d02)
+    assert 0 < d01 < d02, (d01, d02)
