@@ -8,12 +8,15 @@ interpreter startup, so JAX_PLATFORMS in the environment is already consumed;
 we must switch platforms through jax.config before any backend initializes.
 """
 import os
+import re
 
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# force EXACTLY 8 virtual devices (override any preset count: mesh tests
+# assume an 8-way layout)
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 
@@ -23,6 +26,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped with a fixed seed: each test's data is reproducible
+    # regardless of which other tests ran (a shared session stream made
+    # every test depend on suite order)
     return np.random.default_rng(0xDA5)

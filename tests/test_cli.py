@@ -31,10 +31,8 @@ def genomes(tmp_path, rng):
     return ps
 
 
-def run_cli(args, capsys=None):
-    rc = climain.main(args)
-    assert rc == 0
-    return rc
+def run_cli(args):
+    assert climain.main(args) == 0
 
 
 def test_dist_tsv(genomes, capsys):
@@ -71,10 +69,11 @@ def test_dist_mash_binary_and_printmat(genomes, tmp_path, capsys):
 def test_dist_phylip_and_full_tsv(genomes, capsys):
     run_cli(["dist", "-k", "21", "-S", "12", "-U", "--avoid-sorting"] + genomes)
     out = capsys.readouterr().out
-    body = out.split("##" if "##" in out else "!!!")[0]
-    lines = [l for l in out.splitlines() if l and "\t" in l or l.strip().isdigit()]
-    # PHYLIP header: count on its own line after cardinalities
-    assert any(l.strip() == "3" for l in out.splitlines())
+    # PHYLIP: count line, then name padded to >= 9 chars + values
+    lines = out.splitlines()
+    hdr = lines.index("3")
+    assert lines[hdr + 1].split("\t")[0].endswith("g0.fa")
+    assert len(lines[hdr + 1].split("\t")) == 3   # two values for row 0
     run_cli(["dist", "-k", "21", "-S", "12", "-T", "--avoid-sorting"] + genomes)
     out = capsys.readouterr().out
     full = [l for l in out.splitlines() if l.startswith("#Names")]
@@ -151,7 +150,7 @@ def test_qr_mode(genomes, tmp_path, capsys):
     run_cli(["dist", "-k", "21", "-S", "12", "--avoid-sorting",
              "-Q", str(qfile), genomes[0], genomes[1]])
     out = capsys.readouterr().out
-    lines = [l for l in out.splitlines() if l.endswith("\n") is False and l]
+    lines = [l for l in out.splitlines() if l]
     qrow = [l for l in lines if "g2.fa" in l and "\t" in l and "Size" not in l]
     assert qrow, out
     vals = qrow[-1].split("\t")[1:]
@@ -405,8 +404,8 @@ def test_dist_scientific_format(genomes, capsys):
     run_cli(["dist", "-e", "-k", "17", "-S", "11", "--avoid-sorting"]
             + genomes[:2])
     out = capsys.readouterr().out
-    row = [l for l in out.splitlines() if l.endswith("-") is False
-           and "e-" in l or "e+" in l]
+    row = [l for l in out.splitlines()
+           if not l.endswith("-") and ("e-" in l or "e+" in l)]
     assert row, out   # at least one scientific-notation value emitted
 
 

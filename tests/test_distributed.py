@@ -25,7 +25,10 @@ def _free_port() -> int:
 
 def _run_pair(args, tmp_path, timeout=240):
     """Run the CLI twice (process 0/1) under jax.distributed; returns the
-    completed processes in rank order."""
+    completed processes in rank order.  Child output goes to temp files
+    (PIPEs could deadlock if one rank floods its buffer while the other
+    waits on a collective); a timeout FAILS the test — a deadlock in the
+    distributed merge is exactly what these tests exist to catch."""
     port = _free_port()
     procs = []
     for rank in range(2):
@@ -40,19 +43,26 @@ def _run_pair(args, tmp_path, timeout=240):
             JAX_PROCESS_ID=str(rank),
         )
         env.pop("XLA_FLAGS", None)
-        procs.append(subprocess.Popen(
+        of = open(tmp_path / f"rank{rank}.out", "w+")
+        ef = open(tmp_path / f"rank{rank}.err", "w+")
+        procs.append((subprocess.Popen(
             [sys.executable, "-m", "dashing_tpu.cli"] + args,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            cwd=str(tmp_path), env=env, text=True))
+            stdout=of, stderr=ef, cwd=str(tmp_path), env=env, text=True),
+            of, ef))
     outs = []
-    for p in procs:
+    for p, of, ef in procs:
         try:
-            out, err = p.communicate(timeout=timeout)
+            p.wait(timeout=timeout)
         except subprocess.TimeoutExpired:
-            for q in procs:
+            for q, _, _ in procs:
                 q.kill()
-            pytest.skip("jax.distributed 2-process run timed out here")
-        outs.append((p.returncode, out, err))
+            pytest.fail("jax.distributed 2-process run timed out "
+                        "(possible deadlock in the distributed path)")
+        of.seek(0)
+        ef.seek(0)
+        outs.append((p.returncode, of.read(), ef.read()))
+        of.close()
+        ef.close()
     return outs
 
 
