@@ -82,6 +82,14 @@ def test_merge_and_serialization(rng, cls, kwargs, tmp_path):
     sa.finalize()
     back.finalize()
     assert abs(back.report() - sa.report()) < 1e-6
+    # the UNDERLYING state must round-trip too (a reader that permutes
+    # registers or drops counts can keep report() intact)
+    for attr in ("regs", "values", "counts", "bits", "mins"):
+        if hasattr(sa, attr):
+            np.testing.assert_array_equal(getattr(back, attr),
+                                          getattr(sa, attr), err_msg=attr)
+    # and pairwise self-similarity must survive deserialization
+    assert sa.jaccard_index(back) > 0.95
 
 
 def test_counting_bottomk_histogram_intersection(rng):

@@ -4,11 +4,8 @@ Fixtures in tests/golden/ were produced by the CLI itself (round 1) on three
 synthetic genomes; any change to encoding, hashing, estimators, formats, or
 formatting shows up here as a byte diff.
 """
-import filecmp
-import gzip
 import os
 
-import numpy as np
 import pytest
 
 from dashing_tpu.cli import main as climain

@@ -7,7 +7,6 @@ import pytest
 
 from dashing_tpu.io import cache, distmat, fasta, paths
 from dashing_tpu.ops import rolling
-from dashing_tpu.ops.encode import Spacer
 from dashing_tpu import pipeline
 from dashing_tpu.sketch.hll import HLL
 from dashing_tpu.ops import encode
@@ -282,11 +281,11 @@ def test_join_cache_stat_invalidation(tmp_path):
         # cache hit returns identical content
         again = pipeline._read_joined(str(fa), 10)
         np.testing.assert_array_equal(first, again)
-        import os, time
-        time.sleep(0.01)
-        fa.write_text(">a\nTTTTTTTTTTTT\n")
+        # different LENGTH so the (mtime_ns, size) stamp changes even on
+        # filesystems with coarse timestamps
+        fa.write_text(">a\nTTTTTTTTTTTTTTTTTTTTTTTT\n")
         fresh = pipeline._read_joined(str(fa), 10)
         assert not np.array_equal(first, fresh)
-        assert bytes(fresh[:12]) == b"TTTTTTTTTTTT"
+        assert bytes(fresh[:24]) == b"T" * 24
     finally:
         pipeline.set_join_cache(False)

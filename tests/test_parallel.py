@@ -7,7 +7,6 @@ from dashing_tpu.parallel import mesh as pmesh
 from dashing_tpu.ops import pairwise as pw
 from dashing_tpu.sketch import estimators as est
 from dashing_tpu.sketch.hll import HLL
-from dashing_tpu.hashes import wang_hash_np
 from dashing_tpu.ops.encode import Spacer, encode_oracle, tile_sequence
 
 

@@ -26,8 +26,6 @@ def rng():
 def _idx_rank(hashes, p):
     h = np.asarray(hashes, np.uint64)
     idx = (h >> np.uint64(64 - p)).astype(np.int32)
-    tmp = HLL(p)
-    tmp.add_np(h)
     # per-hash rank (not deduped): rebuild via single-element inserts
     ranks = np.zeros(len(h), np.int32)
     for i, v in enumerate(h):
@@ -49,7 +47,8 @@ def test_sparse_stats_match_dense(rng):
     ranks = np.zeros((B, L), np.int32)
     dense_stats = []
     for r in range(B):
-        hs = _random_hashes(rng, rng.integers(3, L))
+        # row 0 exercises FULL capacity (no rank-0 padding at all)
+        hs = _random_hashes(rng, L if r == 0 else int(rng.integers(3, L + 1)))
         idx, rank = _idx_rank(hs, p)
         idxs[r, :len(idx)] = idx
         ranks[r, :len(rank)] = rank

@@ -80,10 +80,22 @@ def test_wang_hash_matches_numpy(rng):
 
 
 def test_wang_hash_known_values():
-    # Wang's 64-bit mix of small integers, computed with the widely published
-    # shift/add/xor sequence (independent host evaluation).
-    x = np.arange(16, dtype=np.uint64)
-    got = u64.to_np(wang_hash(u64.from_np(x)))
-    assert (got == wang_hash_np(x)).all()
-    # The mixer must be "random": all 16 values distinct, high bits spread.
-    assert len(set(got.tolist())) == 16
+    """Hardcoded anchors computed from Wang's published shift/add/xor
+    sequence with arbitrary-precision Python ints — INDEPENDENT of both
+    wang_hash (device) and wang_hash_np, so a wrong constant in either
+    cannot self-certify."""
+    anchors = {
+        0x0000000000000000: 0x77CFA1EEF01BCA90,
+        0x0000000000000001: 0x5BCA7C69B794F8CE,
+        0x00000000DEADBEEF: 0x386F2A5F36B257CB,
+        0x123456789ABCDEF0: 0xE8E8981FD9F20F7F,
+        0xFFFFFFFFFFFFFFFF: 0x1F89206E3F8EC794,
+    }
+    x = np.array(list(anchors.keys()), np.uint64)
+    want = np.array(list(anchors.values()), np.uint64)
+    got_dev = u64.to_np(wang_hash(u64.from_np(x)))
+    np.testing.assert_array_equal(got_dev, want)
+    np.testing.assert_array_equal(wang_hash_np(x), want)
+    # The mixer must be "random": distinct outputs on consecutive inputs.
+    many = u64.to_np(wang_hash(u64.from_np(np.arange(16, dtype=np.uint64))))
+    assert len(set(many.tolist())) == 16
