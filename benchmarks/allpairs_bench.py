@@ -22,7 +22,7 @@ if os.environ.get("DASHING_TPU_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["DASHING_TPU_PLATFORM"])
 
 
-def main(n: int = 1024, p: int = 14):
+def main(n: int = 1024, p: int = 14, joint: bool = False):
     import jax
     import jax.numpy as jnp
     from dashing_tpu.ops import pairwise as pw
@@ -36,7 +36,9 @@ def main(n: int = 1024, p: int = 14):
         np.maximum(np.log2(lam), 0).astype(np.int64), 64 - p + 1
     ).astype(np.int32)
     kmin, kmax = int(regs.min()), int(regs.max()) + 1
-    print(f"n={n} p={p} levels [{kmin}, {kmax}]", file=sys.stderr)
+    jestim = est.ERTL_JOINT_MLE if joint else est.ERTL_MLE
+    print(f"n={n} p={p} levels [{kmin}, {kmax}] "
+          f"{'JMLE' if joint else 'MLE'}", file=sys.stderr)
 
     a = jnp.asarray(regs)
 
@@ -52,9 +54,9 @@ def main(n: int = 1024, p: int = 14):
             # data dependence, so XLA cannot hoist the body out of the loop
             bump = (acc - jnp.floor(acc) > 2.0).astype(a.dtype)  # always 0
             aa = a.at[0, 0].add(bump)
-            stats = pw.pair_stats(aa, a, kmax, False, kmin)
+            stats = pw.pair_stats(aa, a, kmax, joint, kmin)
             tri = pw.triples_from_stats(stats, p, est.ERTL_MLE,
-                                        est.ERTL_MLE, kmin)
+                                        jestim, kmin)
             out = pw.measure_from_triples(tri, pw.JI, 1.0 / 21)
             return acc + out.sum()
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
@@ -67,12 +69,13 @@ def main(n: int = 1024, p: int = 14):
         dt = min(dt, (time.perf_counter() - t0) / REPS)
     pairs = n * n
     flops = 2.0 * (kmax - kmin + 1) * n * n * (1 << p)
-    print(f"all-pairs JI: {dt*1000:.1f} ms for {pairs} pairs "
-          f"-> {pairs/dt:,.0f} pairs/s  ({flops/dt/1e12:.1f} "
+    print(f"all-pairs {'JMLE' if joint else 'JI'}: {dt*1000:.1f} ms for "
+          f"{pairs} pairs -> {pairs/dt:,.0f} pairs/s  ({flops/dt/1e12:.1f} "
           f"Teff-ops/s on the MXU)")
 
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 14
-    main(n, p)
+    joint = any(a in ("-J", "J", "jmle") for a in sys.argv[3:])
+    main(n, p, joint)

@@ -1,0 +1,150 @@
+"""Register-update strategy sweep (VERDICT r1 item 2: 578M -> >=1G kmers/s).
+
+Benchmarks the HLL register-update stage in isolation on realistic
+mid-stream conditions (registers pre-warmed so min(regs) ~ log2(n/m)),
+then the full fused pipeline (Pallas encode+hash -> update) for the most
+promising variants.
+
+Timing rules (CLAUDE.md): loop inside jit with the register carry as the
+cross-iteration dependence; device_get only the final registers.
+
+Run on TPU:  python benchmarks/update_sweep.py [mode]
+  mode = "update" (default): isolated update variants
+  mode = "fused":  full pipeline at the best (row, cap) candidates
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("DASHING_TPU_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["DASHING_TPU_PLATFORM"])
+
+P = 14
+ROWS = 256
+CONTENT = 8192
+ITERS = 30
+K = 31
+
+
+def _stream(rng, n_chunks: int, chunk: int):
+    """Realistic (idx, rank) stream: idx uniform, rank geometric."""
+    idx = rng.integers(0, 1 << P, size=(n_chunks, chunk), dtype=np.int64)
+    u = rng.random(size=(n_chunks, chunk))
+    rank = np.minimum(1 + np.floor(-np.log2(np.maximum(u, 1e-18))),
+                      64 - P + 1).astype(np.int64)
+    return idx.astype(np.int32), rank.astype(np.int32)
+
+
+def _warm_regs(rng):
+    """Registers after ~5M elements: min ~ 8 at p=14."""
+    lam = 5e6 / (1 << P)
+    base = int(np.floor(np.log2(lam)))
+    regs = (base + rng.geometric(0.5, size=1 << P)).astype(np.int32)
+    return np.minimum(regs, 64 - P + 1)
+
+
+def bench_update(update_fn, idx, rank, regs0, label: str):
+    import jax
+    import jax.numpy as jnp
+    idx_d, rank_d = jnp.asarray(idx), jnp.asarray(rank)
+    regs_d = jnp.asarray(regs0)
+
+    @jax.jit
+    def run(idx_d, rank_d, regs):
+        def body(i, regs):
+            return update_fn(regs, idx_d[i], rank_d[i])
+        return jax.lax.fori_loop(0, idx_d.shape[0], body, regs)
+
+    _ = jax.device_get(run(idx_d, rank_d, regs_d))
+    n = idx.size
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = jax.device_get(run(idx_d, rank_d, regs_d))
+        best = max(best, n / (time.perf_counter() - t0))
+    print(f"{label:42s} {best/1e6:9.1f} M elem/s", flush=True)
+    return best
+
+
+def main_update():
+    import jax.numpy as jnp
+    from dashing_tpu.ops.hll_update import update_from_idx_rank
+
+    rng = np.random.default_rng(0)
+    idx, rank = _stream(rng, ITERS, ROWS * CONTENT)
+    regs0 = _warm_regs(rng)
+
+    # current default
+    for row, cap in [(2048, 64), (2048, 32), (1024, 64), (1024, 32),
+                     (1024, 16), (512, 32), (512, 16), (512, 8),
+                     (256, 16), (256, 8), (128, 8), (4096, 128)]:
+        bench_update(
+            lambda regs, i, r, row=row, cap=cap:
+                update_from_idx_rank(regs, i, r, row=row, cap=cap),
+            idx, rank, regs0, f"top_k row={row} cap={cap}")
+
+    # full scatter baseline
+    def full_scatter(regs, i, r):
+        return regs.at[i.reshape(-1)].max(r.reshape(-1), mode="drop")
+    bench_update(full_scatter, idx, rank, regs0, "full scatter")
+
+    # banked full scatter: B register copies, scatter a stripe into each,
+    # max-merge at the end of the whole stream (here: per chunk, amortized
+    # by keeping banks as the carry would need a different harness; this
+    # measures the per-chunk cost incl. merge)
+    for B in (8, 32):
+        def banked(regs, i, r, B=B):
+            m = regs.shape[0]
+            banks = jnp.zeros((B, m), jnp.int32)
+            i2 = i.reshape(B, -1)
+            r2 = r.reshape(B, -1)
+            banks = banks.at[
+                jnp.arange(B, dtype=jnp.int32)[:, None], i2].max(r2,
+                                                                 mode="drop")
+            return jnp.maximum(regs, banks.max(0))
+        bench_update(banked, idx, rank, regs0, f"banked scatter B={B}")
+
+
+def main_fused():
+    import jax
+    import jax.numpy as jnp
+    from dashing_tpu.ops.pallas_encode import (encode_hash_keys,
+                                               keys_to_update_inputs)
+    from dashing_tpu.ops.hll_update import update_from_idx_rank
+
+    rng = np.random.default_rng(0)
+    C = CONTENT + K - 1
+    chunks = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                    size=(ITERS, ROWS, C)))
+    kmers = ROWS * CONTENT * ITERS
+    for row, cap in [(2048, 64), (1024, 32), (512, 16), (512, 32),
+                     (256, 16), (256, 8)]:
+        @jax.jit
+        def run(chunks, regs, row=row, cap=cap):
+            def body(i, regs):
+                keys = encode_hash_keys(chunks[i], k=K, p=P)
+                idx, rank = keys_to_update_inputs(keys)
+                return update_from_idx_rank(regs, idx, rank, row=row,
+                                            cap=cap)
+            return jax.lax.fori_loop(0, chunks.shape[0], body, regs)
+        regs = jnp.zeros(1 << P, jnp.int32)
+        _ = jax.device_get(run(chunks, regs))
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = jax.device_get(run(chunks, regs))
+            best = max(best, kmers / (time.perf_counter() - t0))
+        print(f"fused row={row} cap={cap}: {best/1e6:9.1f} M kmers/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "update"
+    (main_fused if mode == "fused" else main_update)()

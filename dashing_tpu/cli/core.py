@@ -43,6 +43,7 @@ class CommonOpts:
     estim: int = est.ERTL_MLE
     jestim: int = est.ERTL_MLE
     sketch_type: str = "hll"
+    sketch_type_explicit: bool = False   # user passed a --use-* type flag
     nthreads: int = 1
     paths_file: str = ""
     prefix: str = ""
@@ -128,6 +129,8 @@ def parse_common(opts: CommonOpts, flag: str, val: str) -> bool:
         setattr(opts, name, v)
         if name == "estim":
             opts.jestim = v
+        elif name == "sketch_type":
+            opts.sketch_type_explicit = True
         return True
     if flag in ("-J", "--ertl-joint-mle"):
         opts.jestim = est.ERTL_JOINT_MLE
@@ -194,9 +197,18 @@ def _sniff_sketch_type(path: str) -> Optional[str]:
     return t
 
 
-def read_sketch_auto(path: str, sketch_type: str):
+def read_sketch_auto(path: str, sketch_type: str, explicit: bool = False):
+    """Load a sketch file, sniffing its type from the magic.  When the
+    sniffed type contradicts an EXPLICITLY requested one (a --use-* flag),
+    fail loudly like the reference does on a type mismatch; auto-correct
+    with a note only for the default type (ADVICE round 1)."""
     sniffed = _sniff_sketch_type(path) if isinstance(path, str) else None
     if sniffed and sniffed != sketch_type:
+        if explicit:
+            raise SystemExit(
+                f"{path} is a {sniffed} sketch but {sketch_type} was "
+                f"explicitly requested; drop the type flag to auto-detect "
+                f"or re-sketch the input")
         eprint(f"Note: {path} is a .{SKETCH_EXTS[sniffed].lstrip('.')} "
                f"sketch; loading as {sniffed} (requested {sketch_type})")
         sketch_type = sniffed
@@ -216,7 +228,8 @@ def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
             params, use_counting_filter=True,
             min_count=opts.mincount if opts.mincount > 1 else 2)
     if opts.presketched:
-        return read_sketch_auto(path, opts.sketch_type)
+        return read_sketch_auto(path, opts.sketch_type,
+                                opts.sketch_type_explicit)
     sp = params.spacer()
     ext = SKETCH_EXTS[opts.sketch_type]
     # weighted sketches get the .wj / .wj.exact extension prefix
@@ -229,7 +242,8 @@ def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
                              opts.k, sp.c, opts.spacing, opts.suffix,
                              opts.prefix, opts.encoding, ext)
     if opts.cache_sketch and os.path.isfile(fname):
-        return read_sketch_auto(fname, opts.sketch_type)
+        return read_sketch_auto(fname, opts.sketch_type,
+                                opts.sketch_type_explicit)
     sk = build_sketch(path, opts, params)
     if opts.cache_sketch:
         atomic_write_sketch(sk, fname)
@@ -256,10 +270,21 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
     if not simple_hll:
         return [sketch_or_load(p, opts) for p in paths_list]
     import jax
-    import jax.numpy as jnp
+    from collections import deque
     from ..parallel import distributed
     params = sketch_params(opts)
     p = hll_p_from_S(opts.sketch_size)
+    # Bounded dispatch window (the hll_main pattern): each in-flight handle
+    # pins a 4*2^p-byte int32 register buffer on device, so cap the total at
+    # ~256 MiB instead of holding every file's buffer at once (at p=20 and
+    # 1k genomes an unbounded list is ~4 GB of device int32).
+    window_cap = max(4, min(64, (256 << 20) // (4 << p)))
+
+    def drain(dq: deque):
+        i, regs_dev = dq.popleft()
+        return i, np.clip(np.asarray(jax.device_get(regs_dev)), 0, 255
+                          ).astype(np.uint8)
+
     nproc = distributed.process_count()
     if nproc > 1:
         # Multi-host sketch phase: each process sketches a stride of the
@@ -268,23 +293,28 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
         # elementwise max fills them in).
         n = len(paths_list)
         all_regs = np.zeros((n, 1 << p), np.uint8)
-        mine = distributed.my_shard(list(enumerate(paths_list)))
-        handles = [(i, pipeline.sketch_file_hll_async(path, params, p))
-                   for i, path in mine]
-        for i, regs_dev in handles:
-            all_regs[i] = np.clip(np.asarray(jax.device_get(regs_dev)),
-                                  0, 255).astype(np.uint8)
+        dq: deque = deque()
+        for i, path in distributed.my_shard(list(enumerate(paths_list))):
+            dq.append((i, pipeline.sketch_file_hll_async(path, params, p)))
+            if len(dq) >= window_cap:
+                j, regs = drain(dq)
+                all_regs[j] = regs
+        while dq:
+            j, regs = drain(dq)
+            all_regs[j] = regs
         all_regs = distributed.global_register_max(all_regs).astype(np.uint8)
         return [HLL(p, opts.estim, opts.jestim, all_regs[i])
                 for i in range(n)]
-    handles = []
-    for path in paths_list:
-        handles.append(pipeline.sketch_file_hll_async(path, params, p))
-    out = []
-    for regs_dev in handles:
-        regs = np.clip(np.asarray(jax.device_get(regs_dev)), 0, 255
-                       ).astype(np.uint8)
-        out.append(HLL(p, opts.estim, opts.jestim, regs))
+    out: List = [None] * len(paths_list)
+    dq = deque()
+    for i, path in enumerate(paths_list):
+        dq.append((i, pipeline.sketch_file_hll_async(path, params, p)))
+        if len(dq) >= window_cap:
+            j, regs = drain(dq)
+            out[j] = HLL(p, opts.estim, opts.jestim, regs)
+    while dq:
+        j, regs = drain(dq)
+        out[j] = HLL(p, opts.estim, opts.jestim, regs)
     return out
 
 

@@ -395,7 +395,8 @@ def sketch_main(argv: List[str]) -> int:
                                  o.prefix, o.encoding, ext)
         if skip_cached and os.path.isfile(fname):
             if output_file:
-                sketches.append(core.read_sketch_auto(fname, o.sketch_type))
+                sketches.append(core.read_sketch_auto(
+                    fname, o.sketch_type, o.sketch_type_explicit))
             continue
         import dataclasses as _dc
         pp = _dc.replace(params, use_counting_filter=use_filter[i],
@@ -527,6 +528,7 @@ def union_main(argv: List[str]) -> int:
     opath = "/dev/stdout"
     plist: List[str] = []
     sketch_type = "hll"
+    type_explicit = False
     compression_level = 6
     optlist, positional = _getopts(argv, "p:b:o:F:zZ:rHh?", ["help"])
     for flag, val in optlist:
@@ -539,11 +541,12 @@ def union_main(argv: List[str]) -> int:
         elif flag == "-F":
             plist = paths.get_paths(val)
         elif flag == "-r":
-            sketch_type = "rmh"
+            sketch_type, type_explicit = "rmh", True
         elif flag == "-H":
-            sketch_type = "khset"
+            sketch_type, type_explicit = "khset", True
         elif flag == "-b":
-            sketch_type = "bf"  # NB: reference -b takes the sketch path arg
+            # NB: reference -b takes the sketch path arg
+            sketch_type, type_explicit = "bf", True
     plist += positional
     if not plist:
         _union_usage()
@@ -552,19 +555,21 @@ def union_main(argv: List[str]) -> int:
         # Each process merges its stride; one register-max all-reduce
         # replaces the reference's log2-depth OpenMP tree (union.cpp:11-24).
         mine = distributed.my_shard(plist)
-        first = core.read_sketch_auto(plist[0], sketch_type)
+        first = core.read_sketch_auto(plist[0], sketch_type, type_explicit)
         regs = np.zeros_like(first.regs)
         for path in mine:
-            np.maximum(regs, core.read_sketch_auto(path, sketch_type).regs,
+            np.maximum(regs,
+                       core.read_sketch_auto(path, sketch_type,
+                                             type_explicit).regs,
                        out=regs)
         merged = HLL(first.p, first.estim, first.jestim,
                      distributed.global_register_max(regs).astype(np.uint8))
         if not distributed.is_main():
             return 0
     else:
-        merged = core.read_sketch_auto(plist[0], sketch_type)
+        merged = core.read_sketch_auto(plist[0], sketch_type, type_explicit)
         for path in plist[1:]:
-            merged += core.read_sketch_auto(path, sketch_type)
+            merged += core.read_sketch_auto(path, sketch_type, type_explicit)
     if opath in ("-", "/dev/stdout"):
         # reference union gzopens stdout ("wb6"): the stream must be gzipped
         # or no other subcommand can read it back

@@ -120,12 +120,22 @@ def triples_from_stats(stats: Dict[str, jnp.ndarray], p: int,
     hb = jnp.broadcast_to(stats["hist_b"][None, :, :], eq.shape)
     lt_a = ha - eq - gt_a
     lt_b = hb - eq - gt_b
+    # Inclusion-exclusion init cardinalities: c_a/c_b depend only on the
+    # row/column MARGINALS, so estimate n of them instead of n^2 (the
+    # per-pair recomputation was the dominant -J init cost); the pair-
+    # dependent c_u only seeds the Newton neighborhood, so the cheap
+    # improved estimator (no inner Newton loop) suffices there.
+    c_a = est.mle_estimate_windowed(stats["hist_a"], p, kmin)
+    c_b = est.mle_estimate_windowed(stats["hist_b"], p, kmin)
+    c_u = est.improved_estimate_windowed(hist_u_w, p, kmin)
     flat = lambda x: x.reshape(-1, x.shape[-1])
     sdict = dict(eq=flat(eq), gt_a=flat(gt_a), gt_b=flat(gt_b),
-                 lt_a=flat(lt_a), lt_b=flat(lt_b),
-                 hist_a=flat(ha), hist_b=flat(hb),
-                 hist_u=flat(jnp.broadcast_to(hist_u_w, eq.shape)))
-    tri = jax.vmap(lambda s: est.joint_mle(s, p, kmin=kmin))(sdict)
+                 lt_a=flat(lt_a), lt_b=flat(lt_b))
+    cards = (jnp.broadcast_to(c_a[:, None], (na, nb)).reshape(-1),
+             jnp.broadcast_to(c_b[None, :], (na, nb)).reshape(-1),
+             c_u.reshape(-1))
+    tri = jax.vmap(lambda s, c: est.joint_mle(s, p, kmin=kmin, cards=c))(
+        sdict, cards)
     return tri.reshape(na, nb, 3)
 
 

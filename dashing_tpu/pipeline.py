@@ -213,6 +213,10 @@ def _read_joined(path: str, sep_len: int) -> np.ndarray:
         arr = _read_joined_uncached(path, _CACHE_SEP)
         if stamp is None or arr.nbytes > _JOIN_CACHE_LIMIT:
             return arr
+        # cached arrays are shared across callers (mkdist per-k passes):
+        # freeze so an accidental in-place mutation raises instead of
+        # corrupting every later pass served from the cache
+        arr.setflags(write=False)
     _JOIN_CACHE[path] = (stamp, arr)
     total = sum(a[1].nbytes for a in _JOIN_CACHE.values())
     while total > _JOIN_CACHE_LIMIT and len(_JOIN_CACHE) > 1:

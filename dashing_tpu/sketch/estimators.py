@@ -390,6 +390,34 @@ def _joint_logl(theta, stats, m: float, q: int, kmin: int = 0):
     return L
 
 
+def _f_d1_d2(h, lam, m: float, q: int, kmin: int = 0):
+    """(d/dx, d2/dx2) of sum_k h[k] log f(k; lam) w.r.t. x = lam/m —
+    the value-free sibling of _f_val_d1_d2: the Newton loop needs only
+    derivatives, and skipping the value skips ALL log evaluations (the
+    most expensive transcendental in the loop; measured ~25% of -J)."""
+    x = lam / m
+    K = h.shape[-1]
+    kmax = kmin + K - 1
+    lo, hi = max(kmin, 1), min(kmax, q)
+    k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
+    zk = jnp.exp2(-k)
+    a = jnp.maximum(x[..., None] * zk, 1e-30)
+    w = zk / jnp.expm1(a)
+    hm = h[..., lo - kmin:hi - kmin + 1]
+    d1 = (hm * (w - zk)).sum(-1)
+    d2 = (hm * (-(w * w + zk * w))).sum(-1)
+    if kmin == 0:
+        d1 = d1 - h[..., 0]
+    if kmax == q + 1:
+        zq = 2.0 ** -q
+        aq = jnp.maximum(x * zq, 1e-30)
+        wq = zq / jnp.expm1(aq)
+        htop = h[..., -1]
+        d1 = d1 + htop * wq
+        d2 = d2 + htop * (-(wq * wq + zq * wq))
+    return d1, d2
+
+
 def _f_val_d1_d2(h, lam, m: float, q: int, kmin: int = 0):
     """(value, d/dlam, d2/dlam2) of sum_k h[k] log f(k; lam), sharing the
     expm1 evaluations across the three outputs.  Derivatives are w.r.t.
@@ -422,6 +450,73 @@ def _f_val_d1_d2(h, lam, m: float, q: int, kmin: int = 0):
         d1 = d1 + htop * wq
         d2 = d2 + htop * (-(wq * wq + zq * wq))
     return val, d1, d2
+
+
+def _joint_grad_hess(theta, stats, m: float, q: int, kmin: int = 0):
+    """Analytic (gradient, Hessian) of _joint_logl at theta = log lambda —
+    the value-free pass the Newton loop runs (see _joint_val_grad_hess for
+    the derivation; this drops every log evaluation, which the derivatives
+    never need: w = z/expm1 and the diagonal T-exponentials suffice)."""
+    la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
+
+    gA, hA = _f_d1_d2(stats["gt_a"], la, m, q, kmin)          # w = (1,0,0)
+    gB, hB = _f_d1_d2(stats["gt_b"], lb, m, q, kmin)          # w = (0,1,0)
+    gAB, hAB = _f_d1_d2(stats["lt_b"], lb + lx, m, q, kmin)   # (0,1,1)
+    gBA, hBA = _f_d1_d2(stats["lt_a"], la + lx, m, q, kmin)   # (1,0,1)
+    ga = gA + gBA
+    gb = gB + gAB
+    gx = gAB + gBA
+    Haa = hA + hBA
+    Hbb = hB + hAB
+    Hxx = hAB + hBA
+    Hax = hBA
+    Hbx = hAB
+    Hab = jnp.zeros_like(Haa)
+
+    kk = jnp.arange(kmin, kmin + stats["eq"].shape[-1], dtype=jnp.float32)
+    zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)
+    zk1f = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), 0.0)
+    labx = (la + lb + lx) / m
+    T1 = jnp.exp(-labx * zk)
+    T4 = jnp.where(kk >= 1, jnp.exp(-labx * zk1f), 0.0)
+    T2 = jnp.where(kk >= 1,
+                   jnp.exp(-((la + lx) * zk1f + lb * zk) / m), 0.0)
+    T3 = jnp.where(kk >= 1,
+                   jnp.exp(-((lb + lx) * zk1f + la * zk) / m), 0.0)
+    P = jnp.maximum(T1 - T2 - T3 + T4, 1e-30)
+    w = stats["eq"]
+    wpos = w > 0
+    Sa = -T1 * zk + T2 * zk1f + T3 * zk - T4 * zk1f
+    Sb = -T1 * zk + T2 * zk + T3 * zk1f - T4 * zk1f
+    Sx = -T1 * zk + T2 * zk1f + T3 * zk1f - T4 * zk1f
+    wp = jnp.where(wpos, w / P, 0.0)
+    ga = ga + (wp * Sa).sum(-1)
+    gb = gb + (wp * Sb).sum(-1)
+    gx = gx + (wp * Sx).sum(-1)
+    z2, z12, zz1 = zk * zk, zk1f * zk1f, zk * zk1f
+    wp2 = jnp.where(wpos, wp / P, 0.0)
+    Haa = Haa + (wp * (T1 * z2 - T2 * z12 - T3 * z2 + T4 * z12)
+                 - wp2 * Sa * Sa).sum(-1)
+    Hbb = Hbb + (wp * (T1 * z2 - T2 * z2 - T3 * z12 + T4 * z12)
+                 - wp2 * Sb * Sb).sum(-1)
+    Hxx = Hxx + (wp * (T1 * z2 - T2 * z12 - T3 * z12 + T4 * z12)
+                 - wp2 * Sx * Sx).sum(-1)
+    Hab = Hab + (wp * (T1 * z2 - T2 * zz1 - T3 * zz1 + T4 * z12)
+                 - wp2 * Sa * Sb).sum(-1)
+    Hax = Hax + (wp * (T1 * z2 - T2 * z12 - T3 * zz1 + T4 * z12)
+                 - wp2 * Sa * Sx).sum(-1)
+    Hbx = Hbx + (wp * (T1 * z2 - T2 * zz1 - T3 * z12 + T4 * z12)
+                 - wp2 * Sb * Sx).sum(-1)
+
+    lam = jnp.stack([la, lb, lx])
+    g_lam = jnp.stack([ga, gb, gx]) / m
+    grad = lam * g_lam
+    ll = lam[:, None] * lam[None, :] / (m * m)
+    H_lam = jnp.stack([jnp.stack([Haa, Hab, Hax]),
+                       jnp.stack([Hab, Hbb, Hbx]),
+                       jnp.stack([Hax, Hbx, Hxx])])
+    hess = ll * H_lam + jnp.diag(grad)
+    return grad, hess
 
 
 def _joint_val_grad_hess(theta, stats, m: float, q: int,
@@ -530,7 +625,8 @@ def _solve3_sym(H, g):
 
 
 @partial(jax.jit, static_argnames=("p", "iters", "kmin"))
-def joint_mle(stats, p: int, iters: int = 14, kmin: int = 0) -> jnp.ndarray:
+def joint_mle(stats, p: int, iters: int = 10, kmin: int = 0,
+              cards=None) -> jnp.ndarray:
     """Maximize the joint likelihood; returns (|A\\B|, |B\\A|, |A&B|).
 
     `stats` is a dict of histograms (vmap over leading axes for batches)
@@ -538,13 +634,27 @@ def joint_mle(stats, p: int, iters: int = 14, kmin: int = 0) -> jnp.ndarray:
     which is what hll_t::full_set_comparison / ertl_joint use (reference
     src/dashing.h:190, src/readfilt.cpp:118); the all-pairs engine passes
     the level window directly (exact when all registers fall inside it).
+
+    `cards`, if given, is the (c_a, c_b, c_u) cardinality triple used for
+    the inclusion-exclusion init.  The all-pairs engine precomputes c_a/c_b
+    on the (n,)-marginals — per-pair recomputation was an n^2 redundancy
+    that dominated the -J init cost.
+
+    Newton acceptance: the loop runs the value-FREE gradient/Hessian pass
+    (no log evaluations at all); divergence protection is a single final
+    likelihood comparison against the inclusion-exclusion init — a damped,
+    step-clipped Newton from that init converges superlinearly, and the
+    rare pathological tile falls back to the init rather than a worse point.
     """
     m = float(1 << p)
     q = 64 - p
 
-    c_a = mle_estimate_windowed(stats["hist_a"], p, kmin)
-    c_b = mle_estimate_windowed(stats["hist_b"], p, kmin)
-    c_u = mle_estimate_windowed(stats["hist_u"], p, kmin)
+    if cards is None:
+        c_a = mle_estimate_windowed(stats["hist_a"], p, kmin)
+        c_b = mle_estimate_windowed(stats["hist_b"], p, kmin)
+        c_u = mle_estimate_windowed(stats["hist_u"], p, kmin)
+    else:
+        c_a, c_b, c_u = cards
     # disjoint / degenerate initializations, clamped to a tiny positive rate
     tiny = 1e-3
     la0 = jnp.maximum(c_u - c_b, tiny)
@@ -552,24 +662,21 @@ def joint_mle(stats, p: int, iters: int = 14, kmin: int = 0) -> jnp.ndarray:
     lx0 = jnp.maximum(c_a + c_b - c_u, tiny)
     theta0 = jnp.stack([jnp.log(la0), jnp.log(lb0), jnp.log(lx0)])
 
-    def body(_, carry):
-        theta, best_val = carry
-        val, g, H = _joint_val_grad_hess(theta, stats, m, q, kmin)
+    def body(_, theta):
+        g, H = _joint_grad_hess(theta, stats, m, q, kmin)
         H = H - 1e-4 * jnp.eye(3)
         step = _solve3_sym(H, g)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         norm = jnp.sqrt((step ** 2).sum())
         step = step * jnp.minimum(1.0, 2.0 / jnp.maximum(norm, 1e-9))
         new = theta - step
-        ok = jnp.all(jnp.isfinite(new))
-        # accept the move; if the likelihood later drops we still keep the
-        # best-seen theta via the carry comparison below
-        new_val = _joint_logl(new, stats, m, q, kmin)
-        take = ok & (new_val >= val)
-        return (jnp.where(take, new, theta),
-                jnp.maximum(best_val, jnp.where(ok, new_val, -jnp.inf)))
+        return jnp.where(jnp.all(jnp.isfinite(new)), new, theta)
 
-    theta, _ = jax.lax.fori_loop(0, iters, body, (theta0, -jnp.inf))
+    theta = jax.lax.fori_loop(0, iters, body, theta0)
+    final_val = _joint_logl(theta, stats, m, q, kmin)
+    init_val = _joint_logl(theta0, stats, m, q, kmin)
+    theta = jnp.where(jnp.isfinite(final_val) & (final_val >= init_val),
+                      theta, theta0)
     la, lb, lx = jnp.exp(theta)
     # Degenerate cases: empty sketches.
     a_empty = c_a <= 0.0
