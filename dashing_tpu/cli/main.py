@@ -265,15 +265,23 @@ def _nn_emit(sketches, names, o: CommonOpts, result_type: int, emit_fmt: int,
         eprint(f"Only reporting {possible} rather than {nn} neighbors due to "
                "their being only that many sets.")
         nn = possible
-    refs = sketches[:nref]
+    refs = sketches if not nq else sketches[:nref]
     queries = sketches[nref:] if nq else sketches
-    mat = core.compare_rect(refs, queries, result_type, o.k, o.estim, o.jestim)
-    if not nq:
-        # exclude self-comparisons
-        for i in range(n):
-            mat[i, i] = -np.inf if sim else np.inf
-    order = np.argsort(-mat if sim else mat, axis=1, kind="stable")[:, :nn]
-    vals = np.take_along_axis(mat, order, axis=1)
+    if isinstance(sketches[0], HLL):
+        # streaming top-k: O(n_q * (nn + tile)) memory, never the full
+        # matrix (reference's bounded heaps, sketch_and_cmp.h:712-783)
+        vals, order = pw.nn_topk(refs, queries, result_type, o.k, o.estim,
+                                 o.jestim, nn, exclude_self=not nq)
+    else:
+        mat = core.compare_rect(refs, queries, result_type, o.k, o.estim,
+                                o.jestim)
+        if not nq:
+            # exclude self-comparisons
+            for i in range(n):
+                mat[i, i] = -np.inf if sim else np.inf
+        order = np.argsort(-mat if sim else mat, axis=1,
+                           kind="stable")[:, :nn]
+        vals = np.take_along_axis(mat, order, axis=1)
     if emit_fmt == BINARY:
         fp, close = core.open_output(out_dists, binary=True)
         fp.write(np.uint32(npairs).tobytes())   # rows actually written

@@ -61,37 +61,82 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
     matmul count several-fold).  Returns dict of (na, nb, kmax-kmin+1)
     float32 stacks (+ marginals), tagged with kmin for padding.
     """
+    levels = jnp.arange(kmin, kmax + 1, dtype=a.dtype)
+    if joint:
+        fused = _pallas_joint_stats(a, b, kmin, kmax)
+        if fused is not None:
+            fused["hist_a"] = (a[..., :, None] == levels).astype(
+                jnp.float32).sum(-2)
+            fused["hist_b"] = (b[..., :, None] == levels).astype(
+                jnp.float32).sum(-2)
+            return fused
+    # All five joint statistics are differences of THREE cumulative matmul
+    # families (fewer MXU calls and half the materialized indicators of the
+    # naive one-matmul-per-stat formulation; exact — integer counts in f32):
+    #   X[k] = #(a<=k & b<=k),  Y[k] = #(a<=k & b<=k-1),  Z[k] = #(a<=k-1 & b<=k)
+    #   eq[k]   = X[k] - Y[k] - Z[k] + X[k-1]
+    #   gt_a[k] = Y[k] - X[k-1]          (a = k, b < k)
+    #   gt_b[k] = Z[k] - X[k-1]          (b = k, a < k)
+    # At k = kmin, a<=kmin-1 / b<=kmin-1 may be nonempty only for padded
+    # zero-register rows (mesh path), whose output rows the caller trims.
     cums, eqs, gtas, gtbs = [], [], [], []
     ca_prev = a <= jnp.asarray(kmin - 1, a.dtype)
     cb_prev = b <= jnp.asarray(kmin - 1, b.dtype)
+    x_prev = _dot(ca_prev, cb_prev) if joint else None
     for k in range(kmin, kmax + 1):
         lev = jnp.asarray(k, a.dtype)
-        oa = a == lev
-        ob = b == lev
         ca = a <= lev
         cb = b <= lev
-        cums.append(_dot(ca, cb))
+        x = _dot(ca, cb)
+        cums.append(x)
         if joint:
-            eqs.append(_dot(oa, ob))
-            if k == 0:
-                z = jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
-                gtas.append(z)
-                gtbs.append(z)
-            else:
-                gtas.append(_dot(oa, cb_prev))
-                # note operand order: _dot's FIRST arg indexes the output's
-                # rows (the A side), so the B-side indicator goes second
-                gtbs.append(_dot(ca_prev, ob))
+            y = _dot(ca, cb_prev)
+            z = _dot(ca_prev, cb)
+            eqs.append(x - y - z + x_prev)
+            gtas.append(y - x_prev)
+            # note operand order: _dot's FIRST arg indexes the output's
+            # rows (the A side), so the B-side indicator goes second
+            gtbs.append(z - x_prev)
+            x_prev = x
         ca_prev, cb_prev = ca, cb
     out = {"cum_union": jnp.stack(cums, axis=-1)}
     if joint:
         out["eq"] = jnp.stack(eqs, axis=-1)
         out["gt_a"] = jnp.stack(gtas, axis=-1)
         out["gt_b"] = jnp.stack(gtbs, axis=-1)
-    levels = jnp.arange(kmin, kmax + 1, dtype=a.dtype)
     out["hist_a"] = (a[..., :, None] == levels).astype(jnp.float32).sum(-2)
     out["hist_b"] = (b[..., :, None] == levels).astype(jnp.float32).sum(-2)
     return out
+
+
+def _pallas_joint_stats(a: jnp.ndarray, b: jnp.ndarray, kmin: int,
+                        kmax: int):
+    """Route the joint statistics through the fused VMEM-resident Pallas
+    kernel when the platform and geometry allow; None -> XLA fallback.
+    Counts are identical to the XLA path (exact 0/1-indicator bf16 dots
+    with f32 accumulation)."""
+    from ..pipeline import _pallas_available
+    if not _pallas_available():
+        return None
+    from .pallas_stats import BB, pallas_pair_stats, pick_geometry
+    na, m = a.shape
+    nb = b.shape[0]
+    K = kmax - kmin + 1
+    geo = pick_geometry(m, K)
+    if geo is None:
+        return None
+    ba, slab = geo
+    pa, pb = (-na) % ba, (-nb) % BB
+    a8 = jnp.minimum(a, 127).astype(jnp.int8)
+    b8 = jnp.minimum(b, 127).astype(jnp.int8)
+    if pa:
+        a8 = jnp.pad(a8, ((0, pa), (0, 0)))
+    if pb:
+        b8 = jnp.pad(b8, ((0, pb), (0, 0)))
+    st = pallas_pair_stats(a8, b8, kmin=kmin, kmax=kmax, ba=ba, slab=slab)
+    if pa or pb:
+        st = {k: v[:na, :nb] for k, v in st.items()}
+    return st
 
 
 @functools.partial(jax.jit, static_argnames=("p", "estim", "jestim", "kmin"))
@@ -216,6 +261,11 @@ def _stack_regs(sketches) -> np.ndarray:
     return np.stack([s.regs for s in sketches]).astype(np.int32)
 
 
+def _compare_mesh():
+    from ..parallel.mesh import local_mesh
+    return local_mesh()
+
+
 def _device_regs(regs: np.ndarray) -> jnp.ndarray:
     """Upload the full register matrix ONCE as int8 (values <= 64 always
     fit) and slice tiles on device — re-uploading 16 MB register slices
@@ -223,8 +273,40 @@ def _device_regs(regs: np.ndarray) -> jnp.ndarray:
     pairs/s at n=4096 before this).  Clamp before the cast: legitimate
     registers are <= 64, but a corrupt presketched file could carry values
     >= 128 which would WRAP negative in int8 and satisfy every a<=lev
-    indicator instead of staying above the window."""
-    return jnp.asarray(np.minimum(regs, 127).astype(np.int8))
+    indicator instead of staying above the window.
+
+    With >1 local device the matrix is replicated across the mesh so the
+    sharded compare reshards tiles locally (no device-0 bottleneck)."""
+    arr = np.minimum(regs, 127).astype(np.int8)
+    mesh = _compare_mesh()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+    return jnp.asarray(arr)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_compare_fn(mesh, p: int, result_type: int, ksinv: float,
+                        estim: int, jestim: int, kmax: int, kmin: int):
+    """jit(shard_map) building one (na, nb) measure tile with A-rows
+    sharded over 'd' and B replicated — each device computes its stripe of
+    the tile with the identical tuned engine, so outputs are bitwise equal
+    to the single-device path (the register contraction is an exact int32
+    matmul and everything after is per-pair elementwise).  The TPU-native
+    replacement for dm::parallel_fill's row batches (reference
+    distmat/distmat.h:459-512)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    joint = jestim == est.ERTL_JOINT_MLE
+
+    def local(a, b):
+        stats = pair_stats(a, b, kmax, joint, kmin)
+        tri = triples_from_stats(stats, p, estim, jestim, kmin)
+        return measure_from_triples(tri, result_type, ksinv)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("d", None), P()),
+                             out_specs=P("d", None)))
 
 
 def _auto_kmax(regs: np.ndarray, q: int) -> int:
@@ -243,7 +325,24 @@ def compare_tile_async(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
     jax dispatch is asynchronous, so callers can enqueue a window of tiles
     and gather finished ones while the device works on the next — the
     compute/transfer overlap the reference gets from its double-buffered
-    row writers (src/sketch_and_cmp.h:802-836)."""
+    row writers (src/sketch_and_cmp.h:802-836).
+
+    With >1 local device the tile's A-rows are sharded over the mesh (rows
+    padded with zero registers up to a multiple of the device count; the
+    garbage rows those produce are trimmed before return — every output
+    row depends only on its own A row, so kept rows are untouched)."""
+    mesh = _compare_mesh()
+    if mesh is not None:
+        D = mesh.size
+        a = jnp.asarray(regs_a)
+        na = a.shape[0]
+        pad = (-na) % D
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        out = _sharded_compare_fn(mesh, p, result_type, float(ksinv),
+                                  estim, jestim, kmax, kmin)(
+            a, jnp.asarray(regs_b))
+        return out[:na] if pad else out
     stats = pair_stats(jnp.asarray(regs_a), jnp.asarray(regs_b), kmax,
                        jestim == est.ERTL_JOINT_MLE, kmin)
     tri = triples_from_stats(stats, p, estim, jestim, kmin)
@@ -350,6 +449,64 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
                    (slice(key[1], key[1] + tile),
                     slice(key[0], key[0] + tile)), block.T))
     return out
+
+
+def nn_topk(ref_sketches, query_sketches, result_type: int, k: int,
+            estim: int, jestim: int, nn: int, exclude_self: bool,
+            tile: int = 1024):
+    """Streaming k-nearest-neighbors: per-reference-tile compare + host
+    top-k merge in O(n_q * (nn + tile)) memory — the full n_q x n_r matrix
+    is never materialized (the reference streams rows through bounded
+    heaps, src/sketch_and_cmp.h:712-783; round-1 materialized the whole
+    matrix then argsorted).
+
+    query_sketches may be the same list as ref_sketches (all-pairs mode);
+    exclude_self then masks the diagonal exactly like the dense path
+    (-inf/+inf so self sorts last).  Tie-break matches the dense stable
+    argsort: equal values order by ascending reference index (tiles scan
+    ascending and every merge is a stable sort, so earlier indices stay
+    first).  Returns (vals, idx) each (n_q, nn).
+    """
+    rr = _stack_regs(ref_sketches)
+    same = query_sketches is ref_sketches
+    qq = rr if same else _stack_regs(query_sketches)
+    p = ref_sketches[0].p
+    ksinv = 1.0 / k
+    q = 64 - p
+    kmax = max(_auto_kmax(rr, q), _auto_kmax(qq, q))
+    kmin = min(_auto_kmin(rr), _auto_kmin(qq))
+    sim = is_similarity(result_type)
+    nq, nr = qq.shape[0], rr.shape[0]
+    nn = min(nn, nr)
+    rr_d = _device_regs(rr)
+    qq_d = rr_d if same else _device_regs(qq)
+    worst = -np.inf if sim else np.inf
+    best_v = np.full((nq, 0), worst, np.float32)
+    best_i = np.zeros((nq, 0), np.int64)
+
+    def merge(j0, block):
+        nonlocal best_v, best_i
+        block = block.T.astype(np.float32).copy()   # (nq, bt)
+        bt = block.shape[1]
+        idx = np.arange(j0, j0 + bt)
+        if exclude_self:
+            qrows = np.arange(nq)
+            hit = (qrows >= j0) & (qrows < j0 + bt)
+            block[qrows[hit], qrows[hit] - j0] = worst
+        cat_v = np.concatenate([best_v, block], axis=1)
+        cat_i = np.concatenate(
+            [best_i, np.broadcast_to(idx, (nq, bt))], axis=1)
+        order = np.argsort(-cat_v if sim else cat_v, axis=1,
+                           kind="stable")[:, :nn]
+        best_v = np.take_along_axis(cat_v, order, axis=1)
+        best_i = np.take_along_axis(cat_i, order, axis=1)
+
+    _windowed((((j0,), compare_tile_async(
+                    rr_d[j0:j0 + tile], qq_d, p, result_type, ksinv,
+                    estim, jestim, kmax, kmin))
+               for j0 in range(0, nr, tile)),
+              lambda key, block: merge(key[0], block))
+    return best_v, best_i
 
 
 def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,

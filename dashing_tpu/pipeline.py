@@ -255,30 +255,106 @@ def sketch_file_hll(path: str, params: SketchParams, p: int) -> np.ndarray:
     return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Within-host multi-device sketching: the SAME tuned chunk steps, sharded
+# by tile rows over the local device mesh with a register-max all-reduce
+# per chunk (the TPU-native form of the reference's OpenMP file/sequence
+# parallelism, src/sketch_and_cmp.h:484-528).  Registers are bitwise
+# identical to the single-device path: the threshold filter only ever
+# SKIPS updates that cannot change a register, and max is associative.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _sharded_ascii_step(mesh, kw_items: tuple, p: int):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    kw = dict(kw_items)
+
+    def local(tile, regs):
+        upd = _tile_to_registers(tile, regs, **kw, p=p)
+        return jax.lax.pmax(upd, "d")
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("d", None), P()), out_specs=P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_packed_step(mesh, k: int, p: int, canon: bool, C: int):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(packed, vbits, regs):
+        upd = _packed_to_registers(packed, vbits, regs, k=k, p=p,
+                                   canon=canon, C=C)
+        return jax.lax.pmax(upd, "d")
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("d", None), P("d", None), P()),
+                             out_specs=P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_filtered_step(mesh, kw_items: tuple, p: int):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    kw = dict(kw_items)
+
+    def local(tile, mask, regs):
+        h, valid = _tile_to_hashes(tile, **kw)
+        upd = update_registers(regs, h, valid & mask, p)
+        return jax.lax.pmax(upd, "d")
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("d", None), P("d", None), P()),
+                             out_specs=P()))
+
+
+def _sketch_mesh():
+    from .parallel.mesh import local_mesh
+    return local_mesh()
+
+
 def sketch_file_hll_async(path: str, params: SketchParams, p: int):
     """Like sketch_file_hll but returns the DEVICE registers without
     synchronizing, so callers can pipeline many files (jax dispatch is
-    async; the transfer back is the only barrier)."""
+    async; the transfer back is the only barrier).  With >1 local device,
+    each chunk's tile rows are sharded over the mesh and partial registers
+    merge with a max all-reduce (64 KB at p=14 — negligible on ICI)."""
     sp = params.spacer()
     regs = jnp.zeros(1 << p, jnp.int32)
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
               canon=params.canon, encoding=params.encoding,
               rehash=params.rehash, entropy=params.entropy)
+    mesh = _sketch_mesh()
+    D = mesh.size if mesh is not None else 1
+    kw_key = tuple(sorted(kw.items()))
     if params.use_counting_filter and params.min_count > 1:
         for tile, mask in _count_filtered_tiles(path, params, sp):
-            h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
-            regs = update_registers(regs, h, valid & mask, p)
+            if D > 1 and tile.shape[0] % D == 0:
+                regs = _sharded_filtered_step(mesh, kw_key, p)(
+                    tile, np.asarray(mask), regs)
+            else:
+                h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+                regs = update_registers(regs, h, valid & mask, p)
     else:
         # the fused kernel packs (idx << 6 | rank) in int32, so bucket
         # indices must fit 25 bits; larger p uses the unfused path
         fused_pallas = _packed_ok(params, sp, p)
         for tile in _file_tiles(path, sp):
-            if fused_pallas and tile.shape[0] % 8 == 0:
+            sharded = D > 1 and tile.shape[0] % D == 0
+            if fused_pallas and tile.shape[0] % (8 * (D if sharded else 1)) == 0:
                 # ship 2-bit packed codes + validity bits (~0.37 B/base)
                 packed, vbits = _pack_tile_host(tile)
-                regs = _packed_to_registers(
-                    jnp.asarray(packed), jnp.asarray(vbits), regs,
-                    k=sp.k, p=p, canon=params.canon, C=tile.shape[1])
+                if sharded:
+                    regs = _sharded_packed_step(
+                        mesh, sp.k, p, params.canon, tile.shape[1])(
+                            packed, vbits, regs)
+                else:
+                    regs = _packed_to_registers(
+                        jnp.asarray(packed), jnp.asarray(vbits), regs,
+                        k=sp.k, p=p, canon=params.canon, C=tile.shape[1])
+            elif sharded:
+                regs = _sharded_ascii_step(mesh, kw_key, p)(tile, regs)
             else:
                 regs = _tile_to_registers(jnp.asarray(tile), regs, **kw, p=p)
     return regs

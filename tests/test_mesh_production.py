@@ -1,0 +1,141 @@
+"""Production within-host multi-device paths (VERDICT r1 item 1).
+
+The suite runs on an 8-device virtual CPU mesh (conftest), so the CLI's
+sketch and compare paths take the sharded branches by DEFAULT here.  These
+tests pin the contract: output BYTE-IDENTICAL to the single-device path,
+and the work actually sharded (asserted on sharding specs).
+"""
+import contextlib
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from dashing_tpu import pipeline
+from dashing_tpu.cli import main as climain
+from dashing_tpu.ops import pairwise as pw
+from dashing_tpu.parallel import mesh as pmesh
+from dashing_tpu.sketch import estimators as est
+from dashing_tpu.sketch.hll import HLL
+
+
+@contextlib.contextmanager
+def mesh_disabled():
+    """Force the single-device paths, restoring the real mesh after."""
+    saved = pmesh.local_mesh()
+    pmesh._set_local_mesh_for_tests(None)
+    try:
+        yield
+    finally:
+        pmesh._set_local_mesh_for_tests(saved)
+
+
+def _write_genome(tmp_path, rng, name, n):
+    seq = "".join(rng.choice(list("ACGT"), size=n))
+    p = tmp_path / name
+    p.write_text(f">{name}\n{seq}\n")
+    return str(p)
+
+
+def test_local_mesh_exists_here():
+    mesh = pmesh.local_mesh()
+    assert mesh is not None and mesh.size == 8
+
+
+def test_sharded_sketch_bitwise_identical(tmp_path, rng):
+    # long genome -> multiple chunks incl. a non-full tail; tiny genome ->
+    # rows < 8 exercises the unsharded fallback chunk after sharded ones
+    params = pipeline.SketchParams(k=21)
+    for n in (700_000, 3_000, 150):
+        path = _write_genome(tmp_path, rng, f"g{n}.fa", n)
+        sharded = pipeline.sketch_file_hll(path, params, 12)
+        with mesh_disabled():
+            single = pipeline.sketch_file_hll(path, params, 12)
+        assert (sharded == single).all(), n
+
+
+def test_sharded_sketch_is_actually_sharded(tmp_path, rng, monkeypatch):
+    """The sharded chunk step must see tile rows split over 'd'."""
+    calls = {}
+    orig = pipeline._sharded_ascii_step
+
+    def spy(mesh, kw_items, p):
+        fn = orig(mesh, kw_items, p)
+
+        def wrapped(tile, regs):
+            out = fn(tile, regs)
+            calls["n"] = calls.get("n", 0) + 1
+            calls["sharding"] = out.sharding
+            return out
+        return wrapped
+
+    # lru_cache on the original: patch the lookup site instead
+    monkeypatch.setattr(pipeline, "_sharded_ascii_step", spy)
+    path = _write_genome(tmp_path, rng, "g.fa", 400_000)
+    params = pipeline.SketchParams(k=21, rehash=True)
+    _ = pipeline.sketch_file_hll(path, params, 12)
+    assert calls.get("n", 0) >= 1
+    # replicated output spec, over all 8 mesh devices
+    assert len(calls["sharding"].device_set) == 8
+
+
+@pytest.mark.parametrize("jestim", [est.ERTL_MLE, est.ERTL_JOINT_MLE])
+def test_sharded_compare_bitwise_and_sharded(rng, jestim):
+    p = 11
+    n = 37          # odd: forces row padding over the 8-way mesh
+    sketches = []
+    for i in range(n):
+        h = HLL(p)
+        h.addh_np(rng.integers(0, 2**62, 3000 + 37 * i, dtype=np.uint64))
+        sketches.append(h)
+    regs = np.stack([s.regs for s in sketches]).astype(np.int32)
+    kmin, kmax = int(regs.min()), int(regs.max()) + 1
+    dev = pw.compare_tile_async(regs, regs, p, pw.JI, 1.0 / 21,
+                                est.ERTL_MLE, jestim, kmax, kmin)
+    # sharded over all 8 devices before the host pulls it
+    assert len(dev.sharding.device_set) == 8
+    got = np.asarray(dev)
+    assert got.shape == (n, n)
+    with mesh_disabled():
+        want = np.asarray(pw.compare_tile_async(
+            regs, regs, p, pw.JI, 1.0 / 21, est.ERTL_MLE, jestim,
+            kmax, kmin))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_dist_output_bytes_identical(tmp_path, rng, capsys):
+    paths = [_write_genome(tmp_path, rng, f"c{i}.fa", 20_000 + 777 * i)
+             for i in range(5)]
+    out_m = str(tmp_path / "mesh.bin")
+    out_s = str(tmp_path / "single.bin")
+    assert climain.main(["dist", "-k", "21", "-S", "12", "-b", "-O", out_m,
+                         "--avoid-sorting"] + paths) == 0
+    with mesh_disabled():
+        assert climain.main(["dist", "-k", "21", "-S", "12", "-b", "-O",
+                             out_s, "--avoid-sorting"] + paths) == 0
+    capsys.readouterr()
+    assert open(out_m, "rb").read() == open(out_s, "rb").read()
+
+
+def test_cli_dist_jmle_output_bytes_identical(tmp_path, rng, capsys):
+    paths = [_write_genome(tmp_path, rng, f"j{i}.fa", 15_000) for i in range(3)]
+    out_m = str(tmp_path / "mesh.bin")
+    out_s = str(tmp_path / "single.bin")
+    assert climain.main(["dist", "-k", "21", "-S", "12", "-J", "-b", "-O",
+                         out_m, "--avoid-sorting"] + paths) == 0
+    with mesh_disabled():
+        assert climain.main(["dist", "-k", "21", "-S", "12", "-J", "-b",
+                             "-O", out_s, "--avoid-sorting"] + paths) == 0
+    capsys.readouterr()
+    assert open(out_m, "rb").read() == open(out_s, "rb").read()
+
+
+def test_counting_filter_sharded_identical(tmp_path, rng):
+    params = pipeline.SketchParams(k=15, min_count=2,
+                                   use_counting_filter=True)
+    path = _write_genome(tmp_path, rng, "cf.fa", 120_000)
+    sharded = pipeline.sketch_file_hll(path, params, 11)
+    with mesh_disabled():
+        single = pipeline.sketch_file_hll(path, params, 11)
+    assert (sharded == single).all()

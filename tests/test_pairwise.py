@@ -131,3 +131,58 @@ def test_windowed_estimators_match_full(rng, method, kmin, kmax):
     win = np.asarray(est.estimate_windowed(
         jnp.asarray(C[:, kmin:kmax + 1]), p, kmin, method))
     np.testing.assert_allclose(win, full, rtol=2e-6)
+
+
+def test_nn_topk_matches_dense(rng):
+    """Streaming top-k (bounded memory, tiled) must reproduce the dense
+    full-matrix argsort exactly, incl. tie-break-by-index and the self-
+    exclusion sentinel, across similarity and distance measures."""
+    from dashing_tpu.sketch.hll import HLL
+    p = 10
+    n, nn, tile = 50, 5, 16          # multiple tiles + ragged tail
+    base = rng.integers(0, 2**62, 3000, dtype=np.uint64)
+    sketches = []
+    for i in range(n):
+        h = HLL(p)
+        mix = np.concatenate([base[: 1500 + 17 * i],
+                              rng.integers(0, 2**62, 400 + 3 * i,
+                                           dtype=np.uint64)])
+        h.addh_np(mix)
+        sketches.append(h)
+    for result_type in (pw.JI, pw.MASH_DIST):
+        sim = pw.is_similarity(result_type)
+        mat = core_rect(sketches, sketches, result_type)
+        for i in range(n):
+            mat[i, i] = -np.inf if sim else np.inf
+        order = np.argsort(-mat if sim else mat, axis=1,
+                           kind="stable")[:, :nn]
+        vals = np.take_along_axis(mat, order, axis=1)
+        # single tile covering all refs: BITWISE identical to the dense path
+        sv, si = pw.nn_topk(sketches, sketches, result_type, 21,
+                            est.ERTL_MLE, est.ERTL_MLE, nn,
+                            exclude_self=True, tile=256)
+        np.testing.assert_array_equal(si, order)
+        np.testing.assert_array_equal(sv, vals)
+        # multi-tile streaming: values agree to f32 tile-reassociation noise
+        # and every picked neighbor is as good as the dense pick
+        sv, si = pw.nn_topk(sketches, sketches, result_type, 21,
+                            est.ERTL_MLE, est.ERTL_MLE, nn,
+                            exclude_self=True, tile=tile)
+        np.testing.assert_allclose(sv, vals, atol=2e-6, rtol=1e-5)
+        picked = np.take_along_axis(mat, si, axis=1)
+        np.testing.assert_allclose(picked, vals, atol=2e-6, rtol=1e-5)
+        assert (si != np.arange(n)[:, None]).all()   # self excluded
+    # Q x R mode: no self-exclusion; single tile -> exact
+    refs, queries = sketches[:30], sketches[30:]
+    mat = core_rect(refs, queries, pw.JI)
+    order = np.argsort(-mat, axis=1, kind="stable")[:, :nn]
+    vals = np.take_along_axis(mat, order, axis=1)
+    sv, si = pw.nn_topk(refs, queries, pw.JI, 21, est.ERTL_MLE,
+                        est.ERTL_MLE, nn, exclude_self=False, tile=64)
+    np.testing.assert_array_equal(si, order)
+    np.testing.assert_array_equal(sv, vals)
+
+
+def core_rect(refs, queries, result_type):
+    return pw.rect_pairs(refs, queries, result_type, 21,
+                         est.ERTL_MLE, est.ERTL_MLE)

@@ -104,3 +104,47 @@ def test_packed_records_sparse_triples_match(rng):
     tri_b = np.asarray(sparse_joint_triples(idx_b, rank_b, ref_regs,
                                             ref_hist, p))
     np.testing.assert_allclose(tri_a, tri_b, rtol=1e-6)
+
+
+def test_pallas_pair_stats_matches_xla(rng):
+    """The fused VMEM pair-statistics kernel must reproduce the XLA
+    indicator-matmul stats exactly (counts are integers in f32)."""
+    from dashing_tpu.ops import pairwise as pw
+    from dashing_tpu.ops.pallas_stats import pallas_pair_stats
+    p = 12
+    m = 1 << p
+    na, nb = 128, 256
+    regs = 6 + np.minimum(rng.geometric(0.5, size=(na + nb, m)), 20)
+    a = jnp.asarray(regs[:na].astype(np.int32))
+    b = jnp.asarray(regs[na:].astype(np.int32))
+    kmin, kmax = int(regs.min()), int(regs.max())
+    want = pw.pair_stats(a, b, kmax, True, kmin)
+    got = pallas_pair_stats(a.astype(jnp.int8), b.astype(jnp.int8),
+                            kmin=kmin, kmax=kmax, slab=2048,
+                            interpret=True)
+    for key in ("cum_union", "eq", "gt_a", "gt_b"):
+        np.testing.assert_array_equal(np.asarray(got[key]),
+                                      np.asarray(want[key]), err_msg=key)
+
+
+def test_pallas_pair_stats_padding(rng):
+    """Row counts not divisible by the block edge go through the padded
+    wrapper inside pair_stats on TPU; emulate with direct padding here."""
+    from dashing_tpu.ops import pairwise as pw
+    from dashing_tpu.ops.pallas_stats import pallas_pair_stats
+    p = 11
+    m = 1 << p
+    na, nb = 37, 65
+    regs = 5 + np.minimum(rng.geometric(0.5, size=(na + nb, m)), 18)
+    a = jnp.asarray(regs[:na].astype(np.int32))
+    b = jnp.asarray(regs[na:].astype(np.int32))
+    kmin, kmax = int(regs.min()), int(regs.max())
+    want = pw.pair_stats(a, b, kmax, True, kmin)
+    ba = 32
+    a8 = jnp.pad(a.astype(jnp.int8), ((0, (-na) % ba), (0, 0)))
+    b8 = jnp.pad(b.astype(jnp.int8), ((0, (-nb) % 128), (0, 0)))
+    got = pallas_pair_stats(a8, b8, kmin=kmin, kmax=kmax, ba=ba,
+                            slab=2048, interpret=True)
+    for key in ("cum_union", "eq", "gt_a", "gt_b"):
+        np.testing.assert_array_equal(np.asarray(got[key])[:na, :nb],
+                                      np.asarray(want[key]), err_msg=key)
