@@ -393,24 +393,35 @@ def check_compatible(sketches):
 def compare_condensed(sketches, result_type: int, k: int, estim: int,
                       jestim: int, out: Optional[np.ndarray] = None
                       ) -> np.ndarray:
-    """Symmetric all-pairs condensed vector; MXU engine for HLLs, host loop
-    for everything else.  `out` may be a memmap for out-of-core emission."""
+    """Symmetric all-pairs condensed vector; MXU engine for HLL-register
+    types, batched numpy engines for the minhash/bloom families, per-pair
+    loop only as a last resort.  `out` may be a memmap for out-of-core
+    emission."""
+    from ..sketch.extra import WideHLL
     check_compatible(sketches)
-    if isinstance(sketches[0], HLL):
+    if isinstance(sketches[0], (HLL, WideHLL)):
+        # WideHLL shares HLL register semantics (uint16 registers hold the
+        # same rank values), so the MXU engine applies unchanged
         return pw.all_pairs_condensed(sketches, result_type, k, estim,
                                       jestim, out=out)
     n = len(sketches)
     ksinv = 1.0 / k
     if out is None:
         out = np.empty(n * (n - 1) // 2, np.float32)
-    # batch ALL pair triples into one device call: a per-pair
-    # measure_from_triples dispatch costs ~6-9 ms over the tunnel
-    tris = np.empty((n * (n - 1) // 2, 3), np.float64)
-    pos = 0
-    for i in range(n):
-        for j in range(i + 1, n):
-            tris[pos] = sketches[i].full_set_comparison(sketches[j])
-            pos += 1
+    from ..sketch import batch_compare
+    rect = batch_compare.batch_triples(sketches, sketches)
+    if rect is not None:
+        iu, ju = np.triu_indices(n, 1)
+        tris = rect[iu, ju]
+    else:
+        # batch ALL pair triples into one device call: a per-pair
+        # measure_from_triples dispatch costs ~6-9 ms over the tunnel
+        tris = np.empty((n * (n - 1) // 2, 3), np.float64)
+        pos = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                tris[pos] = sketches[i].full_set_comparison(sketches[j])
+                pos += 1
     out[:] = host_measure(tris, result_type, ksinv)
     return out
 

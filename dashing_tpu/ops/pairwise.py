@@ -112,9 +112,18 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
 def _pallas_joint_stats(a: jnp.ndarray, b: jnp.ndarray, kmin: int,
                         kmax: int):
     """Route the joint statistics through the fused VMEM-resident Pallas
-    kernel when the platform and geometry allow; None -> XLA fallback.
+    kernel when enabled and the geometry allows; None -> XLA fallback.
     Counts are identical to the XLA path (exact 0/1-indicator bf16 dots
-    with f32 accumulation)."""
+    with f32 accumulation).
+
+    OPT-IN (DASHING_TPU_PALLAS_STATS=1): measured on v5e it matches the
+    XLA X/Y/Z-difference formulation (15.5 vs 15.9 M pairs/s at 1024-tiles)
+    — the 16 MiB scoped-VMEM ceiling forces 64-row blocks that underfill
+    the MXU, cancelling the HBM-traffic saving.  Kept as the backend for
+    targets with more VMEM per core."""
+    import os
+    if os.environ.get("DASHING_TPU_PALLAS_STATS", "") in ("", "0"):
+        return None
     from ..pipeline import _pallas_available
     if not _pallas_available():
         return None

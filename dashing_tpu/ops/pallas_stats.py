@@ -37,15 +37,17 @@ BB = 128          # B-side rows per block (output minor dim: must be 128)
 _MS = 2048        # register sub-slab width per MXU dot
 # Hard scoped-VMEM ceiling on this target is 16 MiB (a raised
 # vmem_limit_bytes crashes the AOT compile helper); leave headroom.
-_VMEM_BUDGET = 15 * 1024 * 1024
+_VMEM_BUDGET = 15 * 1024 * 1024 + 512 * 1024
 
 
 def _vmem_need(ba: int, slab: int, K: int) -> int:
     """The vmem_limit_bytes this geometry requests (must mirror the
     pallas_call below): double-buffered int8 in-blocks + four (K, ba, BB)
-    f32 out-blocks + per-sub-slab int32/bf16 indicator transients + slack."""
+    f32 out-blocks + per-sub-slab int32/bf16 indicator transients + slack
+    (measured: Mosaic's stack overhead ran ~0.5 MB past the raw buffer
+    arithmetic at K=31, hence the 6 MB total cushion)."""
     return (2 * (ba + BB) * slab + 4 * K * ba * BB * 4
-            + (ba + BB) * _MS * 8 + (4 << 20))
+            + (ba + BB) * _MS * 8 + (6 << 20))
 
 
 def pick_geometry(m: int, K: int):
