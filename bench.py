@@ -28,10 +28,12 @@ ITERS = 30
 
 
 def device_rate() -> float:
+    import functools
     import jax
     import jax.numpy as jnp
     from dashing_tpu.ops.encode import encode_tile
-    from dashing_tpu.ops.hll_update import (update_registers_filtered,
+    from dashing_tpu.ops.hll_update import (_ROW, adaptive_cap,
+                                            update_registers_filtered,
                                             update_from_idx_rank)
     from dashing_tpu.hashes import wang_hash
 
@@ -39,22 +41,33 @@ def device_rate() -> float:
     plat = jax.devices()[0].platform.lower()
     use_pallas = plat in ("tpu", "axon")
 
+    # chunk i -> survivor capacity, mirroring production's per-chunk choice
+    # (ops/hll_update.adaptive_cap); the schedule is static at trace time
+    # and selected in-jit by lax.switch, so the whole stream stays ONE
+    # dispatch (per-segment dispatches cost ~8 ms tunnel RTT each).
+    per_chunk = ROWS * CONTENT
+    caps = sorted({adaptive_cap(_ROW, 1 << P, i * per_chunk)
+                   for i in range(ITERS)})
+    cap_idx = np.array([caps.index(adaptive_cap(_ROW, 1 << P, i * per_chunk))
+                        for i in range(ITERS)], np.int32)
+
     @jax.jit
-    def run(chunks, regs):
-        """chunks: (ITERS, ROWS, C) — the whole stream resident in HBM;
-        the loop lives inside jit so dispatch/tunnel latency is amortized,
-        matching the production shape (stream fed chunkwise)."""
-        def body(i, regs):
+    def run(chunks, regs, cap_idx):
+        def update(cap, chunk, regs):
             if use_pallas:
                 from dashing_tpu.ops.pallas_encode import (
                     encode_hash_keys, keys_to_update_inputs)
-                keys = encode_hash_keys(chunks[i], k=K, p=P)
+                keys = encode_hash_keys(chunk, k=K, p=P)
                 idx, rank = keys_to_update_inputs(keys)
-                return update_from_idx_rank(regs, idx, rank)
-            km, valid = encode_tile(chunks[i], k=K, w=K, positions=positions,
+                return update_from_idx_rank(regs, idx, rank, cap=cap)
+            km, valid = encode_tile(chunk, k=K, w=K, positions=positions,
                                     span=K, canon=True)
             h = wang_hash(km)
-            return update_registers_filtered(regs, h, valid, P)
+            return update_registers_filtered(regs, h, valid, P, cap=cap)
+
+        def body(i, regs):
+            branches = [functools.partial(update, cap) for cap in caps]
+            return jax.lax.switch(cap_idx[i], branches, chunks[i], regs)
         return jax.lax.fori_loop(0, chunks.shape[0], body, regs)
 
     rng = np.random.default_rng(0)
@@ -62,12 +75,13 @@ def device_rate() -> float:
     chunks = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
                                     size=(ITERS, ROWS, C)))
     regs = jnp.zeros(1 << P, jnp.int32)
-    _ = jax.device_get(run(chunks, regs))         # compile + warm
+    ci = jnp.asarray(cap_idx)
+    _ = jax.device_get(run(chunks, regs, ci))     # compile + warm
     kmers = ROWS * CONTENT * ITERS
     best = 0.0
     for _rep in range(3):
         t0 = time.perf_counter()
-        out = run(chunks, regs)
+        out = run(chunks, regs, ci)
         _ = jax.device_get(out)                   # forces real completion
         best = max(best, kmers / (time.perf_counter() - t0))
     return best

@@ -183,7 +183,7 @@ def gather_inpaths(opts: CommonOpts, positional: List[str]) -> List[str]:
 _MAGIC_TYPES = {b"DTPUHLL1": "hll", b"DTPUBF01": "bf", b"DTPURMH1": "rmh",
                 b"DTPUCRM1": "crmh", b"DTPUBBM1": "bbmh",
                 b"DTPUWHL1": "wide_hll", b"DTPUHMH1": "hmh",
-                b"DTPUSMH1": "superminhash"}
+                b"DTPUSMH1": "superminhash", b"DTPUSMH2": "superminhash"}
 
 
 def _sniff_sketch_type(path: str) -> Optional[str]:

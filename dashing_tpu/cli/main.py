@@ -1125,6 +1125,9 @@ SUBCOMMANDS = {
     "fold": fold_main,
     "panel": panel_main,
     "card": card_main,
+    # the reference ships cardcmp as a standalone binary wrapping card_main
+    # (src/cardcmp.cpp); here it is an alias subcommand
+    "cardcmp": card_main,
     "printmat": printmat_main,
     "mkdist": mkdist_main,
     "flatten": flatten_main,

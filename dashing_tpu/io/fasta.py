@@ -32,11 +32,16 @@ def _open_raw(path: str) -> bytes:
         if head == b"\x28\xb5\x2f\xfd":  # zstd frame
             try:
                 import zstandard  # optional; gate, don't require
-            except ImportError as e:
-                raise RuntimeError(
-                    f"{path} is zstd-compressed but the zstandard module is "
-                    "unavailable in this environment") from e
-            return zstandard.ZstdDecompressor().stream_reader(fp).read()
+                return zstandard.ZstdDecompressor().stream_reader(fp).read()
+            except ImportError:
+                pass
+            from . import native    # native loader links libzstd if present
+            raw = native.read_raw(path)
+            if raw is not None:
+                return raw
+            raise RuntimeError(
+                f"{path} is zstd-compressed but neither the zstandard "
+                "module nor a zstd-enabled native loader is available")
         return fp.read()
 
 
@@ -73,23 +78,42 @@ def _parse_fasta(data: bytes) -> List[Record]:
 
 
 def _parse_fastq(data: bytes) -> List[Record]:
+    """FASTQ with full kseq record semantics (reference call sites
+    src/sketch_and_cmp.h:565-570): sequence may WRAP over multiple lines
+    until the '+' separator, and quality is consumed by LENGTH (not by
+    line count), so '@' at the start of a quality line never starts a
+    false record.  The common strict 4-line layout takes a constant-work
+    fast path (1M-read files are host-parse bound)."""
     out: List[Record] = []
     lines = data.split(b"\n")
     i = 0
     n = len(lines)
-    while i + 1 < n:
+    while i < n:
         header = lines[i]
-        if not header:
+        if not header or header == b"\r":
             i += 1
             continue
         if not header.startswith(b"@"):
             raise ValueError(f"malformed FASTQ near line {i}")
-        seq = lines[i + 1].rstrip(b"\r")   # CRLF files: kseq strips '\r' 
-        # '+' line and quality line; quality may contain '@', hence fixed
-        # 4-line stride (multi-line FASTQ is archaic and unsupported, as in
-        # practice by kseq-based tools for quality-bearing reads).
-        i += 4
-        name = header[1:].split()[0] if header[1:].split() else header[1:].rstrip(b"\r")
+        header = header.rstrip(b"\r")
+        name = (header[1:].split()[0] if header[1:].split()
+                else header[1:])
+        if i + 2 < n and lines[i + 2][:1] == b"+":
+            # single-line sequence (the common layout)
+            seq = lines[i + 1].rstrip(b"\r")
+            i += 3                       # past the '+' line
+        else:
+            i += 1
+            parts = []
+            while i < n and lines[i][:1] != b"+":
+                parts.append(lines[i].rstrip(b"\r"))
+                i += 1
+            seq = b"".join(parts)
+            i += 1                       # '+' line (or EOF)
+        qlen = 0
+        while i < n and qlen < len(seq):
+            qlen += len(lines[i].rstrip(b"\r"))
+            i += 1
         out.append((bytes(name), bytes(seq)))
     return out
 

@@ -57,12 +57,36 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dtpu_read_fastx.restype = ctypes.c_int
         lib.dtpu_free.argtypes = [ctypes.POINTER(_DtpuFastx)]
         lib.dtpu_free.restype = None
+        lib.dtpu_read_raw.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_uint64)]
+        lib.dtpu_read_raw.restype = ctypes.c_int
+        lib.dtpu_free_buf.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.dtpu_free_buf.restype = None
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def read_raw(path: str) -> Optional[bytes]:
+    """Whole-file decompressed bytes via the native loader (handles gz and,
+    when built against libzstd, zstd frames).  None on unavailability."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = ctypes.POINTER(ctypes.c_uint8)()
+    ln = ctypes.c_uint64()
+    rc = lib.dtpu_read_raw(path.encode(), ctypes.byref(buf),
+                           ctypes.byref(ln))
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(buf, ln.value)
+    finally:
+        lib.dtpu_free_buf(buf)
 
 
 def read_joined(path: str, sep_len: int

@@ -52,13 +52,34 @@ def update_registers(regs: jnp.ndarray, h: U64, valid: jnp.ndarray, p: int) -> j
 
 _ROW = 2048          # compaction row width (TPU-sweeped: narrow rows at
                      # constant survivor ratio beat wide ones, 584 vs 556 M/s)
-_CAPR = 64           # survivor capacity per row (1/32; TPU-sweeped optimum)
+_CAPR = 64           # default survivor capacity per row
 
 
+def adaptive_cap(row: int, m: int, seen: int) -> int:
+    """Base survivor capacity for the next chunk given `seen` k-mers
+    already in the m registers.  top_k cost scales with the capacity
+    (round-2 TPU sweep: 1/64 survivor ratio runs ~950 M elem/s vs ~750 at
+    1/32 and ~510 at 1/16 regardless of row width), so shrink the cap as
+    the stream fills the registers.  The expected survivor count per row
+    is row * 2^-min(regs); min(regs) sits ~3 levels BELOW log2(seen/m)
+    (minimum statistics over 2^p registers — measured: naive seen-based
+    caps overflowed ~every slab and regressed the pipeline 578->432
+    M k-mers/s), hence the 8x-adjusted mean.  Misestimates degrade
+    gracefully: _update_slab escalates overflowing slabs to a 4x-cap
+    top_k and only then to the exact full scatter."""
+    if seen <= 0:
+        return 128
+    mean = 8.0 * row * m / seen
+    target = 2.0 * mean + 10.0
+    cap = 16
+    while cap < target and cap < 128:
+        cap *= 2
+    return cap
 
-@functools.partial(jax.jit, static_argnames=("p",))
+
+@functools.partial(jax.jit, static_argnames=("p", "cap"))
 def update_registers_filtered(regs: jnp.ndarray, h: U64, valid: jnp.ndarray,
-                              p: int) -> jnp.ndarray:
+                              p: int, cap: int = _CAPR) -> jnp.ndarray:
     """Threshold-filtered scatter-max: the fast path for streaming updates.
 
     Registers only grow, so a hash whose rank is <= min(regs) cannot change
@@ -74,7 +95,7 @@ def update_registers_filtered(regs: jnp.ndarray, h: U64, valid: jnp.ndarray,
     """
     idx, rank = bucket_rank(h, p)
     rank = jnp.where(valid, rank, 0)
-    return update_from_idx_rank(regs, idx, rank)
+    return update_from_idx_rank(regs, idx, rank, cap=cap)
 
 
 # Threshold-refresh granularity: within one update call, the filter
@@ -87,26 +108,47 @@ _BLOCK_ROWS = 128
 
 def _update_slab(regs: jnp.ndarray, idx2: jnp.ndarray, rank2: jnp.ndarray,
                  cap: int, shift: int) -> jnp.ndarray:
-    """One threshold epoch: filter a (R, row) slab against min(regs)."""
+    """One threshold epoch: filter a (R, row) slab against min(regs).
+
+    Cascaded compaction: top_k at `cap`; a slab whose smallest kept rank
+    still beats the threshold (i.e. survivors may have been dropped)
+    escalates to a 4x-cap top_k, and only a second overflow falls back to
+    the exact full scatter.  Exactness is preserved at every tier —
+    escalation is a perf ramp for underestimated caps, which minimum-
+    statistics of the register threshold make routine near cap shrinks."""
     t = regs.min()
     key = (rank2 << shift) | jax.lax.broadcasted_iota(jnp.int32, rank2.shape, 1)
-    vals, pos = jax.lax.top_k(key, cap)
-    kept_rank = vals >> shift
-    keep = kept_rank > t
-    sidx = jnp.where(keep, jnp.take_along_axis(idx2, pos, axis=1), 0)
-    srank = jnp.where(keep, kept_rank, 0)
-    overflow = (kept_rank[:, -1] > t).any()
+    row = rank2.shape[1]
 
-    def small(args):
-        regs, sidx, srank, _, _ = args
-        return regs.at[sidx.reshape(-1)].max(srank.reshape(-1), mode="drop")
+    def compact(args, k):
+        regs, idx2, rank2 = args
+        vals, pos = jax.lax.top_k(key, k)
+        kept_rank = vals >> shift
+        keep = kept_rank > t
+        sidx = jnp.where(keep, jnp.take_along_axis(idx2, pos, axis=1), 0)
+        srank = jnp.where(keep, kept_rank, 0)
+        overflow = (kept_rank[:, -1] > t).any()
+        return overflow, sidx, srank
 
     def full(args):
-        regs, _, _, idx2, rank2 = args
+        regs, idx2, rank2 = args
         return regs.at[idx2.reshape(-1)].max(rank2.reshape(-1), mode="drop")
 
-    return jax.lax.cond(~overflow, small, full,
-                        (regs, sidx, srank, idx2, rank2))
+    def scatter(regs, sidx, srank):
+        return regs.at[sidx.reshape(-1)].max(srank.reshape(-1), mode="drop")
+
+    def tier2(args):
+        regs = args[0]
+        if 4 * cap >= row:
+            return full(args)
+        ov2, sidx2, srank2 = compact(args, 4 * cap)
+        return jax.lax.cond(
+            ~ov2, lambda a: scatter(a[0], sidx2, srank2), full, args)
+
+    args = (regs, idx2, rank2)
+    ov1, sidx, srank = compact(args, cap)
+    return jax.lax.cond(
+        ~ov1, lambda a: scatter(a[0], sidx, srank), tier2, args)
 
 
 @functools.partial(jax.jit, static_argnames=("row", "cap"))

@@ -90,15 +90,15 @@ def _pack_tile_host(tile: np.ndarray):
     return packed, vbits
 
 
-@functools.partial(jax.jit, static_argnames=("k", "p", "canon", "C"))
+@functools.partial(jax.jit, static_argnames=("k", "p", "canon", "C", "ucap"))
 def _packed_to_registers(packed: jnp.ndarray, vbits: jnp.ndarray,
                          regs: jnp.ndarray, *, k: int, p: int, canon: bool,
-                         C: int) -> jnp.ndarray:
+                         C: int, ucap: int = 64) -> jnp.ndarray:
     from .ops.pallas_encode import keys_to_update_inputs
     from .ops.hll_update import update_from_idx_rank
     keys = _packed_to_keys(packed, vbits, k=k, p=p, canon=canon, C=C)
     idx, rank = keys_to_update_inputs(keys)
-    return update_from_idx_rank(regs, idx, rank)
+    return update_from_idx_rank(regs, idx, rank, cap=ucap)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "p", "canon", "C"))
@@ -118,11 +118,11 @@ def _packed_ok(params: SketchParams, sp: Spacer, p: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
                                              "canon", "encoding", "rehash",
-                                             "p", "entropy"))
+                                             "p", "entropy", "ucap"))
 def _tile_to_registers(tile: jnp.ndarray, regs: jnp.ndarray, *, k: int, w: int,
                        positions: Tuple[int, ...], span: int, canon: bool,
                        encoding: str, rehash: bool, p: int,
-                       entropy: bool = False) -> jnp.ndarray:
+                       entropy: bool = False, ucap: int = 64) -> jnp.ndarray:
     """Fused device step: ASCII tile -> k-mers -> hashes -> register max."""
     if encoding == "bonsai":
         km, valid = encode_tile(tile, k=k, w=w, positions=positions, span=span,
@@ -131,7 +131,7 @@ def _tile_to_registers(tile: jnp.ndarray, regs: jnp.ndarray, *, k: int, w: int,
         km, valid = rolling.rolling_hash_tile(tile, k=k, kind=encoding,
                                               canon=canon)
     h = wang_hash(km) if rehash else km
-    return update_registers_filtered(regs, h, valid, p)
+    return update_registers_filtered(regs, h, valid, p, cap=ucap)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
@@ -265,13 +265,13 @@ def sketch_file_hll(path: str, params: SketchParams, p: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _sharded_ascii_step(mesh, kw_items: tuple, p: int):
+def _sharded_ascii_step(mesh, kw_items: tuple, p: int, ucap: int = 64):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     kw = dict(kw_items)
 
     def local(tile, regs):
-        upd = _tile_to_registers(tile, regs, **kw, p=p)
+        upd = _tile_to_registers(tile, regs, **kw, p=p, ucap=ucap)
         return jax.lax.pmax(upd, "d")
 
     return jax.jit(shard_map(local, mesh=mesh,
@@ -279,13 +279,14 @@ def _sharded_ascii_step(mesh, kw_items: tuple, p: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_packed_step(mesh, k: int, p: int, canon: bool, C: int):
+def _sharded_packed_step(mesh, k: int, p: int, canon: bool, C: int,
+                         ucap: int = 64):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def local(packed, vbits, regs):
         upd = _packed_to_registers(packed, vbits, regs, k=k, p=p,
-                                   canon=canon, C=C)
+                                   canon=canon, C=C, ucap=ucap)
         return jax.lax.pmax(upd, "d")
 
     return jax.jit(shard_map(local, mesh=mesh,
@@ -340,23 +341,31 @@ def sketch_file_hll_async(path: str, params: SketchParams, p: int):
         # the fused kernel packs (idx << 6 | rank) in int32, so bucket
         # indices must fit 25 bits; larger p uses the unfused path
         fused_pallas = _packed_ok(params, sp, p)
+        from .ops.hll_update import _ROW, adaptive_cap
+        seen = 0
         for tile in _file_tiles(path, sp):
+            # shrink the top_k survivor capacity as the registers fill
+            # (overflow only costs a full-scatter slab, never correctness)
+            ucap = adaptive_cap(_ROW, 1 << p, seen)
+            seen += tile.shape[0] * (tile.shape[1] - sp.halo)
             sharded = D > 1 and tile.shape[0] % D == 0
             if fused_pallas and tile.shape[0] % (8 * (D if sharded else 1)) == 0:
                 # ship 2-bit packed codes + validity bits (~0.37 B/base)
                 packed, vbits = _pack_tile_host(tile)
                 if sharded:
                     regs = _sharded_packed_step(
-                        mesh, sp.k, p, params.canon, tile.shape[1])(
+                        mesh, sp.k, p, params.canon, tile.shape[1], ucap)(
                             packed, vbits, regs)
                 else:
                     regs = _packed_to_registers(
                         jnp.asarray(packed), jnp.asarray(vbits), regs,
-                        k=sp.k, p=p, canon=params.canon, C=tile.shape[1])
+                        k=sp.k, p=p, canon=params.canon, C=tile.shape[1],
+                        ucap=ucap)
             elif sharded:
-                regs = _sharded_ascii_step(mesh, kw_key, p)(tile, regs)
+                regs = _sharded_ascii_step(mesh, kw_key, p, ucap)(tile, regs)
             else:
-                regs = _tile_to_registers(jnp.asarray(tile), regs, **kw, p=p)
+                regs = _tile_to_registers(jnp.asarray(tile), regs, **kw,
+                                          p=p, ucap=ucap)
     return regs
 
 

@@ -30,7 +30,7 @@ import numpy as np
 
 from .setsketches import (BBitMinHash, BloomFilter, BottomK,
                           CountingBottomK)
-from .extra import DensifiedMinHash, HyperMinHash
+from .extra import DensifiedMinHash, HyperMinHash, SuperMinHash
 
 _TILE = 64          # A-side rows per broadcast tile (bounds memory)
 
@@ -79,6 +79,23 @@ def _densified_rect(A: List[DensifiedMinHash], B) -> np.ndarray:
         sl = slice(i0, i0 + _TILE)
         f = (ra[sl][:, None, :] == rb[None, :, :]).mean(-1)
         ji[sl] = np.maximum(0.0, (f - c) / (1.0 - c))
+    return _ji_to_triple(ji, ca, cb)
+
+
+def _smh_rect(A: List[SuperMinHash], B) -> np.ndarray:
+    ra = np.stack([s._regs_b() for s in A])
+    rb = np.stack([s._regs_b() for s in B])
+    fa = np.array([bool(np.isfinite(s.h).any()) for s in A])
+    fb = np.array([bool(np.isfinite(s.h).any()) for s in B])
+    ca, cb = _cards(A), _cards(B)
+    c = 2.0 ** -A[0].b
+    na, nb = ra.shape[0], rb.shape[0]
+    ji = np.zeros((na, nb), np.float64)
+    for i0 in range(0, na, _TILE):
+        sl = slice(i0, i0 + _TILE)
+        f = (ra[sl][:, None, :] == rb[None, :, :]).mean(-1)
+        ji[sl] = np.where(fa[sl][:, None] & fb[None, :],
+                          np.maximum(0.0, (f - c) / (1.0 - c)), 0.0)
     return _ji_to_triple(ji, ca, cb)
 
 
@@ -215,6 +232,8 @@ def batch_triples(A, B) -> Optional[np.ndarray]:
         return _bbmh_rect(A, B)
     if t is DensifiedMinHash:
         return _densified_rect(A, B)
+    if t is SuperMinHash:
+        return _smh_rect(A, B)
     if t is HyperMinHash:
         return _hmh_rect(A, B)
     if t is BloomFilter:

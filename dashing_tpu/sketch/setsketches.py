@@ -415,7 +415,7 @@ class BBitMinHash:
 
 def make_typed(sketch_type: str, opts):
     """Empty sketch of the requested type sized from -S (bytesl2_to_arg)."""
-    from .extra import WideHLL, HyperMinHash, DensifiedMinHash
+    from .extra import WideHLL, HyperMinHash, DensifiedMinHash, SuperMinHash
     S = opts.sketch_size
     if sketch_type == "bf":
         return BloomFilter(S + 3, max(opts.nhashes, 1))
@@ -433,8 +433,10 @@ def make_typed(sketch_type: str, opts):
         shift = {8: 0, 16: 1, 32: 2, 64: 3}.get(opts.bbnbits, 1)
         return HyperMinHash(max(S - shift, 4), opts.bbnbits)
     if sketch_type == "superminhash":
+        # real SuperMinHash (Ertl 2017); DensifiedMinHash remains readable
+        # as the round-1 fallback format
         p = S - int(math.floor(math.log2(max(opts.bbnbits // 8, 1))))
-        return DensifiedMinHash(max(p, 4), opts.bbnbits)
+        return SuperMinHash(max(p, 4), opts.bbnbits)
     raise SystemExit(f"Sketch {sketch_type} not yet supported.")
 
 
@@ -449,10 +451,17 @@ def build_typed(sketch_type: str, path: str, opts, params):
 
 
 def read_typed(path: str, sketch_type: str):
-    from .extra import WideHLL, HyperMinHash, DensifiedMinHash
+    from .extra import WideHLL, HyperMinHash, DensifiedMinHash, SuperMinHash
+    if sketch_type == "superminhash":
+        # current files are real SuperMinHash (DTPUSMH2); round-1 files
+        # carry the DensifiedMinHash fallback magic (DTPUSMH1)
+        try:
+            return SuperMinHash.read(path)
+        except ValueError:
+            return DensifiedMinHash.read(path)
     cls = {"bf": BloomFilter, "rmh": BottomK, "crmh": CountingBottomK,
-           "bbmh": BBitMinHash, "wide_hll": WideHLL, "hmh": HyperMinHash,
-           "superminhash": DensifiedMinHash}.get(sketch_type)
+           "bbmh": BBitMinHash, "wide_hll": WideHLL,
+           "hmh": HyperMinHash}.get(sketch_type)
     if cls is None:
         raise SystemExit(f"Sketch {sketch_type} not yet supported.")
     return cls.read(path)

@@ -12,11 +12,15 @@
 // Python: dashing_tpu/io/native.py (ctypes, numpy zero-copy views).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
 #include <zlib.h>
+#ifdef DTPU_HAVE_ZSTD
+#include <zstd.h>
+#endif
 
 extern "C" {
 
@@ -29,7 +33,52 @@ struct DtpuFastx {
     uint64_t *rec_ends;  // exclusive end offset of each record in `seq`
 };
 
+// zstd is wrapped transparently like the reference's zlibWrapper
+// (reference Makefile:58-62, -DZWRAP_USE_ZSTD=1): sniff the frame magic
+// and stream-decompress; builds without libzstd return -7 so the Python
+// fallback engages instead of mis-parsing compressed bytes.
+static int read_zstd(const char *path, std::vector<uint8_t> &out) {
+#ifdef DTPU_HAVE_ZSTD
+    std::FILE *fp = std::fopen(path, "rb");
+    if (!fp) return -1;
+    ZSTD_DStream *ds = ZSTD_createDStream();
+    std::vector<uint8_t> inbuf(ZSTD_DStreamInSize());
+    std::vector<uint8_t> outbuf(ZSTD_DStreamOutSize());
+    out.clear();
+    int rc = 0;
+    for (;;) {
+        size_t got = std::fread(inbuf.data(), 1, inbuf.size(), fp);
+        if (got == 0) break;
+        ZSTD_inBuffer zin{inbuf.data(), got, 0};
+        while (zin.pos < zin.size) {
+            ZSTD_outBuffer zout{outbuf.data(), outbuf.size(), 0};
+            size_t r = ZSTD_decompressStream(ds, &zout, &zin);
+            if (ZSTD_isError(r)) { rc = -2; goto done; }
+            out.insert(out.end(), outbuf.data(), outbuf.data() + zout.pos);
+        }
+        if (got < inbuf.size()) break;
+    }
+done:
+    ZSTD_freeDStream(ds);
+    std::fclose(fp);
+    return rc;
+#else
+    (void)path; (void)out;
+    return -7;
+#endif
+}
+
 static int read_all(const char *path, std::vector<uint8_t> &data) {
+    {   // zstd frame? (zlib cannot; mirror the reference's zstd wrapping)
+        std::FILE *fp = std::fopen(path, "rb");
+        if (!fp) return -1;
+        unsigned char head[4] = {0, 0, 0, 0};
+        size_t n = std::fread(head, 1, 4, fp);
+        std::fclose(fp);
+        if (n == 4 && head[0] == 0x28 && head[1] == 0xb5 && head[2] == 0x2f
+            && head[3] == 0xfd)
+            return read_zstd(path, data);
+    }
     gzFile fp = gzopen(path, "rb");  // reads plain files transparently too
     if (!fp) return -1;
     gzbuffer(fp, 1 << 20);
@@ -104,28 +153,41 @@ int dtpu_read_fastx(const char *path, uint32_t sep_len, DtpuFastx *out) {
             rec_ends.push_back(seq.size());
         }
     } else {
+        // kseq record semantics (reference src/sketch_and_cmp.h:565-570):
+        // sequence may wrap over multiple lines until the '+' separator;
+        // quality is consumed by LENGTH, so a quality line starting with
+        // '@' never opens a false record.
         while (p < end) {
             if (*p != '@') {
-                if (*p == '\n') { ++p; continue; }
+                if (*p == '\n' || *p == '\r') { ++p; continue; }
                 return -5;
             }
             const uint8_t *nl = line_end(p + 1);
             start_record();
             push_name(p + 1, nl);
-            p = nl < end ? nl + 1 : end;           // -> sequence line
-            nl = line_end(p);
-            {
+            p = nl < end ? nl + 1 : end;           // -> sequence line(s)
+            const size_t seq_start = seq.size();
+            while (p < end && *p != '+') {
+                nl = line_end(p);
                 const uint8_t *q = nl;
                 while (q > p && q[-1] == '\r') --q;
                 seq.insert(seq.end(), p, q);
+                p = nl < end ? nl + 1 : end;
             }
+            const size_t slen = seq.size() - seq_start;
             rec_ends.push_back(seq.size());
-            p = nl < end ? nl + 1 : end;           // -> '+' line
-            if (p < end && *p != '+') return -6;   // multi-line FASTQ: punt
-            nl = line_end(p);
-            p = nl < end ? nl + 1 : end;           // -> quality line
-            nl = line_end(p);
-            p = nl < end ? nl + 1 : end;           // -> next record
+            if (p < end) {                         // skip the '+' line
+                nl = line_end(p);
+                p = nl < end ? nl + 1 : end;
+            }
+            size_t qlen = 0;                       // -> quality by length
+            while (p < end && qlen < slen) {
+                nl = line_end(p);
+                const uint8_t *q = nl;
+                while (q > p && q[-1] == '\r') --q;
+                qlen += static_cast<size_t>(q - p);
+                p = nl < end ? nl + 1 : end;
+            }
         }
     }
 
@@ -144,6 +206,20 @@ int dtpu_read_fastx(const char *path, uint32_t sep_len, DtpuFastx *out) {
     std::memcpy(out->rec_ends, rec_ends.data(), rec_ends.size() * 8);
     return 0;
 }
+
+// Decompressed whole-file bytes (gz/zstd/plain) for the Python record
+// parser — lets read_records handle zstd without a python zstd module.
+int dtpu_read_raw(const char *path, uint8_t **buf, uint64_t *len) {
+    std::vector<uint8_t> data;
+    int rc = read_all(path, data);
+    if (rc) return rc;
+    *buf = static_cast<uint8_t *>(std::malloc(data.size() ? data.size() : 1));
+    std::memcpy(*buf, data.data(), data.size());
+    *len = data.size();
+    return 0;
+}
+
+void dtpu_free_buf(uint8_t *p) { std::free(p); }
 
 void dtpu_free(DtpuFastx *r) {
     std::free(r->seq);

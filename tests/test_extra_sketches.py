@@ -209,3 +209,118 @@ def test_jukes_cantor_corrected_counts():
     p_frag = bg.jukes_cantor_p(ks, isz, 0.25, 1e6, 1e6, 10000, 10000)
     assert p_whole == p_whole and p_frag == p_frag
     assert p_whole != p_frag   # the numseqs correction must matter
+
+
+# --------------------------- real SuperMinHash ------------------------------
+
+def test_superminhash_order_and_chunk_invariance(rng):
+    """The lockstep early stop only skips provably-no-op updates, so the
+    registers must be EXACTLY independent of insertion order / chunking."""
+    from dashing_tpu.sketch.extra import SuperMinHash
+    vals = rng.integers(0, 2**62, 5000, dtype=np.uint64)
+    a = SuperMinHash(p=8)
+    a.add_np(vals)
+    b = SuperMinHash(p=8)
+    for part in np.array_split(rng.permutation(vals), 7):
+        b.add_np(part)
+    np.testing.assert_array_equal(a.h, b.h)
+
+
+def test_superminhash_merge_is_union(rng):
+    from dashing_tpu.sketch.extra import SuperMinHash
+    va = rng.integers(0, 2**62, 3000, dtype=np.uint64)
+    vb = rng.integers(0, 2**62, 2500, dtype=np.uint64)
+    u = SuperMinHash(p=7)
+    u.add_np(np.concatenate([va, vb]))
+    a = SuperMinHash(p=7)
+    a.add_np(va)
+    b = SuperMinHash(p=7)
+    b.add_np(vb)
+    a += b
+    np.testing.assert_array_equal(a.h, u.h)
+
+
+def test_superminhash_register_law(rng):
+    """P(h >= x) = (1 - x/m)^n: all registers finite and < m after one
+    element; cardinality MLE within KMV error bounds."""
+    from dashing_tpu.sketch.extra import SuperMinHash
+    s = SuperMinHash(p=9)
+    n = 20000
+    s.add_np(rng.integers(0, 2**62, n, dtype=np.uint64))
+    assert np.isfinite(s.h).all() and (s.h >= 0).all() and (s.h < s.m).all()
+    est = s.report()
+    assert abs(est - n) / n < 5.0 / np.sqrt(s.m)
+
+
+def test_superminhash_jaccard_accuracy(rng):
+    from dashing_tpu.sketch.extra import SuperMinHash
+    shared = rng.integers(0, 2**62, 6000, dtype=np.uint64)
+    oa = rng.integers(0, 2**62, 6000, dtype=np.uint64)
+    ob = rng.integers(0, 2**62, 6000, dtype=np.uint64)
+    a = SuperMinHash(p=10)
+    a.add_np(np.concatenate([shared, oa]))
+    b = SuperMinHash(p=10)
+    b.add_np(np.concatenate([shared, ob]))
+    ji = a.jaccard_index(b)
+    assert abs(ji - 1 / 3) < 0.06      # ~4 sigma at m=1024
+
+
+def test_superminhash_roundtrip(tmp_path, rng):
+    from dashing_tpu.sketch.extra import SuperMinHash
+    s = SuperMinHash(p=7, b=16)
+    s.add_np(rng.integers(0, 2**62, 500, dtype=np.uint64))
+    path = str(tmp_path / "s.bbs")
+    s.write(path)
+    t = SuperMinHash.read(path)
+    assert t.p == s.p and t.b == s.b
+    np.testing.assert_array_equal(t.h, s.h)
+
+
+def test_superminhash_batch_compare(rng):
+    from dashing_tpu.sketch.extra import SuperMinHash
+    from dashing_tpu.sketch import batch_compare
+    base = rng.integers(0, 2**62, 4000, dtype=np.uint64)
+    sketches = []
+    for i in range(5):
+        s = SuperMinHash(p=7)
+        s.add_np(np.concatenate(
+            [base[: 1000 + 500 * i],
+             rng.integers(0, 2**62, 300 * i + 10, dtype=np.uint64)]))
+        sketches.append(s)
+    sketches.append(SuperMinHash(p=7))     # empty
+    rect = batch_compare.batch_triples(sketches, sketches)
+    for i in range(6):
+        for j in range(6):
+            np.testing.assert_allclose(
+                rect[i, j],
+                np.asarray(sketches[i].full_set_comparison(sketches[j])),
+                rtol=1e-12, atol=1e-9)
+
+
+def test_superminhash_cli_flag(tmp_path, rng, capsys):
+    """--use-superminhash builds the REAL SuperMinHash now; old
+    DensifiedMinHash (DTPUSMH1) files still load."""
+    from dashing_tpu.cli import main as climain
+    from dashing_tpu.cli.core import read_sketch_auto
+    from dashing_tpu.sketch.extra import DensifiedMinHash, SuperMinHash
+    base = "".join(rng.choice(list("ACGT"), size=4000))
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"s{i}.fa"
+        p.write_text(f">s{i}\n{base}\n")
+        paths.append(str(p))
+    assert climain.main(["sketch", "-k", "17", "-S", "12",
+                         "--use-superminhash", "-P", str(tmp_path)] + paths) == 0
+    capsys.readouterr()
+    import glob
+    skfiles = sorted(glob.glob(str(tmp_path / "*.bbs")))
+    assert skfiles
+    sk = read_sketch_auto(skfiles[0], "superminhash")
+    assert isinstance(sk, SuperMinHash)
+    # legacy densified file loads through the same entry point
+    d = DensifiedMinHash(p=6)
+    d.add_np(rng.integers(0, 2**62, 200, dtype=np.uint64))
+    legacy = str(tmp_path / "legacy.bbs")
+    d.write(legacy)
+    got = read_sketch_auto(legacy, "superminhash")
+    assert isinstance(got, DensifiedMinHash)

@@ -294,3 +294,25 @@ def test_joint_mle_improves_likelihood(rng):
         _j.asarray(init, _j.float32), stats, m, 64 - p)
     moved = np.abs(np.log(np.maximum(tri, 1e-9)) - init).max() > 1e-5
     assert moved or float(np.abs(np.asarray(g)).max()) < 1.0
+
+
+def test_filtered_update_cascade_tiers(rng):
+    """The cascaded compaction (cap -> 4x cap -> full scatter) must be
+    bitwise exact in every tier: drive slabs whose survivor counts sit
+    below cap, between cap and 4x cap, and above 4x cap."""
+    import jax.numpy as jnp
+    from dashing_tpu.ops.hll_update import update_from_idx_rank
+    m = 1 << 10
+    n = 4096
+    idx = rng.integers(0, m, n).astype(np.int32)
+    for base, cap in [(0, 16),      # cold registers: full-scatter tier
+                      (6, 16),      # mid: escalation tier
+                      (12, 16)]:    # warm: small tier
+        regs0 = (base + rng.integers(0, 3, m)).astype(np.int32)
+        rank = np.minimum(1 + rng.geometric(0.5, n), 40).astype(np.int32)
+        got = np.asarray(update_from_idx_rank(
+            jnp.asarray(regs0), jnp.asarray(idx), jnp.asarray(rank),
+            row=512, cap=cap))
+        want = regs0.copy()
+        np.maximum.at(want, idx, rank)
+        np.testing.assert_array_equal(got, want, err_msg=f"base={base}")

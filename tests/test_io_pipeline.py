@@ -289,3 +289,106 @@ def test_join_cache_stat_invalidation(tmp_path):
         assert bytes(fresh[:24]) == b"T" * 24
     finally:
         pipeline.set_join_cache(False)
+
+
+# ----------------------- kseq-parity FASTQ edge cases -----------------------
+
+def _native_records(path, sep_len=0):
+    from dashing_tpu.io import native
+    res = native.read_joined(path, sep_len)
+    if res is None:
+        pytest.skip("native loader unavailable")
+    joined, names, ends = res
+    out, prev = [], 0
+    for name, e in zip(names, np.asarray(ends, np.int64)):
+        out.append((bytes(name), joined[prev:int(e)].tobytes()))
+        prev = int(e) + sep_len
+    return out
+
+
+WRAPPED_FQ = (
+    "@r1 desc\n"
+    "ACGTACGT\nTTTTACGT\nGG\n"        # wrapped sequence (18 bases)
+    "+\n"
+    "IIIIIIII\n@IIIIIII\nII\n"        # wrapped quality, one line starts '@'
+    "@r2\n"
+    "CCCCAAAA\n"
+    "+r2\n"
+    "@@@@@@@@\n"                      # quality of all-'@'
+    "@r3\n"
+    "GGGG\nTTTT\n"
+    "+\n"
+    "JJJJJJJJ\n"
+)
+
+WANT_FQ = [(b"r1", b"ACGTACGTTTTTACGTGG"),
+           (b"r2", b"CCCCAAAA"),
+           (b"r3", b"GGGGTTTT")]
+
+
+def test_fastq_wrapped_kseq_parity(tmp_path):
+    p = str(tmp_path / "w.fq")
+    open(p, "w").write(WRAPPED_FQ)
+    assert fasta.read_records(p) == WANT_FQ
+    assert _native_records(p) == WANT_FQ
+
+
+def test_fastq_crlf_kseq_parity(tmp_path):
+    p = str(tmp_path / "crlf.fq")
+    open(p, "wb").write(WRAPPED_FQ.replace("\n", "\r\n").encode())
+    assert fasta.read_records(p) == WANT_FQ
+    assert _native_records(p) == WANT_FQ
+
+
+def test_fastq_wrapped_matches_numpy_joined(tmp_path):
+    """Native and numpy paths must agree byte-for-byte on the joined
+    layout the pipeline consumes."""
+    p = str(tmp_path / "w2.fq")
+    open(p, "w").write(WRAPPED_FQ)
+    sep = 20
+    res = _native_records(p, sep_len=0)
+    recs = fasta.read_records(p)
+    joined_np = encode.join_records([np.frombuffer(s, np.uint8)
+                                     for _, s in recs], sep)
+    from dashing_tpu.io import native
+    joined_nat = native.read_joined(p, sep)[0]
+    assert joined_nat.tobytes() == joined_np.tobytes()
+    assert res == recs
+
+
+def test_fasta_crlf(tmp_path):
+    p = str(tmp_path / "c.fa")
+    open(p, "wb").write(b">a x\r\nACGT\r\nTTGG\r\n>b\r\nCCCC\r\n")
+    assert fasta.read_records(p) == [(b"a", b"ACGTTTGG"), (b"b", b"CCCC")]
+    assert _native_records(p) == [(b"a", b"ACGTTTGG"), (b"b", b"CCCC")]
+
+
+def test_zstd_native(tmp_path, rng):
+    """zstd-compressed FASTA reads through the native loader (the
+    reference wraps zstd behind the zlib API, Makefile:58-62)."""
+    try:
+        import ctypes
+        ctypes.CDLL("libzstd.so.1")
+    except OSError:
+        pytest.skip("libzstd unavailable")
+    seq = _rand_seq(rng, 3000)
+    raw = f">z1 d\n{seq}\n".encode()
+    p = str(tmp_path / "z.fa.zst")
+    # compress via the system zstd CLI if present, else ctypes one-shot
+    import shutil, subprocess
+    plain = tmp_path / "z.fa"
+    plain.write_bytes(raw)
+    if shutil.which("zstd"):
+        subprocess.run(["zstd", "-q", "-f", str(plain), "-o", p], check=True)
+    else:
+        lib = ctypes.CDLL("libzstd.so.1")
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        bound = lib.ZSTD_compressBound(len(raw))
+        dst = ctypes.create_string_buffer(bound)
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        n = lib.ZSTD_compress(dst, bound, raw, len(raw), 3)
+        open(p, "wb").write(dst.raw[:n])
+    got = fasta.read_records(p)
+    assert got == [(b"z1", seq.encode())]
+    nat = _native_records(p)
+    assert nat == [(b"z1", seq.encode())]

@@ -60,8 +60,8 @@ def test_sharded_sketch_is_actually_sharded(tmp_path, rng, monkeypatch):
     calls = {}
     orig = pipeline._sharded_ascii_step
 
-    def spy(mesh, kw_items, p):
-        fn = orig(mesh, kw_items, p)
+    def spy(mesh, kw_items, p, *a, **kw):
+        fn = orig(mesh, kw_items, p, *a, **kw)
 
         def wrapped(tile, regs):
             out = fn(tile, regs)
