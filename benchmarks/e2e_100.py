@@ -1,0 +1,75 @@
+"""End-to-end CLI benchmark: 100 x 2 Mbp genomes, k=31, p=16, full Mash
+matrix, binary emission (BASELINE.json config[1] shape).  Fresh process per
+run (round-1 methodology); genomes are generated once and reused.
+
+Run ON TPU from /root/repo (no PYTHONPATH — it breaks the axon plugin):
+    python benchmarks/e2e_100.py [reps]
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+GEN_DIR = "/tmp/dtpu_e2e_100"
+N, LEN = 100, 2_000_000
+
+
+def ensure_genomes() -> str:
+    fofn = os.path.join(GEN_DIR, "fofn.txt")
+    marker = os.path.join(GEN_DIR, ".complete")
+    if os.path.exists(marker):
+        return fofn
+    os.makedirs(GEN_DIR, exist_ok=True)
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 4, LEN, dtype=np.int8)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    paths = []
+    for i in range(N):
+        g = base.copy()
+        nmut = int(0.002 * (i + 1) * LEN / N * 10)
+        pos = rng.integers(0, LEN, nmut)
+        g[pos] = (g[pos] + rng.integers(1, 4, nmut)) % 4
+        seq = lut[g]
+        p = os.path.join(GEN_DIR, f"g{i:03d}.fa")
+        with open(p, "wb") as fp:
+            fp.write(b">g%d\n" % i)
+            fp.write(seq.tobytes())
+            fp.write(b"\n")
+        paths.append(p)
+        print(f"\rgen {i+1}/{N}", end="", file=sys.stderr, flush=True)
+    print(file=sys.stderr)
+    with open(fofn, "w") as fp:
+        fp.write("\n".join(paths) + "\n")
+    open(marker, "w").write("ok\n")
+    return fofn
+
+
+def main(reps: int = 3):
+    fofn = ensure_genomes()
+    out = os.path.join(GEN_DIR, "dist.bin")
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        res = subprocess.run(
+            [sys.executable, "-m", "dashing_tpu.cli", "dist", "-k", "31",
+             "-S", "16", "-M", "-b", "-O", out, "-F", fofn,
+             "--avoid-sorting"],
+            cwd="/root/repo", capture_output=True)
+        dt = time.perf_counter() - t0
+        ok = res.returncode == 0 and os.path.getsize(out) > 4
+        times.append(dt)
+        print(f"run {r}: {dt:.1f} s ok={ok}", flush=True)
+        if not ok:
+            print(res.stderr.decode()[-2000:], flush=True)
+            return 1
+    print(f"E2E config[1]: best {min(times):.1f} s, "
+          f"all {[round(t,1) for t in times]}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 3))

@@ -285,37 +285,54 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
         return i, np.clip(np.asarray(jax.device_get(regs_dev)), 0, 255
                           ).astype(np.uint8)
 
-    nproc = distributed.process_count()
-    if nproc > 1:
-        # Multi-host sketch phase: each process sketches a stride of the
-        # genome list, then ONE allgather-max rebuilds every sketch on every
-        # process (rows this process didn't compute stay zero and the
-        # elementwise max fills them in).
-        n = len(paths_list)
-        all_regs = np.zeros((n, 1 << p), np.uint8)
-        dq: deque = deque()
-        for i, path in distributed.my_shard(list(enumerate(paths_list))):
+    # file-level parse prefetch: a worker thread joins the NEXT files'
+    # bytes while this thread packs/uploads the current one (the
+    # reference's OMP-dynamic file loop overlap, host-side)
+    from concurrent.futures import ThreadPoolExecutor
+    halo = params.spacer().halo
+    ex = ThreadPoolExecutor(max_workers=2)
+    LOOKAHEAD = 2
+
+    try:
+        nproc = distributed.process_count()
+        if nproc > 1:
+            # Multi-host sketch phase: each process sketches a stride of
+            # the genome list, then ONE allgather-max rebuilds every sketch
+            # on every process (rows this process didn't compute stay zero
+            # and the elementwise max fills them in).
+            n = len(paths_list)
+            all_regs = np.zeros((n, 1 << p), np.uint8)
+            dq: deque = deque()
+            mine = distributed.my_shard(list(enumerate(paths_list)))
+            for pos, (i, path) in enumerate(mine):
+                for _, nxt in mine[pos + 1:pos + 1 + LOOKAHEAD]:
+                    pipeline.prefetch_join(ex, nxt, halo)
+                dq.append((i, pipeline.sketch_file_hll_async(path, params, p)))
+                if len(dq) >= window_cap:
+                    j, regs = drain(dq)
+                    all_regs[j] = regs
+            while dq:
+                j, regs = drain(dq)
+                all_regs[j] = regs
+            all_regs = distributed.global_register_max(all_regs
+                                                       ).astype(np.uint8)
+            return [HLL(p, opts.estim, opts.jestim, all_regs[i])
+                    for i in range(n)]
+        out: List = [None] * len(paths_list)
+        dq = deque()
+        for i, path in enumerate(paths_list):
+            for nxt in paths_list[i + 1:i + 1 + LOOKAHEAD]:
+                pipeline.prefetch_join(ex, nxt, halo)
             dq.append((i, pipeline.sketch_file_hll_async(path, params, p)))
             if len(dq) >= window_cap:
                 j, regs = drain(dq)
-                all_regs[j] = regs
+                out[j] = HLL(p, opts.estim, opts.jestim, regs)
         while dq:
             j, regs = drain(dq)
-            all_regs[j] = regs
-        all_regs = distributed.global_register_max(all_regs).astype(np.uint8)
-        return [HLL(p, opts.estim, opts.jestim, all_regs[i])
-                for i in range(n)]
-    out: List = [None] * len(paths_list)
-    dq = deque()
-    for i, path in enumerate(paths_list):
-        dq.append((i, pipeline.sketch_file_hll_async(path, params, p)))
-        if len(dq) >= window_cap:
-            j, regs = drain(dq)
             out[j] = HLL(p, opts.estim, opts.jestim, regs)
-    while dq:
-        j, regs = drain(dq)
-        out[j] = HLL(p, opts.estim, opts.jestim, regs)
-    return out
+        return out
+    finally:
+        ex.shutdown(wait=False)
 
 
 def build_sketch(path: str, opts: CommonOpts, params: pipeline.SketchParams):

@@ -519,12 +519,21 @@ def hll_main(argv: List[str]) -> int:
         dev = np.clip(np.asarray(jax.device_get(h)), 0, 255).astype(np.uint8)
         np.maximum(regs, dev, out=regs)
 
-    for path in distributed.my_shard(inpaths):
-        window.append(pipeline.sketch_file_hll_async(path, params, p))
-        if len(window) >= WINDOW:
+    from concurrent.futures import ThreadPoolExecutor
+    ex = ThreadPoolExecutor(max_workers=2)
+    mine = distributed.my_shard(inpaths)
+    halo = params.spacer().halo
+    try:
+        for pos, path in enumerate(mine):
+            for nxt in mine[pos + 1:pos + 3]:
+                pipeline.prefetch_join(ex, nxt, halo)
+            window.append(pipeline.sketch_file_hll_async(path, params, p))
+            if len(window) >= WINDOW:
+                drain_one()
+        while window:
             drain_one()
-    while window:
-        drain_one()
+    finally:
+        ex.shutdown(wait=False)
     regs = distributed.global_register_max(regs).astype(np.uint8)
     h = HLL(p, o.estim, o.jestim, regs)
     if distributed.is_main():
@@ -576,8 +585,29 @@ def union_main(argv: List[str]) -> int:
             return 0
     else:
         merged = core.read_sketch_auto(plist[0], sketch_type, type_explicit)
-        for path in plist[1:]:
-            merged += core.read_sketch_auto(path, sketch_type, type_explicit)
+        from ..parallel.mesh import local_mesh, sharded_union, shard_rows
+        mesh = local_mesh()
+        if sketch_type == "hll" and mesh is not None and len(plist) > 1:
+            # within-host mesh union: sketches sharded over 'd', one
+            # register-max all-reduce (the reference's log2-depth OpenMP
+            # tree, src/union.cpp:11-24, as an ICI collective); rows pad
+            # with zero registers (neutral under max) to the mesh width
+            import jax.numpy as jnp
+            regs = np.stack(
+                [merged.regs] +
+                [core.read_sketch_auto(path, sketch_type, type_explicit).regs
+                 for path in plist[1:]]).astype(np.int32)
+            pad = (-regs.shape[0]) % mesh.size
+            if pad:
+                regs = np.concatenate(
+                    [regs, np.zeros((pad, regs.shape[1]), np.int32)])
+            out = sharded_union(mesh)(shard_rows(mesh, jnp.asarray(regs)))
+            merged.regs = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+            merged._card = None
+        else:
+            for path in plist[1:]:
+                merged += core.read_sketch_auto(path, sketch_type,
+                                                type_explicit)
     if opath in ("-", "/dev/stdout"):
         # reference union gzopens stdout ("wb6"): the stream must be gzipped
         # or no other subcommand can read it back

@@ -200,9 +200,32 @@ def _read_joined_uncached(path: str, sep_len: int) -> np.ndarray:
     return np.concatenate(glued) if glued else np.zeros(0, np.uint8)
 
 
+# File-level parse prefetch: while the device chews on file i, a worker
+# thread parses+joins file i+1/i+2 (the reference gets this overlap from
+# its OMP-dynamic file loop; ctypes/zlib release the GIL during the heavy
+# parts).  Futures keyed by (path, sep_len); consumers pop-and-wait.
+_PREFETCH: dict = {}
+_PREFETCH_LOCK = __import__("threading").Lock()
+
+
+def prefetch_join(executor, path: str, sep_len: int):
+    """Schedule a background parse of `path` unless one is in flight."""
+    key = (path, sep_len)
+    with _PREFETCH_LOCK:
+        if key in _PREFETCH:
+            return
+        if len(_PREFETCH) > 8:       # bound leaks from never-consumed paths
+            _PREFETCH.pop(next(iter(_PREFETCH)))
+        _PREFETCH[key] = executor.submit(_read_joined_uncached, path, sep_len)
+
+
 def _read_joined(path: str, sep_len: int) -> np.ndarray:
     """Logical path -> one separator-joined uint8 array.  Prefers the native
     C++ loader (io/native.py); falls back to the numpy parser."""
+    with _PREFETCH_LOCK:
+        fut = _PREFETCH.pop((path, sep_len), None)
+    if fut is not None:
+        return fut.result()
     if not _JOIN_CACHE_ON or sep_len > _CACHE_SEP or _JOIN_CACHE_LIMIT <= 0:
         return _read_joined_uncached(path, sep_len)
     stamp = _path_stamp(path)

@@ -139,3 +139,25 @@ def test_counting_filter_sharded_identical(tmp_path, rng):
     with mesh_disabled():
         single = pipeline.sketch_file_hll(path, params, 11)
     assert (sharded == single).all()
+
+
+def test_cli_union_mesh_identical(tmp_path, rng, capsys):
+    """union over the mesh must produce the same merged sketch as the
+    sequential += path (odd file count exercises the zero-row padding)."""
+    from dashing_tpu.sketch.hll import HLL
+    paths = []
+    for i in range(5):
+        h = HLL(10)
+        h.addh_np(rng.integers(0, 2**62, 2000 + 37 * i, dtype=np.uint64))
+        p = str(tmp_path / f"u{i}.hll")
+        h.write(p)
+        paths.append(p)
+    out_m = str(tmp_path / "mesh.hll")
+    out_s = str(tmp_path / "seq.hll")
+    assert climain.main(["union", "-o", out_m] + paths) == 0
+    with mesh_disabled():
+        assert climain.main(["union", "-o", out_s] + paths) == 0
+    capsys.readouterr()
+    a = HLL.read(out_m)
+    b = HLL.read(out_s)
+    np.testing.assert_array_equal(a.regs, b.regs)
