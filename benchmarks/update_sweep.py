@@ -145,6 +145,44 @@ def main_fused():
               flush=True)
 
 
+
+def main_int16():
+    """int16 top_k probe: row 512 keys pack (rank 6b | lane 9b) = 15 bits."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    idx, rank = _stream(rng, ITERS, ROWS * CONTENT)
+    regs0 = _warm_regs(rng)
+
+    def mk(dtype, row, cap):
+        shift = row.bit_length() - 1
+
+        def upd(regs, i, r):
+            i2 = i.reshape(-1, row)
+            r2 = r.reshape(-1, row)
+            t = regs.min()
+            lane = jax.lax.broadcasted_iota(jnp.int32, r2.shape, 1)
+            key = ((r2 << shift) | lane).astype(dtype)
+            vals, pos = jax.lax.top_k(key, cap)
+            kept = (vals.astype(jnp.int32)) >> shift
+            keep = kept > t
+            sidx = jnp.where(keep, jnp.take_along_axis(i2, pos, axis=1), 0)
+            srank = jnp.where(keep, kept, 0)
+            return regs.at[sidx.reshape(-1)].max(srank.reshape(-1),
+                                                 mode="drop")
+        return upd
+
+    for dtype, row, cap in [(jnp.int32, 512, 8), (jnp.int16, 512, 8),
+                            (jnp.int32, 512, 16), (jnp.int16, 512, 16),
+                            (jnp.int16, 256, 8)]:
+        try:
+            bench_update(mk(dtype, row, cap), idx, rank, regs0,
+                         f"topk {dtype.__name__} row={row} cap={cap}")
+        except Exception as e:
+            print(f"{dtype.__name__} row={row}: FAIL {str(e)[:120]}",
+                  flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "update"
-    (main_fused if mode == "fused" else main_update)()
+    {"fused": main_fused, "int16": main_int16}.get(mode, main_update)()

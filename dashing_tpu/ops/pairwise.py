@@ -460,22 +460,53 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("nn", "sim", "exclude"))
+def _device_tile_topk(block, q0, j0, nn: int, sim: bool, exclude: bool):
+    """(bt, qt) measure block -> per-query top-nn (vals, GLOBAL ref idx),
+    reduced on device so the host pulls (qt, nn) instead of (qt, bt).
+    lax.top_k is stable (ties keep the lower index), matching the dense
+    stable argsort's ascending-index tie-break."""
+    m = block.T                                   # (qt, bt)
+    qt, bt = m.shape
+    if exclude:
+        qi = q0 + jnp.arange(qt)[:, None]
+        rj = j0 + jnp.arange(bt)[None, :]
+        m = jnp.where(qi == rj, jnp.float32(-jnp.inf if sim else jnp.inf), m)
+    key = m if sim else -m
+    kk = min(nn, bt)
+    vals, idx = jax.lax.top_k(key, kk)
+    vals = vals if sim else -vals
+    if kk < nn:
+        # ragged final ref tile: pad with worst-sorting sentinels — they
+        # can never reach the merged top-nn (earlier full tiles already
+        # supplied >= nn real candidates, and stable sorts keep real
+        # entries first at equal values)
+        worst = jnp.float32(-jnp.inf if sim else jnp.inf)
+        vals = jnp.pad(vals, ((0, 0), (0, nn - kk)), constant_values=worst)
+        idx = jnp.pad(idx, ((0, 0), (0, nn - kk)))
+    return vals, idx + j0
+
+
 def nn_topk(ref_sketches, query_sketches, result_type: int, k: int,
             estim: int, jestim: int, nn: int, exclude_self: bool,
             tile: int = 1024):
-    """Streaming k-nearest-neighbors: per-reference-tile compare + host
-    top-k merge in O(n_q * (nn + tile)) memory — the full n_q x n_r matrix
-    is never materialized (the reference streams rows through bounded
-    heaps, src/sketch_and_cmp.h:712-783; round-1 materialized the whole
-    matrix then argsorted).
+    """Streaming k-nearest-neighbors in O(n_q * (nn + tile)) HOST memory —
+    the full n_q x n_r matrix is never materialized (the reference streams
+    rows through bounded heaps, src/sketch_and_cmp.h:712-783; round-1
+    materialized the whole matrix then argsorted).
+
+    Both axes tile (a (tile, n_q) block at large n_q explodes the
+    (bt, nq, K) statistics intermediates), and each (ref-tile, query-tile)
+    block is top-k-reduced ON DEVICE before the pull: the host receives
+    (qt, nn) candidates instead of (qt, bt) values (n=16384 otherwise
+    pulls the entire 17 GB matrix over the link).
 
     query_sketches may be the same list as ref_sketches (all-pairs mode);
     exclude_self then masks the diagonal exactly like the dense path
     (-inf/+inf so self sorts last).  Tie-break matches the dense stable
-    argsort: equal values order by ascending reference index (tiles scan
-    ascending and every merge is a stable sort, so earlier indices stay
-    first).  Returns (vals, idx) each (n_q, nn).
-    """
+    argsort: lax.top_k is stable and tiles scan ascending, so equal
+    values order by ascending reference index.  Returns (vals, idx) each
+    (n_q, nn)."""
     rr = _stack_regs(ref_sketches)
     same = query_sketches is ref_sketches
     qq = rr if same else _stack_regs(query_sketches)
@@ -487,34 +518,47 @@ def nn_topk(ref_sketches, query_sketches, result_type: int, k: int,
     sim = is_similarity(result_type)
     nq, nr = qq.shape[0], rr.shape[0]
     nn = min(nn, nr)
+    nn_eff = min(nn, tile)
     rr_d = _device_regs(rr)
     qq_d = rr_d if same else _device_regs(qq)
     worst = -np.inf if sim else np.inf
     best_v = np.full((nq, 0), worst, np.float32)
     best_i = np.zeros((nq, 0), np.int64)
+    staged_v = np.empty((nq, nn_eff), np.float32)
+    staged_i = np.empty((nq, nn_eff), np.int64)
+    pending = [None]          # j0 whose candidates are currently staging
 
-    def merge(j0, block):
+    def merge():
         nonlocal best_v, best_i
-        block = block.T.astype(np.float32).copy()   # (nq, bt)
-        bt = block.shape[1]
-        idx = np.arange(j0, j0 + bt)
-        if exclude_self:
-            qrows = np.arange(nq)
-            hit = (qrows >= j0) & (qrows < j0 + bt)
-            block[qrows[hit], qrows[hit] - j0] = worst
-        cat_v = np.concatenate([best_v, block], axis=1)
-        cat_i = np.concatenate(
-            [best_i, np.broadcast_to(idx, (nq, bt))], axis=1)
+        cat_v = np.concatenate([best_v, staged_v], axis=1)
+        cat_i = np.concatenate([best_i, staged_i], axis=1)
         order = np.argsort(-cat_v if sim else cat_v, axis=1,
                            kind="stable")[:, :nn]
         best_v = np.take_along_axis(cat_v, order, axis=1)
         best_i = np.take_along_axis(cat_i, order, axis=1)
 
-    _windowed((((j0,), compare_tile_async(
-                    rr_d[j0:j0 + tile], qq_d, p, result_type, ksinv,
-                    estim, jestim, kmax, kmin))
-               for j0 in range(0, nr, tile)),
-              lambda key, block: merge(key[0], block))
+    def tiles():
+        for j0 in range(0, nr, tile):
+            for q0 in range(0, nq, tile):
+                block = compare_tile_async(
+                    rr_d[j0:j0 + tile], qq_d[q0:q0 + tile], p, result_type,
+                    ksinv, estim, jestim, kmax, kmin)
+                yield ((j0, q0), _device_tile_topk(
+                    block, q0, j0, nn_eff, sim, exclude_self))
+
+    def land(key, vi):
+        j0, q0 = key
+        if pending[0] is not None and j0 != pending[0]:
+            merge()               # previous ref tile fully staged
+        pending[0] = j0
+        v, i = vi
+        qt = min(tile, nq - q0)
+        staged_v[q0:q0 + qt] = np.asarray(v, np.float32)[:qt]
+        staged_i[q0:q0 + qt] = np.asarray(i, np.int64)[:qt]
+
+    _windowed(tiles(), land)
+    if pending[0] is not None:
+        merge()
     return best_v, best_i
 
 
