@@ -14,8 +14,13 @@ import time
 
 import numpy as np
 
-GEN_DIR = "/tmp/dtpu_e2e_100"
-N, LEN = 100, 2_000_000
+# config[1] default: 100 x 2 Mbp, -S16 -k31.  config[3] shape:
+#   DTPU_E2E_N=1000 DTPU_E2E_LEN=200000 DTPU_E2E_S=14 DTPU_E2E_K=21
+N = int(os.environ.get("DTPU_E2E_N", 100))
+LEN = int(os.environ.get("DTPU_E2E_LEN", 2_000_000))
+S = os.environ.get("DTPU_E2E_S", "16")
+KK = os.environ.get("DTPU_E2E_K", "31")
+GEN_DIR = f"/tmp/dtpu_e2e_{N}x{LEN}"
 
 
 def ensure_genomes() -> str:
@@ -55,8 +60,8 @@ def main(reps: int = 3):
     for r in range(reps):
         t0 = time.perf_counter()
         res = subprocess.run(
-            [sys.executable, "-m", "dashing_tpu.cli", "dist", "-k", "31",
-             "-S", "16", "-M", "-b", "-O", out, "-F", fofn,
+            [sys.executable, "-m", "dashing_tpu.cli", "dist", "-k", KK,
+             "-S", S, "-M", "-b", "-O", out, "-F", fofn,
              "--avoid-sorting"],
             cwd="/root/repo", capture_output=True)
         dt = time.perf_counter() - t0

@@ -640,7 +640,7 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
     reference histogram + corrections at the occupied buckets
     (sketch/sparse.py) — never materializing per-read dense registers.
     """
-    from .sketch.sparse import sparse_joint_triples
+    from .sketch.sparse import level_window_bins, sparse_joint_triples
     from .sketch.hll import HLL, ertl_joint
 
     sp = params.spacer()
@@ -648,7 +648,10 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
               canon=params.canon, encoding=params.encoding,
               rehash=params.rehash, entropy=params.entropy)
     ref_regs_d = jnp.asarray(np.asarray(ref_regs, np.int32))
-    ref_hist_d = jnp.asarray(np.asarray(ref_hist, np.float32))
+    ref_hist_np = np.asarray(ref_hist, np.float32)
+    hist_slices: dict = {}
+    ref_max = int(np.asarray(ref_regs).max(initial=0))
+    qq = 64 - p
     out = np.zeros((len(seqs), 3), np.float64)
     use_packed = _packed_ok(params, sp, p)
     for take, tiles in _record_batches(seqs, sp.halo, batch):
@@ -671,7 +674,17 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
             h, valid = _tile_to_hashes(jnp.asarray(tiles), **kw)
             idx, rank = bucket_rank(h, p)
             rank = jnp.where(valid, rank, 0)
-        tri = sparse_joint_triples(idx, rank, ref_regs_d, ref_hist_d, p)
+        # level-window the joint MLE: bins above max(query rank, ref
+        # register) carry no mass, and the Newton cost is linear in the
+        # bin count (~halves it).  Costs one scalar pull per batch — the
+        # per-batch tri pull already syncs, so the added latency is one
+        # RTT against a larger in-jit saving.
+        rank_max = int(jax.device_get(rank.max()))
+        kb = level_window_bins(max(rank_max, ref_max), qq)
+        if kb not in hist_slices:
+            hist_slices[kb] = jnp.asarray(ref_hist_np[:kb])
+        tri = sparse_joint_triples(idx, rank, ref_regs_d, hist_slices[kb],
+                                   p, kb)
         out[take] = np.asarray(tri)[:len(take)]
     return out
 

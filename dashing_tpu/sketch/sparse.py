@@ -52,22 +52,28 @@ def _onehot_accum(bins: jnp.ndarray, delta: jnp.ndarray, nbins: int
                       delta.astype(jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("p",))
+@functools.partial(jax.jit, static_argnames=("p", "kbins"))
 def sparse_pair_stats(idx: jnp.ndarray, rank: jnp.ndarray,
                       ref_regs: jnp.ndarray, ref_hist: jnp.ndarray,
-                      p: int) -> Dict[str, jnp.ndarray]:
+                      p: int, kbins: int = 0) -> Dict[str, jnp.ndarray]:
     """Joint-MLE sufficient statistics for a batch of sparse queries.
 
     idx:  (B, L) int32 bucket indices of each query's k-mers
     rank: (B, L) int32 ranks; 0 marks padding/invalid slots
     ref_regs: (2^p,) int32 dense reference registers
-    ref_hist: (q+2,) float32 histogram of ref_regs (precomputed once)
+    ref_hist: (kbins,) float32 histogram of ref_regs (precomputed once)
 
-    Returns the stats dict consumed by estimators.joint_mle, all (B, q+2).
+    `kbins` windows the level axis to [0, kbins) — EXACT when every
+    query rank and reference register is < kbins (real registers occupy
+    ~log2(cardinality) levels, so kbins ~ half of q+2 and the Newton cost
+    halves; the caller picks it from the observed maxima).  kbins=0 means
+    the full q+2 bins.
+
+    Returns the stats dict consumed by estimators.joint_mle, all (B, kbins).
     """
     m = 1 << p
     q = 64 - p
-    nbins = q + 2
+    nbins = kbins if kbins else q + 2
     B, L = idx.shape
 
     # Sort each row by (idx, rank); invalid slots get idx=m so they sort last.
@@ -112,16 +118,24 @@ def sparse_pair_stats(idx: jnp.ndarray, rank: jnp.ndarray,
                 hist_a=hist_a, hist_b=base_hist_b, hist_u=hist_u)
 
 
-@functools.partial(jax.jit, static_argnames=("p",))
+@functools.partial(jax.jit, static_argnames=("p", "kbins"))
 def sparse_joint_triples(idx: jnp.ndarray, rank: jnp.ndarray,
                          ref_regs: jnp.ndarray, ref_hist: jnp.ndarray,
-                         p: int) -> jnp.ndarray:
+                         p: int, kbins: int = 0) -> jnp.ndarray:
     """(B, 3) joint-MLE triples (onlyQ, onlyRef, shared) for a sparse batch.
 
     The batched replacement for the reference's per-read
-    `sparse::pair_query(rmap, hll, &hllhist)` (readfilt.cpp:103)."""
-    stats = sparse_pair_stats(idx, rank, ref_regs, ref_hist, p)
+    `sparse::pair_query(rmap, hll, &hllhist)` (readfilt.cpp:103).
+    `kbins` as in sparse_pair_stats (level window [0, kbins))."""
+    stats = sparse_pair_stats(idx, rank, ref_regs, ref_hist, p, kbins)
     return jax.vmap(lambda s: est.joint_mle(s, p))(stats)
+
+
+def level_window_bins(max_rank: int, q: int) -> int:
+    """Static bin count for a sparse batch: the observed max level + slack,
+    rounded up to a multiple of 8 (bounds the jit-variant count), capped
+    at the full q+2."""
+    return min(((max_rank + 2 + 7) // 8) * 8, q + 2)
 
 
 # ---------------------------------------------------------------------------
@@ -180,8 +194,13 @@ class SparseHLL:
         rank = np.zeros((1, L), np.int32)
         idx[0, :len(self.idx)] = self.idx
         rank[0, :len(self.rank)] = self.rank
+        kb = level_window_bins(
+            max(int(np.max(self.rank, initial=0)),
+                int(np.max(ref.regs, initial=0))), 64 - self.p)
         tri = sparse_joint_triples(jnp.asarray(idx), jnp.asarray(rank),
                                    jnp.asarray(ref.regs.astype(np.int32)),
-                                   jnp.asarray(hist), self.p)
+                                   jnp.asarray(np.asarray(hist,
+                                                          np.float32)[:kb]),
+                                   self.p, kb)
         a, b, x = np.asarray(tri)[0]
         return float(a), float(b), float(x)

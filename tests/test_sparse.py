@@ -107,3 +107,43 @@ def test_sparse_empty_query(rng):
 def test_sparse_p_guard():
     with pytest.raises(ValueError):
         SparseHLL(30)
+
+
+def test_windowed_sparse_matches_full(rng):
+    """The level-windowed sparse JMLE must equal the full-bin result when
+    the window covers every observed level (it always does — kbins comes
+    from the observed maxima)."""
+    import jax.numpy as jnp
+    from dashing_tpu.sketch.hll import HLL
+    from dashing_tpu.sketch.sparse import (level_window_bins,
+                                           sparse_joint_triples)
+    p = 12
+    ref = HLL(p)
+    ref.addh_np(rng.integers(0, 2**62, 200_000, dtype=np.uint64))
+    hist = ref.histogram()
+    B, L = 16, 128
+    idx = rng.integers(0, 1 << p, (B, L)).astype(np.int32)
+    rank = np.minimum(1 + rng.geometric(0.5, (B, L)), 30).astype(np.int32)
+    rank[:, -7:] = 0                     # some padding
+    regs = jnp.asarray(ref.regs.astype(np.int32))
+    full = np.asarray(sparse_joint_triples(
+        jnp.asarray(idx), jnp.asarray(rank), regs, jnp.asarray(hist), p))
+    kb = level_window_bins(max(int(rank.max()), int(ref.regs.max())), 64 - p)
+    assert kb < 64 - p + 2
+    win = np.asarray(sparse_joint_triples(
+        jnp.asarray(idx), jnp.asarray(rank), regs,
+        jnp.asarray(hist[:kb].astype(np.float32)), p, kb))
+    # identical sufficient statistics (asserted exactly below); the tiny
+    # residual is f32 reduction-tree rounding — different sum lengths
+    # reassociate — so tolerance is absolute at the lambda magnitude scale
+    from dashing_tpu.sketch.sparse import sparse_pair_stats
+    sf = sparse_pair_stats(jnp.asarray(idx), jnp.asarray(rank), regs,
+                           jnp.asarray(hist), p)
+    sw = sparse_pair_stats(jnp.asarray(idx), jnp.asarray(rank), regs,
+                           jnp.asarray(hist[:kb].astype(np.float32)), p, kb)
+    for key in sf:
+        np.testing.assert_array_equal(np.asarray(sf[key])[:, :kb],
+                                      np.asarray(sw[key]), err_msg=key)
+        assert np.abs(np.asarray(sf[key])[:, kb:]).max() == 0.0
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(win, full, rtol=1e-4, atol=2e-6 * scale)
