@@ -269,29 +269,106 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
                   and not opts.use_counting_filter and not opts.cache_sketch)
     if not simple_hll:
         return [sketch_or_load(p, opts) for p in paths_list]
+    import itertools
     import jax
     from collections import deque
     from ..parallel import distributed
     params = sketch_params(opts)
     p = hll_p_from_S(opts.sketch_size)
+    sp = params.spacer()
     # Bounded dispatch window (the hll_main pattern): each in-flight handle
-    # pins a 4*2^p-byte int32 register buffer on device, so cap the total at
-    # ~256 MiB instead of holding every file's buffer at once (at p=20 and
-    # 1k genomes an unbounded list is ~4 GB of device int32).
+    # pins a 4*2^p-byte int32 register buffer on device PER FILE, so cap
+    # the total at ~256 MiB instead of holding every file's buffer at once
+    # (at p=20 and 1k genomes an unbounded list is ~4 GB of device int32).
     window_cap = max(4, min(64, (256 << 20) // (4 << p)))
-
-    def drain(dq: deque):
-        i, regs_dev = dq.popleft()
-        return i, np.clip(np.asarray(jax.device_get(regs_dev)), 0, 255
-                          ).astype(np.uint8)
+    BATCH = pipeline.small_batch_size(p)
 
     # file-level parse prefetch: a worker thread joins the NEXT files'
     # bytes while this thread packs/uploads the current one (the
     # reference's OMP-dynamic file loop overlap, host-side)
     from concurrent.futures import ThreadPoolExecutor
-    halo = params.spacer().halo
     ex = ThreadPoolExecutor(max_workers=2)
     LOOKAHEAD = 2
+
+    def jobs(indexed_paths):
+        """Yield (file_indices, device_handle_or_None) dispatch jobs.
+
+        Consecutive SINGLE-chunk files of identical tile shape group into
+        one batched dispatch (a (B, 2^p) register bank) — at 1k small
+        genomes the per-file dispatch+pull round-trips dominated the
+        sketch phase (measured 2 files/s over the tunnel).  Multi-chunk
+        files keep the per-file streaming path; empty files yield a None
+        handle (zero registers)."""
+        group_idx: List[int] = []
+        group_chunks: List[np.ndarray] = []
+
+        def flush():
+            if not group_idx:
+                return None
+            job = (tuple(group_idx),
+                   pipeline.sketch_small_batch_async(
+                       np.stack(group_chunks), params, p))
+            group_idx.clear()
+            group_chunks.clear()
+            return job
+
+        for pos, (i, path) in enumerate(indexed_paths):
+            for _, nxt in indexed_paths[pos + 1:pos + 1 + LOOKAHEAD]:
+                pipeline.prefetch_join(ex, nxt, sp.halo)
+            it = pipeline._file_tiles(path, sp)
+            first = next(it, None)
+            second = next(it, None)
+            if first is None:
+                j = flush()
+                if j:
+                    yield j
+                yield ((i,), None)
+            elif second is None:
+                if group_chunks and group_chunks[0].shape != first.shape:
+                    j = flush()
+                    if j:
+                        yield j
+                group_idx.append(i)
+                group_chunks.append(first)
+                if len(group_idx) >= BATCH:
+                    j = flush()
+                    if j:
+                        yield j
+            else:
+                j = flush()
+                if j:
+                    yield j
+                yield ((i,), pipeline.sketch_chunks_async(
+                    itertools.chain([first, second], it), params, p))
+        j = flush()
+        if j:
+            yield j
+
+    def run(indexed_paths, put):
+        dq: deque = deque()
+        inflight = [0]
+
+        def drain():
+            ids, h = dq.popleft()
+            inflight[0] -= len(ids)
+            if h is None:
+                put(ids[0], np.zeros(1 << p, np.uint8))
+                return
+            arr = np.clip(np.asarray(jax.device_get(h)), 0, 255
+                          ).astype(np.uint8)
+            if len(ids) == 1 and arr.ndim == 1:
+                put(ids[0], arr)
+            else:
+                for slot, i in enumerate(ids):
+                    put(i, arr[slot].copy())
+
+        for job in jobs(indexed_paths):
+            dq.append(job)
+            inflight[0] += len(job[0])
+            while inflight[0] >= window_cap and dq:
+                drain()
+        while dq:
+            drain()
 
     try:
         nproc = distributed.process_count()
@@ -302,34 +379,16 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
             # and the elementwise max fills them in).
             n = len(paths_list)
             all_regs = np.zeros((n, 1 << p), np.uint8)
-            dq: deque = deque()
             mine = distributed.my_shard(list(enumerate(paths_list)))
-            for pos, (i, path) in enumerate(mine):
-                for _, nxt in mine[pos + 1:pos + 1 + LOOKAHEAD]:
-                    pipeline.prefetch_join(ex, nxt, halo)
-                dq.append((i, pipeline.sketch_file_hll_async(path, params, p)))
-                if len(dq) >= window_cap:
-                    j, regs = drain(dq)
-                    all_regs[j] = regs
-            while dq:
-                j, regs = drain(dq)
-                all_regs[j] = regs
+            run(mine, lambda i, regs: all_regs.__setitem__(i, regs))
             all_regs = distributed.global_register_max(all_regs
                                                        ).astype(np.uint8)
             return [HLL(p, opts.estim, opts.jestim, all_regs[i])
                     for i in range(n)]
         out: List = [None] * len(paths_list)
-        dq = deque()
-        for i, path in enumerate(paths_list):
-            for nxt in paths_list[i + 1:i + 1 + LOOKAHEAD]:
-                pipeline.prefetch_join(ex, nxt, halo)
-            dq.append((i, pipeline.sketch_file_hll_async(path, params, p)))
-            if len(dq) >= window_cap:
-                j, regs = drain(dq)
-                out[j] = HLL(p, opts.estim, opts.jestim, regs)
-        while dq:
-            j, regs = drain(dq)
-            out[j] = HLL(p, opts.estim, opts.jestim, regs)
+        run(list(enumerate(paths_list)),
+            lambda i, regs: out.__setitem__(
+                i, HLL(p, opts.estim, opts.jestim, regs)))
         return out
     finally:
         ex.shutdown(wait=False)
@@ -445,14 +504,22 @@ def compare_condensed(sketches, result_type: int, k: int, estim: int,
 
 def compare_rect(refs, queries, result_type: int, k: int, estim: int,
                  jestim: int) -> np.ndarray:
-    if isinstance(refs[0], HLL):
+    from ..sketch.extra import WideHLL
+    if isinstance(refs[0], (HLL, WideHLL)):
         return pw.rect_pairs(refs, queries, result_type, k, estim, jestim)
     ksinv = 1.0 / k
     nq, nr = len(queries), len(refs)
-    tris = np.empty((nq, nr, 3), np.float64)
-    for qi, qs in enumerate(queries):
-        for rj, rs in enumerate(refs):
-            tris[qi, rj] = rs.full_set_comparison(qs)
+    from ..sketch import batch_compare
+    # triple orientation matches partdist_loop: lhs = reference
+    # (result_cmp(hlls[j], hq), reference src/dashing.h:678-681)
+    rect = batch_compare.batch_triples(refs, queries)
+    if rect is not None:
+        tris = rect.transpose(1, 0, 2)
+    else:
+        tris = np.empty((nq, nr, 3), np.float64)
+        for qi, qs in enumerate(queries):
+            for rj, rs in enumerate(refs):
+                tris[qi, rj] = rs.full_set_comparison(qs)
     # .copy(): np.asarray over a jax array is read-only, and NN mode
     # writes the diagonal
     out = np.asarray(host_measure(tris.reshape(-1, 3), result_type, ksinv),

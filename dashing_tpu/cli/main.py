@@ -587,7 +587,7 @@ def union_main(argv: List[str]) -> int:
         merged = core.read_sketch_auto(plist[0], sketch_type, type_explicit)
         from ..parallel.mesh import local_mesh, sharded_union, shard_rows
         mesh = local_mesh()
-        if sketch_type == "hll" and mesh is not None and len(plist) > 1:
+        if isinstance(merged, HLL) and mesh is not None and len(plist) > 1:
             # within-host mesh union: sketches sharded over 'd', one
             # register-max all-reduce (the reference's log2-depth OpenMP
             # tree, src/union.cpp:11-24, as an ICI collective); rows pad

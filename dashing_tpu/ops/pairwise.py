@@ -375,17 +375,21 @@ _TILE_WINDOW = 4          # async tiles in flight during all-pairs loops
 
 def _windowed(tiles, writeback, window: int = _TILE_WINDOW):
     """Drive (key, device_future) pairs keeping `window` tiles in flight;
-    `writeback(key, np_block)` lands each finished tile."""
+    `writeback(key, np_block)` lands each finished tile.  Tuple payloads
+    (e.g. top-k (vals, idx)) pass through unconverted — np.asarray on a
+    tuple would stack mixed dtypes into one promoted float64 array."""
     from collections import deque
+
+    def land(k, d):
+        writeback(k, d if isinstance(d, tuple) else np.asarray(d))
+
     pending: deque = deque()
     for key, dev in tiles:
         pending.append((key, dev))
         if len(pending) >= window:
-            k, d = pending.popleft()
-            writeback(k, np.asarray(d))
+            land(*pending.popleft())
     while pending:
-        k, d = pending.popleft()
-        writeback(k, np.asarray(d))
+        land(*pending.popleft())
 
 
 def all_pairs_condensed(sketches, result_type: int, k: int,

@@ -209,7 +209,14 @@ _PREFETCH_LOCK = __import__("threading").Lock()
 
 
 def prefetch_join(executor, path: str, sep_len: int):
-    """Schedule a background parse of `path` unless one is in flight."""
+    """Schedule a background parse of `path` unless one is in flight.
+
+    A no-op while the join cache is enabled (mkdist's per-k passes): the
+    cache already holds the joined bytes at the wide _CACHE_SEP, and
+    prefetched arrays carry the NARROW separator so they cannot enter the
+    cache — prefetching would re-parse what the cache was built to keep."""
+    if _JOIN_CACHE_ON:
+        return
     key = (path, sep_len)
     with _PREFETCH_LOCK:
         if key in _PREFETCH:
@@ -222,11 +229,11 @@ def prefetch_join(executor, path: str, sep_len: int):
 def _read_joined(path: str, sep_len: int) -> np.ndarray:
     """Logical path -> one separator-joined uint8 array.  Prefers the native
     C++ loader (io/native.py); falls back to the numpy parser."""
-    with _PREFETCH_LOCK:
-        fut = _PREFETCH.pop((path, sep_len), None)
-    if fut is not None:
-        return fut.result()
     if not _JOIN_CACHE_ON or sep_len > _CACHE_SEP or _JOIN_CACHE_LIMIT <= 0:
+        with _PREFETCH_LOCK:
+            fut = _PREFETCH.pop((path, sep_len), None)
+        if fut is not None:
+            return fut.result()
         return _read_joined_uncached(path, sep_len)
     stamp = _path_stamp(path)
     hit = _JOIN_CACHE.pop(path, None)          # pop+reinsert = LRU order
@@ -338,12 +345,151 @@ def _sketch_mesh():
     return local_mesh()
 
 
+# ---------------------------------------------------------------------------
+# Small-file batching: ONE dispatch sketches B single-chunk files at once
+# into a (B, 2^p) register bank (bucket indices offset by file slot).  At
+# 1k x 200 KB genomes the per-file dispatch+pull round-trips dominated the
+# sketch phase (measured 2 files/s over the tunnel); a 64-file batch
+# amortizes them 64x.  Fresh banks have min(regs)=0, so the threshold
+# filter is useless here — a direct scatter-max is both simpler and faster.
+# ---------------------------------------------------------------------------
+
+def small_batch_size(p: int) -> int:
+    """Files per batched dispatch: bounded by bank memory (4B * B * 2^p
+    <= 64 MB), a multiple of 8 (the packed kernel needs row counts %8)."""
+    b = max(8, min(64, (64 << 20) // (4 << p)))
+    return (b // 8) * 8
+
+
+def _banks_from_idx_rank(idx, rank, file_id, p: int, B: int):
+    """Scatter (rows, W) buckets/ranks into (B, 2^p) banks; file_id (rows,)
+    partitions rows into files by index offset.  Fresh banks have
+    min(regs)=0, so the threshold filter would be useless: direct scatter."""
+    m = 1 << p
+    flat_idx = (idx + file_id[:, None] * m).reshape(-1)
+    regs = jnp.zeros(B * m, jnp.int32)
+    regs = regs.at[flat_idx].max(rank.reshape(-1), mode="drop")
+    return regs.reshape(B, m)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p", "canon", "C", "B"))
+def _batched_packed_to_banks(packed, vbits, file_id, *, k: int, p: int,
+                             canon: bool, C: int, B: int) -> jnp.ndarray:
+    from .ops.pallas_encode import keys_to_update_inputs
+    keys = _packed_to_keys(packed, vbits, k=k, p=p, canon=canon, C=C)
+    idx, rank = keys_to_update_inputs(keys)
+    return _banks_from_idx_rank(idx, rank, file_id, p, B)
+
+
+@functools.partial(jax.jit, static_argnames=("kw_items", "p", "B"))
+def _batched_ascii_to_banks(tiles, file_id, *, kw_items: tuple, p: int,
+                            B: int) -> jnp.ndarray:
+    kw = dict(kw_items)
+    h, valid = _tile_to_hashes(tiles, **kw)
+    idx, rank = bucket_rank(h, p)
+    rank = jnp.where(valid, rank, 0)
+    return _banks_from_idx_rank(idx, rank, file_id, p, B)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_batch_step(mesh, packed_mode: bool, static_key: tuple,
+                        p: int, B: int):
+    """Row-sharded batched sketch: each device scatters its row stripe
+    into its own bank copy; one pmax merges (file_id rides along sharded,
+    so global file attribution is exact on every shard)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    kw = dict(static_key) if not packed_mode else None
+
+    def local(*args):
+        if packed_mode:
+            packed, vbits, file_id = args
+            k, canon, C = static_key
+            from .ops.pallas_encode import keys_to_update_inputs
+            keys = _packed_to_keys(packed, vbits, k=k, p=p, canon=canon, C=C)
+            idx, rank = keys_to_update_inputs(keys)
+        else:
+            tiles, file_id = args
+            h, valid = _tile_to_hashes(tiles, **kw)
+            idx, rank = bucket_rank(h, p)
+            rank = jnp.where(valid, rank, 0)
+        banks = _banks_from_idx_rank(idx, rank, file_id, p, B)
+        return jax.lax.pmax(banks, "d")
+
+    nin = 3 if packed_mode else 2
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=tuple([P("d", None)] * (nin - 1) + [P("d")]),
+        out_specs=P()))
+
+
+def sketch_small_batch_async(chunks: np.ndarray, params: SketchParams,
+                             p: int):
+    """(B, R, C) stacked single-chunk tiles -> device (B, 2^p) banks."""
+    sp = params.spacer()
+    B, R, C = chunks.shape
+    flat = chunks.reshape(B * R, C)
+    file_id = np.repeat(np.arange(B, dtype=np.int32), R)
+    mesh = _sketch_mesh()
+    D = mesh.size if mesh is not None else 1
+    sharded = D > 1 and (B * R) % D == 0
+    if _packed_ok(params, sp, p) and (B * R) % (8 * (D if sharded else 1)) == 0 \
+            and C % 8 == 0:
+        packed, vbits = _pack_tile_host(flat)
+        if sharded:
+            return _sharded_batch_step(
+                mesh, True, (sp.k, params.canon, C), p, B)(
+                    packed, vbits, file_id)
+        return _batched_packed_to_banks(
+            jnp.asarray(packed), jnp.asarray(vbits), jnp.asarray(file_id),
+            k=sp.k, p=p, canon=params.canon, C=C, B=B)
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=params.rehash, entropy=params.entropy)
+    kw_key = tuple(sorted(kw.items()))
+    if sharded:
+        return _sharded_batch_step(mesh, False, kw_key, p, B)(flat, file_id)
+    return _batched_ascii_to_banks(jnp.asarray(flat), jnp.asarray(file_id),
+                                   kw_items=kw_key, p=p, B=B)
+
+
+def sketch_chunks_async(chunks: Iterable[np.ndarray], params: SketchParams,
+                        p: int):
+    """Like sketch_file_hll_async but over an already-materialized chunk
+    iterable (the small-file batcher peeks at the first chunks and hands
+    the rest back here for multi-chunk files)."""
+    return _sketch_chunk_stream(chunks, params, p)
+
+
 def sketch_file_hll_async(path: str, params: SketchParams, p: int):
     """Like sketch_file_hll but returns the DEVICE registers without
     synchronizing, so callers can pipeline many files (jax dispatch is
     async; the transfer back is the only barrier).  With >1 local device,
     each chunk's tile rows are sharded over the mesh and partial registers
     merge with a max all-reduce (64 KB at p=14 — negligible on ICI)."""
+    sp = params.spacer()
+    if params.use_counting_filter and params.min_count > 1:
+        regs = jnp.zeros(1 << p, jnp.int32)
+        kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+                  canon=params.canon, encoding=params.encoding,
+                  rehash=params.rehash, entropy=params.entropy)
+        mesh = _sketch_mesh()
+        D = mesh.size if mesh is not None else 1
+        kw_key = tuple(sorted(kw.items()))
+        for tile, mask in _count_filtered_tiles(path, params, sp):
+            if D > 1 and tile.shape[0] % D == 0:
+                regs = _sharded_filtered_step(mesh, kw_key, p)(
+                    tile, np.asarray(mask), regs)
+            else:
+                h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+                regs = update_registers(regs, h, valid & mask, p)
+        return regs
+    return _sketch_chunk_stream(_file_tiles(path, sp), params, p)
+
+
+def _sketch_chunk_stream(chunks: Iterable[np.ndarray],
+                         params: SketchParams, p: int):
+    """Fold a stream of (rows, C) tiles into device registers."""
     sp = params.spacer()
     regs = jnp.zeros(1 << p, jnp.int32)
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
@@ -352,43 +498,34 @@ def sketch_file_hll_async(path: str, params: SketchParams, p: int):
     mesh = _sketch_mesh()
     D = mesh.size if mesh is not None else 1
     kw_key = tuple(sorted(kw.items()))
-    if params.use_counting_filter and params.min_count > 1:
-        for tile, mask in _count_filtered_tiles(path, params, sp):
-            if D > 1 and tile.shape[0] % D == 0:
-                regs = _sharded_filtered_step(mesh, kw_key, p)(
-                    tile, np.asarray(mask), regs)
+    # the fused kernel packs (idx << 6 | rank) in int32, so bucket
+    # indices must fit 25 bits; larger p uses the unfused path
+    fused_pallas = _packed_ok(params, sp, p)
+    from .ops.hll_update import _ROW, adaptive_cap
+    seen = 0
+    for tile in chunks:
+        # shrink the top_k survivor capacity as the registers fill
+        # (overflow only costs a full-scatter slab, never correctness)
+        ucap = adaptive_cap(_ROW, 1 << p, seen)
+        seen += tile.shape[0] * (tile.shape[1] - sp.halo)
+        sharded = D > 1 and tile.shape[0] % D == 0
+        if fused_pallas and tile.shape[0] % (8 * (D if sharded else 1)) == 0:
+            # ship 2-bit packed codes + validity bits (~0.37 B/base)
+            packed, vbits = _pack_tile_host(tile)
+            if sharded:
+                regs = _sharded_packed_step(
+                    mesh, sp.k, p, params.canon, tile.shape[1], ucap)(
+                        packed, vbits, regs)
             else:
-                h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
-                regs = update_registers(regs, h, valid & mask, p)
-    else:
-        # the fused kernel packs (idx << 6 | rank) in int32, so bucket
-        # indices must fit 25 bits; larger p uses the unfused path
-        fused_pallas = _packed_ok(params, sp, p)
-        from .ops.hll_update import _ROW, adaptive_cap
-        seen = 0
-        for tile in _file_tiles(path, sp):
-            # shrink the top_k survivor capacity as the registers fill
-            # (overflow only costs a full-scatter slab, never correctness)
-            ucap = adaptive_cap(_ROW, 1 << p, seen)
-            seen += tile.shape[0] * (tile.shape[1] - sp.halo)
-            sharded = D > 1 and tile.shape[0] % D == 0
-            if fused_pallas and tile.shape[0] % (8 * (D if sharded else 1)) == 0:
-                # ship 2-bit packed codes + validity bits (~0.37 B/base)
-                packed, vbits = _pack_tile_host(tile)
-                if sharded:
-                    regs = _sharded_packed_step(
-                        mesh, sp.k, p, params.canon, tile.shape[1], ucap)(
-                            packed, vbits, regs)
-                else:
-                    regs = _packed_to_registers(
-                        jnp.asarray(packed), jnp.asarray(vbits), regs,
-                        k=sp.k, p=p, canon=params.canon, C=tile.shape[1],
-                        ucap=ucap)
-            elif sharded:
-                regs = _sharded_ascii_step(mesh, kw_key, p, ucap)(tile, regs)
-            else:
-                regs = _tile_to_registers(jnp.asarray(tile), regs, **kw,
-                                          p=p, ucap=ucap)
+                regs = _packed_to_registers(
+                    jnp.asarray(packed), jnp.asarray(vbits), regs,
+                    k=sp.k, p=p, canon=params.canon, C=tile.shape[1],
+                    ucap=ucap)
+        elif sharded:
+            regs = _sharded_ascii_step(mesh, kw_key, p, ucap)(tile, regs)
+        else:
+            regs = _tile_to_registers(jnp.asarray(tile), regs, **kw,
+                                      p=p, ucap=ucap)
     return regs
 
 

@@ -293,9 +293,12 @@ class SuperMinHash:
         if d.size == 0:
             return
         if self._gen_state is None:
-            ch = min(self._CHUNK, max(d.size, 1))
+            # bound the (chunk, m) permutation+generation state to ~256 MB
+            # (8 B/cell) — a fixed chunk OOMed at -S 16 (25 GB)
+            ch = max(64, min(self._CHUNK, (256 << 20) // (8 * m),
+                             max(d.size, 1)))
             self._gen_state = (np.zeros((ch, m), np.int32),
-                               np.full((ch, m), -1, np.int64), [0])
+                               np.full((ch, m), -1, np.int32), [0])
         perm, gen, counter = self._gen_state
         ch = perm.shape[0]
         for c0 in range(0, d.size, ch):

@@ -42,22 +42,27 @@ static int read_zstd(const char *path, std::vector<uint8_t> &out) {
     std::FILE *fp = std::fopen(path, "rb");
     if (!fp) return -1;
     ZSTD_DStream *ds = ZSTD_createDStream();
+    if (!ds) { std::fclose(fp); return -2; }
     std::vector<uint8_t> inbuf(ZSTD_DStreamInSize());
     std::vector<uint8_t> outbuf(ZSTD_DStreamOutSize());
     out.clear();
     int rc = 0;
+    size_t last = 0;   // last ZSTD_decompressStream hint: 0 = frame done
     for (;;) {
         size_t got = std::fread(inbuf.data(), 1, inbuf.size(), fp);
         if (got == 0) break;
         ZSTD_inBuffer zin{inbuf.data(), got, 0};
         while (zin.pos < zin.size) {
             ZSTD_outBuffer zout{outbuf.data(), outbuf.size(), 0};
-            size_t r = ZSTD_decompressStream(ds, &zout, &zin);
-            if (ZSTD_isError(r)) { rc = -2; goto done; }
+            last = ZSTD_decompressStream(ds, &zout, &zin);
+            if (ZSTD_isError(last)) { rc = -2; goto done; }
             out.insert(out.end(), outbuf.data(), outbuf.data() + zout.pos);
         }
         if (got < inbuf.size()) break;
     }
+    // EOF mid-frame = truncated input: silently returning the partial
+    // bytes would parse as a valid-but-shorter FASTA and skew sketches
+    if (last != 0) rc = -2;
 done:
     ZSTD_freeDStream(ds);
     std::fclose(fp);

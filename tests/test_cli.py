@@ -451,3 +451,27 @@ def test_mkdist_jukes_cantor_orders_by_divergence(genomes, tmp_path,
     d01, d02, d12 = cond
     assert np.isfinite(d01) and np.isfinite(d02)
     assert 0 < d01 < d02, (d01, d02)
+
+
+def test_sketch_paths_batched_mixed_sizes(tmp_path, rng):
+    """The small-file batched dispatch must produce registers identical to
+    the per-file path across mixed file sizes (grouped single-chunk files,
+    a multi-chunk file, an empty file, differing tile shapes)."""
+    from dashing_tpu import pipeline
+    from dashing_tpu.cli import core
+    paths = []
+    sizes = [5_000, 5_000, 5_000, 700_000, 0, 9_000, 120_000, 5_000]
+    for i, n in enumerate(sizes):
+        p = tmp_path / f"m{i}.fa"
+        if n == 0:
+            p.write_text(">empty\n\n")
+        else:
+            p.write_text(f">m{i}\n" + "".join(rng.choice(list("ACGT"),
+                                                         size=n)) + "\n")
+        paths.append(str(p))
+    o = core.CommonOpts(k=21, sketch_size=11)
+    sketches = core.sketch_paths(paths, o)
+    params = core.sketch_params(o)
+    for path, sk in zip(paths, sketches):
+        want = pipeline.sketch_file_hll(path, params, 11)
+        np.testing.assert_array_equal(sk.regs, want, err_msg=path)
