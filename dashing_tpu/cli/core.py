@@ -259,6 +259,64 @@ def atomic_write_sketch(sk, fname: str):
     os.replace(tmp, fname)
 
 
+def sketch_jobs(indexed_paths, params, p: int, ex, lookahead: int = 2):
+    """Yield (file_indices, device_handle_or_None) HLL sketch dispatch jobs.
+
+    Consecutive SINGLE-chunk files of identical tile shape group into one
+    batched dispatch (a (B, 2^p) register bank) — at 1k small genomes the
+    per-file dispatch+pull round-trips dominated the sketch phase
+    (measured 2 files/s over the tunnel).  Multi-chunk files keep the
+    per-file streaming path; empty files yield a None handle (zero
+    registers).  `ex` drives the parse-prefetch worker."""
+    import itertools
+    sp = params.spacer()
+    batch = pipeline.small_batch_size(p)
+    group_idx: List[int] = []
+    group_chunks: List[np.ndarray] = []
+
+    def flush():
+        if not group_idx:
+            return None
+        job = (tuple(group_idx),
+               pipeline.sketch_small_batch_async(
+                   np.stack(group_chunks), params, p))
+        group_idx.clear()
+        group_chunks.clear()
+        return job
+
+    for pos, (i, path) in enumerate(indexed_paths):
+        for _, nxt in indexed_paths[pos + 1:pos + 1 + lookahead]:
+            pipeline.prefetch_join(ex, nxt, sp.halo)
+        it = pipeline._file_tiles(path, sp)
+        first = next(it, None)
+        second = next(it, None)
+        if first is None:
+            j = flush()
+            if j:
+                yield j
+            yield ((i,), None)
+        elif second is None:
+            if group_chunks and group_chunks[0].shape != first.shape:
+                j = flush()
+                if j:
+                    yield j
+            group_idx.append(i)
+            group_chunks.append(first)
+            if len(group_idx) >= batch:
+                j = flush()
+                if j:
+                    yield j
+        else:
+            j = flush()
+            if j:
+                yield j
+            yield ((i,), pipeline.sketch_chunks_async(
+                itertools.chain([first, second], it), params, p))
+    j = flush()
+    if j:
+        yield j
+
+
 def sketch_paths(paths_list: List[str], opts: CommonOpts):
     """Sketch many logical paths; overlaps host parsing with device compute
     for the HLL fast path (dispatch all files' chunk updates asynchronously,
@@ -269,80 +327,22 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
                   and not opts.use_counting_filter and not opts.cache_sketch)
     if not simple_hll:
         return [sketch_or_load(p, opts) for p in paths_list]
-    import itertools
     import jax
     from collections import deque
     from ..parallel import distributed
     params = sketch_params(opts)
     p = hll_p_from_S(opts.sketch_size)
-    sp = params.spacer()
     # Bounded dispatch window (the hll_main pattern): each in-flight handle
     # pins a 4*2^p-byte int32 register buffer on device PER FILE, so cap
     # the total at ~256 MiB instead of holding every file's buffer at once
     # (at p=20 and 1k genomes an unbounded list is ~4 GB of device int32).
     window_cap = max(4, min(64, (256 << 20) // (4 << p)))
-    BATCH = pipeline.small_batch_size(p)
 
     # file-level parse prefetch: a worker thread joins the NEXT files'
     # bytes while this thread packs/uploads the current one (the
     # reference's OMP-dynamic file loop overlap, host-side)
     from concurrent.futures import ThreadPoolExecutor
     ex = ThreadPoolExecutor(max_workers=2)
-    LOOKAHEAD = 2
-
-    def jobs(indexed_paths):
-        """Yield (file_indices, device_handle_or_None) dispatch jobs.
-
-        Consecutive SINGLE-chunk files of identical tile shape group into
-        one batched dispatch (a (B, 2^p) register bank) — at 1k small
-        genomes the per-file dispatch+pull round-trips dominated the
-        sketch phase (measured 2 files/s over the tunnel).  Multi-chunk
-        files keep the per-file streaming path; empty files yield a None
-        handle (zero registers)."""
-        group_idx: List[int] = []
-        group_chunks: List[np.ndarray] = []
-
-        def flush():
-            if not group_idx:
-                return None
-            job = (tuple(group_idx),
-                   pipeline.sketch_small_batch_async(
-                       np.stack(group_chunks), params, p))
-            group_idx.clear()
-            group_chunks.clear()
-            return job
-
-        for pos, (i, path) in enumerate(indexed_paths):
-            for _, nxt in indexed_paths[pos + 1:pos + 1 + LOOKAHEAD]:
-                pipeline.prefetch_join(ex, nxt, sp.halo)
-            it = pipeline._file_tiles(path, sp)
-            first = next(it, None)
-            second = next(it, None)
-            if first is None:
-                j = flush()
-                if j:
-                    yield j
-                yield ((i,), None)
-            elif second is None:
-                if group_chunks and group_chunks[0].shape != first.shape:
-                    j = flush()
-                    if j:
-                        yield j
-                group_idx.append(i)
-                group_chunks.append(first)
-                if len(group_idx) >= BATCH:
-                    j = flush()
-                    if j:
-                        yield j
-            else:
-                j = flush()
-                if j:
-                    yield j
-                yield ((i,), pipeline.sketch_chunks_async(
-                    itertools.chain([first, second], it), params, p))
-        j = flush()
-        if j:
-            yield j
 
     def run(indexed_paths, put):
         dq: deque = deque()
@@ -362,7 +362,7 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
                 for slot, i in enumerate(ids):
                     put(i, arr[slot].copy())
 
-        for job in jobs(indexed_paths):
+        for job in sketch_jobs(indexed_paths, params, p, ex):
             dq.append(job)
             inflight[0] += len(job[0])
             while inflight[0] >= window_cap and dq:

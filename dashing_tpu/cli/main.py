@@ -516,18 +516,21 @@ def hll_main(argv: List[str]) -> int:
 
     def drain_one():
         h = window.popleft()
+        if h is None:            # empty file
+            return
         dev = np.clip(np.asarray(jax.device_get(h)), 0, 255).astype(np.uint8)
+        if dev.ndim == 2:        # batched (B, m) bank: fold the files in
+            dev = dev.max(axis=0)
         np.maximum(regs, dev, out=regs)
 
     from concurrent.futures import ThreadPoolExecutor
     ex = ThreadPoolExecutor(max_workers=2)
-    mine = distributed.my_shard(inpaths)
-    halo = params.spacer().halo
+    mine = list(enumerate(distributed.my_shard(inpaths)))
     try:
-        for pos, path in enumerate(mine):
-            for nxt in mine[pos + 1:pos + 3]:
-                pipeline.prefetch_join(ex, nxt, halo)
-            window.append(pipeline.sketch_file_hll_async(path, params, p))
+        # shared job generator: small files batch into (B, 2^p) banks —
+        # the bank max-reduces into the single merged register set
+        for ids, h in core.sketch_jobs(mine, params, p, ex):
+            window.append(h)
             if len(window) >= WINDOW:
                 drain_one()
         while window:
