@@ -87,3 +87,65 @@ def test_cli_bbmh_dist_uses_batch(tmp_path, rng, capsys):
     ji01 = float(vals[0][2])
     ji02 = float(vals[0][3])
     assert ji01 > ji02 > 0.0
+
+
+def test_cli_union_sniffed_bbmh(tmp_path, rng, capsys):
+    """union with auto-sniffed (non-HLL) inputs must not take the HLL mesh
+    branch (review r2: it crashed on .regs / corrupted HMH registers)."""
+    from dashing_tpu.cli import main as climain
+    from dashing_tpu.sketch.setsketches import BBitMinHash
+    paths = []
+    vals = [rng.integers(0, 2**62, 3000, dtype=np.uint64) for _ in range(3)]
+    for i, v in enumerate(vals):
+        s = BBitMinHash(p=7, b=16)
+        s.add_np(v)
+        s.finalize()
+        p = str(tmp_path / f"u{i}.bmh")
+        s.write(p)
+        paths.append(p)
+    out = str(tmp_path / "u.bmh")
+    assert climain.main(["union", "-o", out] + paths) == 0
+    capsys.readouterr()
+    got = BBitMinHash.read(out)
+    want = np.full_like(got.mins, BBitMinHash.EMPTY)
+    for v in vals:
+        s = BBitMinHash(p=7, b=16)
+        s.add_np(v)
+        want = np.minimum(want, s.mins)
+    np.testing.assert_array_equal(got.mins, want)
+
+
+def test_cli_nn_bbmh_uses_batch_rect(tmp_path, rng, capsys):
+    """k-NN with a minhash type goes through the batched rect engine."""
+    from dashing_tpu.cli import main as climain
+    base = "".join(rng.choice(list("ACGT"), size=5000))
+    paths = []
+    for i, rate in enumerate([0, 0.02, 0.10, 0.25]):
+        s = list(base)
+        idx = rng.choice(len(s), size=int(rate * len(s)), replace=False)
+        for t in idx:
+            s[t] = rng.choice([c for c in "ACGT" if c != s[t]])
+        p = tmp_path / f"n{i}.fa"
+        p.write_text(f">n{i}\n{''.join(s)}\n")
+        paths.append(str(p))
+    assert climain.main(["dist", "-k", "21", "-S", "12", "-8",
+                         "--nearest-neighbors", "2", "--avoid-sorting"]
+                        + paths) == 0
+    out = capsys.readouterr().out
+    rows = [l for l in out.splitlines()
+            if l.split("\t")[0].endswith(".fa") and ":" in l.split("\t")[-1]]
+    assert len(rows) == 4
+    # nearest neighbor of genome 0 must be genome 1 (2% mutated)
+    first = rows[0].split("\t")[1]
+    assert first.startswith("1:")
+
+
+def test_superminhash_state_bounded(rng):
+    """The Fisher-Yates scratch must stay bounded at large m (review r2:
+    a fixed 65536-row chunk OOMed at -S 16)."""
+    from dashing_tpu.sketch.extra import SuperMinHash
+    s = SuperMinHash(p=15)
+    s.add_np(rng.integers(0, 2**62, 50_000, dtype=np.uint64))
+    perm, gen, _ = s._gen_state
+    assert perm.shape[0] * perm.shape[1] * 8 <= 300 << 20
+    assert np.isfinite(s.h).all()
