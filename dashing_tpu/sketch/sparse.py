@@ -52,6 +52,16 @@ def _onehot_accum(bins: jnp.ndarray, delta: jnp.ndarray, nbins: int
                       delta.astype(jnp.float32))
 
 
+def _onehot_accum_multi(bins: jnp.ndarray, deltas, nbins: int) -> jnp.ndarray:
+    """(B, L) bins x D delta planes -> (B, D, nbins): ONE one-hot
+    materialization serves every plane (the per-plane form re-read the
+    (B, L, nbins) one-hot per statistic — the readfilt engine's dominant
+    HBM traffic)."""
+    oh = (bins[..., None] == jnp.arange(nbins, dtype=bins.dtype))
+    d = jnp.stack([x.astype(jnp.float32) for x in deltas], axis=-1)
+    return jnp.einsum("blc,bld->bdc", oh.astype(jnp.float32), d)
+
+
 @functools.partial(jax.jit, static_argnames=("p", "kbins"))
 def sparse_pair_stats(idx: jnp.ndarray, rank: jnp.ndarray,
                       ref_regs: jnp.ndarray, ref_hist: jnp.ndarray,
@@ -102,17 +112,21 @@ def sparse_pair_stats(idx: jnp.ndarray, rank: jnp.ndarray,
     b_zero = (b == 0) & keep
 
     f = lambda c: c.astype(jnp.float32)
-    gt_a = _onehot_accum(a, f(agtb), nbins)
-    lt_b = _onehot_accum(b, f(agtb), nbins)
-    lt_a = base_lt_a + _onehot_accum(a, f(altb), nbins) \
-        - _onehot_accum(jnp.zeros_like(a), f(b_pos), nbins)
-    gt_b = base_gt_b + _onehot_accum(b, f(altb) - f(b_pos), nbins)
-    eq = base_eq + _onehot_accum(a, f(aeqb), nbins) \
-        - _onehot_accum(jnp.zeros_like(a), f(b_zero), nbins)
-    hist_a = base_hist_a + _onehot_accum(a, kf, nbins) \
-        - _onehot_accum(jnp.zeros_like(a), kf, nbins)
-    hist_u = base_hist_b + _onehot_accum(jnp.maximum(a, b), f(agtb), nbins) \
-        - _onehot_accum(b, f(agtb), nbins)
+    # grouped by bin array: one one-hot materialization per array (the
+    # per-statistic form cost 7 full (B, L, nbins) passes); the
+    # zeros_like-binned corrections are just bin-0 row sums
+    A = _onehot_accum_multi(a, (agtb, altb, aeqb, kf), nbins)
+    Bm = _onehot_accum_multi(b, (agtb, f(altb) - f(b_pos)), nbins)
+    U = _onehot_accum(jnp.maximum(a, b), f(agtb), nbins)
+    at0 = lambda base, corr: base.at[:, 0].add(-corr.astype(jnp.float32
+                                                           ).sum(-1))
+    gt_a = A[:, 0]
+    lt_b = Bm[:, 0]
+    lt_a = at0(base_lt_a + A[:, 1], b_pos)
+    gt_b = base_gt_b + Bm[:, 1]
+    eq = at0(base_eq + A[:, 2], b_zero)
+    hist_a = at0(base_hist_a + A[:, 3], kf)
+    hist_u = base_hist_b + U - Bm[:, 0]
 
     return dict(gt_a=gt_a, lt_a=lt_a, gt_b=gt_b, lt_b=lt_b, eq=eq,
                 hist_a=hist_a, hist_b=base_hist_b, hist_u=hist_u)
