@@ -54,7 +54,8 @@ def main(n_reads: int = 16384, read_len: int = 150, p: int = 14, k: int = 21):
     # mirror the CLI's records_joint_triples: packed 2-bit upload + the
     # fused Pallas encode on TPU, XLA fallback elsewhere
     from dashing_tpu import pipeline as pl
-    use_packed = pl._packed_ok(params, sp, p) and width % 8 == 0
+    use_packed = (pl._packed_ok(params, sp, p) and width % 8 == 0
+                  and n_reads % 8 == 0)   # Pallas kernel needs rows %8
     if use_packed:
         from dashing_tpu.ops.pallas_encode import keys_to_update_inputs
         packed_np, vbits_np = pl._pack_tile_host(np.asarray(tiles))

@@ -277,6 +277,17 @@ def sketch_jobs(indexed_paths, params, p: int, ex, lookahead: int = 2):
     def flush():
         if not group_idx:
             return None
+        # pad partial groups UP to a power-of-two size (>=8) with all-'N'
+        # dummy chunks (rank-0 everywhere: a no-op scatter): the batch
+        # size is a static jit argument, so arbitrary tail sizes would
+        # each compile a fresh 60-160 s TPU executable; padding bounds
+        # the variants to {8, 16, 32, 64} per tile shape
+        b = 8
+        while b < len(group_idx):
+            b *= 2
+        while len(group_chunks) < b:
+            group_chunks.append(np.full(group_chunks[0].shape, ord("N"),
+                                        np.uint8))
         job = (tuple(group_idx),
                pipeline.sketch_small_batch_async(
                    np.stack(group_chunks), params, p))
@@ -295,7 +306,7 @@ def sketch_jobs(indexed_paths, params, p: int, ex, lookahead: int = 2):
             if j:
                 yield j
             yield ((i,), None)
-        elif second is None:
+        elif second is None and batch >= 8:
             if group_chunks and group_chunks[0].shape != first.shape:
                 j = flush()
                 if j:
@@ -307,11 +318,14 @@ def sketch_jobs(indexed_paths, params, p: int, ex, lookahead: int = 2):
                 if j:
                     yield j
         else:
+            # multi-chunk file, or batching off (large p: even 8 banks
+            # would pin multi-GiB device buffers)
             j = flush()
             if j:
                 yield j
+            chunks = [first] if second is None else [first, second]
             yield ((i,), pipeline.sketch_chunks_async(
-                itertools.chain([first, second], it), params, p))
+                itertools.chain(chunks, it), params, p))
     j = flush()
     if j:
         yield j

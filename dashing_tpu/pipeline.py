@@ -211,12 +211,18 @@ _PREFETCH_LOCK = __import__("threading").Lock()
 def prefetch_join(executor, path: str, sep_len: int):
     """Schedule a background parse of `path` unless one is in flight.
 
-    A no-op while the join cache is enabled (mkdist's per-k passes): the
-    cache already holds the joined bytes at the wide _CACHE_SEP, and
-    prefetched arrays carry the NARROW separator so they cannot enter the
-    cache — prefetching would re-parse what the cache was built to keep."""
+    While the join cache is enabled (mkdist's per-k passes), cacheable
+    files skip prefetch — the cache already holds their joined bytes at
+    the wide _CACHE_SEP, and prefetched arrays carry the NARROW separator
+    so they cannot enter the cache.  Files whose on-disk size exceeds the
+    cache limit can never be cached, so they keep the prefetch overlap."""
     if _JOIN_CACHE_ON:
-        return
+        try:
+            total = sum(os.stat(s).st_size for s in split_subpaths(path))
+        except OSError:
+            return
+        if total <= _JOIN_CACHE_LIMIT:
+            return
     key = (path, sep_len)
     with _PREFETCH_LOCK:
         if key in _PREFETCH:
@@ -226,12 +232,16 @@ def prefetch_join(executor, path: str, sep_len: int):
         _PREFETCH[key] = executor.submit(_read_joined_uncached, path, sep_len)
 
 
+def _prefetch_pop(path: str, sep_len: int):
+    with _PREFETCH_LOCK:
+        return _PREFETCH.pop((path, sep_len), None)
+
+
 def _read_joined(path: str, sep_len: int) -> np.ndarray:
     """Logical path -> one separator-joined uint8 array.  Prefers the native
     C++ loader (io/native.py); falls back to the numpy parser."""
     if not _JOIN_CACHE_ON or sep_len > _CACHE_SEP or _JOIN_CACHE_LIMIT <= 0:
-        with _PREFETCH_LOCK:
-            fut = _PREFETCH.pop((path, sep_len), None)
+        fut = _prefetch_pop(path, sep_len)
         if fut is not None:
             return fut.result()
         return _read_joined_uncached(path, sep_len)
@@ -240,6 +250,11 @@ def _read_joined(path: str, sep_len: int) -> np.ndarray:
     if hit is not None and hit[0] == stamp and stamp is not None:
         arr = hit[1]
     else:
+        # too-big-to-cache files may have an in-flight prefetch (narrow
+        # separator; fine for THIS call, never inserted into the cache)
+        fut = _prefetch_pop(path, sep_len)
+        if fut is not None:
+            return fut.result()
         arr = _read_joined_uncached(path, _CACHE_SEP)
         if stamp is None or arr.nbytes > _JOIN_CACHE_LIMIT:
             return arr
@@ -356,8 +371,10 @@ def _sketch_mesh():
 
 def small_batch_size(p: int) -> int:
     """Files per batched dispatch: bounded by bank memory (4B * B * 2^p
-    <= 64 MB), a multiple of 8 (the packed kernel needs row counts %8)."""
-    b = max(8, min(64, (64 << 20) // (4 << p)))
+    <= 64 MB), a multiple of 8 (the packed kernel needs row counts %8).
+    0 = batching off: at p >= 22 even 8 files blow the bound (a floor
+    here once pinned multi-GiB banks at -S 24)."""
+    b = min(64, (64 << 20) // (4 << p))
     return (b // 8) * 8
 
 

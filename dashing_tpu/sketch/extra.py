@@ -294,9 +294,10 @@ class SuperMinHash:
             return
         if self._gen_state is None:
             # bound the (chunk, m) permutation+generation state to ~256 MB
-            # (8 B/cell) — a fixed chunk OOMed at -S 16 (25 GB)
-            ch = max(64, min(self._CHUNK, (256 << 20) // (8 * m),
-                             max(d.size, 1)))
+            # (8 B/cell) — a fixed chunk OOMed at -S 16 (25 GB); no floor
+            # (a max(64, ...) floor re-created the blow-up at large m)
+            ch = max(1, min(self._CHUNK, (256 << 20) // (8 * m),
+                            max(d.size, 1)))
             self._gen_state = (np.zeros((ch, m), np.int32),
                                np.full((ch, m), -1, np.int32), [0])
         perm, gen, counter = self._gen_state

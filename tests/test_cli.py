@@ -475,3 +475,15 @@ def test_sketch_paths_batched_mixed_sizes(tmp_path, rng):
     for path, sk in zip(paths, sketches):
         want = pipeline.sketch_file_hll(path, params, 11)
         np.testing.assert_array_equal(sk.regs, want, err_msg=path)
+
+
+def test_small_batch_size_bounds():
+    """Bank memory bound must hold at every p — no floor (review r2: a
+    max(8,...) floor pinned multi-GiB banks at -S 24)."""
+    from dashing_tpu.pipeline import small_batch_size
+    for p in range(10, 27):
+        b = small_batch_size(p)
+        assert b * (4 << p) <= (64 << 20), p
+        assert b % 8 == 0
+    assert small_batch_size(14) == 64
+    assert small_batch_size(24) == 0        # batching off at huge p

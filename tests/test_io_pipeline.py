@@ -392,3 +392,53 @@ def test_zstd_native(tmp_path, rng):
     assert got == [(b"z1", seq.encode())]
     nat = _native_records(p)
     assert nat == [(b"z1", seq.encode())]
+
+
+def test_fastq_fuzz_roundtrip(rng):
+    """Property fuzz: random records -> serialized FASTQ (random wrapping,
+    CRLF, comments, quality bytes incl. '@'/'+') -> both parsers recover
+    the exact records."""
+    from dashing_tpu.io import native as native_mod
+    import tempfile, os
+    for trial in range(25):
+        n = int(rng.integers(1, 9))
+        recs = []
+        for i in range(n):
+            L = int(rng.integers(0, 300))
+            seq = bytes(rng.choice(np.frombuffer(b"ACGTNacgtn", np.uint8),
+                                   size=L))
+            name = f"r{trial}_{i}".encode()
+            recs.append((name, seq))
+        crlf = bool(rng.integers(0, 2))
+        eol = b"\r\n" if crlf else b"\n"
+        buf = bytearray()
+        for name, seq in recs:
+            comment = b" some comment" if rng.integers(0, 2) else b""
+            buf += b"@" + name + comment + eol
+            # wrap sequence at random widths
+            w = int(rng.integers(1, 80))
+            for i in range(0, max(len(seq), 1), w):
+                buf += seq[i:i + w] + eol
+            plus = b"+" + (name if rng.integers(0, 2) else b"")
+            buf += plus + eol
+            qual = bytes(rng.integers(33, 90, len(seq)).astype(np.uint8))
+            w = int(rng.integers(1, 80))
+            for i in range(0, max(len(qual), 1), w):
+                buf += qual[i:i + w] + eol
+        with tempfile.NamedTemporaryFile(suffix=".fq", delete=False) as fp:
+            fp.write(bytes(buf))
+            path = fp.name
+        try:
+            got = fasta.read_records(path)
+            assert got == recs, f"numpy parser trial {trial}"
+            nat = native_mod.read_joined(path, 0)
+            if nat is not None:
+                joined, names, ends = nat
+                prev = 0
+                nrecs = []
+                for nm, e in zip(names, np.asarray(ends, np.int64)):
+                    nrecs.append((bytes(nm), joined[prev:int(e)].tobytes()))
+                    prev = int(e)
+                assert nrecs == recs, f"native parser trial {trial}"
+        finally:
+            os.unlink(path)
