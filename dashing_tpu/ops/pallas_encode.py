@@ -49,24 +49,26 @@ def _kernel(tile_ref, out_ref, *, k: int, p: int, canon: bool):
     out_ref[...] = _keys_from_code_valid(code, valid, k=k, p=p, canon=canon)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "p", "canon", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "p", "canon", "interpret",
+                                             "block_r"))
 def encode_hash_keys(tile: jnp.ndarray, *, k: int, p: int, canon: bool = True,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     block_r: int = BLOCK_R) -> jnp.ndarray:
     """(R, C) uint8 ASCII -> (R, C - k + 1) int32 packed keys.
 
-    R must be a multiple of BLOCK_R (the pipeline pads rows to powers of
-    two >= 8).  Rows are processed whole; VMEM holds one BLOCK_R-row slab.
+    R must be a multiple of block_r (the pipeline pads rows to powers of
+    two >= 8).  Rows are processed whole; VMEM holds one block_r-row slab.
     """
     R, C = tile.shape
     W = C - k + 1
-    assert R % BLOCK_R == 0, R
-    grid = (R // BLOCK_R,)
+    assert R % block_r == 0, R
+    grid = (R // block_r,)
     return pl.pallas_call(
         functools.partial(_kernel, k=k, p=p, canon=canon),
         grid=grid,
-        in_specs=[pl.BlockSpec((BLOCK_R, C), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((block_r, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((BLOCK_R, W), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_r, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, W), jnp.int32),
         interpret=interpret,
