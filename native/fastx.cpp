@@ -11,6 +11,7 @@
 // Build:  make -C native     (g++ -O3 -shared -fPIC, links zlib)
 // Python: dashing_tpu/io/native.py (ctypes, numpy zero-copy views).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -90,8 +91,14 @@ static int read_all(const char *path, std::vector<uint8_t> &data) {
     const size_t CHUNK = 1 << 22;
     size_t used = 0;
     for (;;) {
-        data.resize(used + CHUNK);
-        int got = gzread(fp, data.data() + used, CHUNK);
+        // grow geometrically: fixed-step resize realloc-copied the whole
+        // buffer every 4 MB (O(n^2) memcpy — measured slower than the
+        // Python parser on a 210 MB FASTQ)
+        if (data.size() < used + CHUNK)
+            data.resize(std::max(used + CHUNK, used + used / 2));
+        size_t room = data.size() - used;
+        int got = gzread(fp, data.data() + used,
+                         static_cast<unsigned>(std::min(room, CHUNK)));
         if (got < 0) { gzclose(fp); return -2; }
         used += static_cast<size_t>(got);
         if (static_cast<size_t>(got) < CHUNK) break;
