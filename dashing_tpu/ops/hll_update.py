@@ -61,15 +61,16 @@ def adaptive_cap(row: int, m: int, seen: int) -> int:
     (round-2 TPU sweep: 1/64 survivor ratio runs ~950 M elem/s vs ~750 at
     1/32 and ~510 at 1/16 regardless of row width), so shrink the cap as
     the stream fills the registers.  The expected survivor count per row
-    is row * 2^-min(regs); min(regs) sits ~3 levels BELOW log2(seen/m)
-    (minimum statistics over 2^p registers — measured: naive seen-based
-    caps overflowed ~every slab and regressed the pipeline 578->432
-    M k-mers/s), hence the 8x-adjusted mean.  Misestimates degrade
-    gracefully: _update_slab escalates overflowing slabs to a 4x-cap
-    top_k and only then to the exact full scatter."""
+    is row * 2^-min(regs); min(regs) sits a few levels BELOW log2(seen/m)
+    (minimum statistics over 2^p registers — measured: a naive unadjusted
+    seen-based cap overflowed ~every slab and regressed the pipeline
+    578->432 M k-mers/s).  The 4x adjustment is the measured knee: 8x ran
+    706 M k-mers/s, 4x 776 M, 2x 693 M (escalations bite).  Misestimates
+    degrade gracefully: _update_slab escalates overflowing slabs to a
+    4x-cap top_k and only then to the exact full scatter."""
     if seen <= 0:
         return 128
-    mean = 8.0 * row * m / seen
+    mean = 4.0 * row * m / seen
     target = 2.0 * mean + 10.0
     cap = 16
     while cap < target and cap < 128:
