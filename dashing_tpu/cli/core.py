@@ -379,7 +379,11 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
         for job in sketch_jobs(indexed_paths, params, p, ex):
             dq.append(job)
             inflight[0] += len(job[0])
-            while inflight[0] >= window_cap and dq:
+            # strictly-greater: at `>=`, a full batch (batch == window_cap)
+            # drained the job just dispatched, serializing host parse with
+            # device compute; `>` keeps >= one job in flight (device
+            # memory bound becomes window_cap + one batch)
+            while inflight[0] > window_cap and dq:
                 drain()
         while dq:
             drain()
@@ -499,10 +503,20 @@ def compare_condensed(sketches, result_type: int, k: int, estim: int,
     if out is None:
         out = np.empty(n * (n - 1) // 2, np.float32)
     from ..sketch import batch_compare
-    rect = batch_compare.batch_triples(sketches, sketches)
-    if rect is not None:
-        iu, ju = np.triu_indices(n, 1)
-        tris = rect[iu, ju]
+    if batch_compare.supports(sketches):
+        # row-blocked upper triangle: a full (n, n, 3) rectangle doubled
+        # the comparisons and transiently held 24*n^2 bytes
+        tris = np.empty((n * (n - 1) // 2, 3), np.float64)
+        T = 512
+        pos = 0
+        for i0 in range(0, n, T):
+            rect = batch_compare.batch_triples(sketches[i0:i0 + T],
+                                               sketches[i0:])
+            for ii in range(rect.shape[0]):
+                row = rect[ii, ii + 1:]
+                tris[pos:pos + row.shape[0]] = row
+                pos += row.shape[0]
+        assert pos == tris.shape[0]
     else:
         # batch ALL pair triples into one device call: a per-pair
         # measure_from_triples dispatch costs ~6-9 ms over the tunnel

@@ -102,18 +102,25 @@ def _parse_fastq(data: bytes) -> List[Record]:
             # single-line sequence (the common layout)
             seq = lines[i + 1].rstrip(b"\r")
             i += 3                       # past the '+' line
+            has_qual = True
         else:
             i += 1
             parts = []
-            while i < n and lines[i][:1] != b"+":
+            # kseq stops sequence accumulation at '+', '@' OR '>' — a
+            # record missing its '+' separator must not swallow the next
+            # record (and quality then doesn't exist for it)
+            while i < n and lines[i][:1] not in (b"+", b"@", b">"):
                 parts.append(lines[i].rstrip(b"\r"))
                 i += 1
             seq = b"".join(parts)
-            i += 1                       # '+' line (or EOF)
-        qlen = 0
-        while i < n and qlen < len(seq):
-            qlen += len(lines[i].rstrip(b"\r"))
-            i += 1
+            has_qual = i < n and lines[i][:1] == b"+"
+            if has_qual:
+                i += 1                   # '+' line
+        if has_qual:
+            qlen = 0
+            while i < n and qlen < len(seq):
+                qlen += len(lines[i].rstrip(b"\r"))
+                i += 1
         out.append((bytes(name), bytes(seq)))
     return out
 

@@ -228,13 +228,25 @@ def prefetch_join(executor, path: str, sep_len: int):
         if key in _PREFETCH:
             return
         if len(_PREFETCH) > 8:       # bound leaks from never-consumed paths
-            _PREFETCH.pop(next(iter(_PREFETCH)))
-        _PREFETCH[key] = executor.submit(_read_joined_uncached, path, sep_len)
+            _PREFETCH.pop(next(iter(_PREFETCH)))[1].cancel()
+        _PREFETCH[key] = (_path_stamp(path),
+                          executor.submit(_read_joined_uncached, path,
+                                          sep_len))
 
 
 def _prefetch_pop(path: str, sep_len: int):
+    """Pop a prefetch future IF its file stamp still matches — a future
+    abandoned by an earlier run must not serve stale bytes after the file
+    was rewritten (long-lived library processes)."""
     with _PREFETCH_LOCK:
-        return _PREFETCH.pop((path, sep_len), None)
+        hit = _PREFETCH.pop((path, sep_len), None)
+    if hit is None:
+        return None
+    stamp, fut = hit
+    if stamp is None or stamp != _path_stamp(path):
+        fut.cancel()
+        return None
+    return fut
 
 
 def _read_joined(path: str, sep_len: int) -> np.ndarray:

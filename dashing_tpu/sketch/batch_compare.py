@@ -224,6 +224,13 @@ def _bottomk_rect(A, B, counting: bool) -> np.ndarray:
     return _ji_to_triple(ji, _cards(A), _cards(B))
 
 
+def supports(sketches) -> bool:
+    """Whether batch_triples has an engine for this sketch type."""
+    return type(sketches[0]) in (BBitMinHash, DensifiedMinHash, SuperMinHash,
+                                 HyperMinHash, BloomFilter, CountingBottomK,
+                                 BottomK)
+
+
 def batch_triples(A, B) -> Optional[np.ndarray]:
     """(na, nb, 3) float64 triples with [i, j] = A[i].full_set_comparison(
     B[j]), or None when the type has no batched engine."""

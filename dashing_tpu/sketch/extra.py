@@ -309,8 +309,14 @@ class SuperMinHash:
             cur = counter[0]
             counter[0] += 1
             j = 0
+            hmax = np.inf
             while j < m:
-                hmax = self.h.max()
+                # refresh the stop bound every 16 rounds: h only decreases,
+                # so a stale (higher) max only DELAYS stopping — exactness
+                # unaffected, and the O(m) scan stops being per-round
+                # (per-round scans were O(m^2) for small inputs at big m)
+                if j % 16 == 0:
+                    hmax = self.h.max()
                 if j > hmax:          # v = j + r > max(h): cannot change h
                     break
                 # per-(element, round) uniforms from the element hash

@@ -179,7 +179,9 @@ int dtpu_read_fastx(const char *path, uint32_t sep_len, DtpuFastx *out) {
             push_name(p + 1, nl);
             p = nl < end ? nl + 1 : end;           // -> sequence line(s)
             const size_t seq_start = seq.size();
-            while (p < end && *p != '+') {
+            // kseq stops sequence accumulation at '+', '@' or '>': a
+            // record missing its '+' must not swallow the next record
+            while (p < end && *p != '+' && *p != '@' && *p != '>') {
                 nl = line_end(p);
                 const uint8_t *q = nl;
                 while (q > p && q[-1] == '\r') --q;
@@ -188,17 +190,17 @@ int dtpu_read_fastx(const char *path, uint32_t sep_len, DtpuFastx *out) {
             }
             const size_t slen = seq.size() - seq_start;
             rec_ends.push_back(seq.size());
-            if (p < end) {                         // skip the '+' line
-                nl = line_end(p);
+            if (p < end && *p == '+') {            // quality exists
+                nl = line_end(p);                  // skip the '+' line
                 p = nl < end ? nl + 1 : end;
-            }
-            size_t qlen = 0;                       // -> quality by length
-            while (p < end && qlen < slen) {
-                nl = line_end(p);
-                const uint8_t *q = nl;
-                while (q > p && q[-1] == '\r') --q;
-                qlen += static_cast<size_t>(q - p);
-                p = nl < end ? nl + 1 : end;
+                size_t qlen = 0;                   // -> quality by length
+                while (p < end && qlen < slen) {
+                    nl = line_end(p);
+                    const uint8_t *q = nl;
+                    while (q > p && q[-1] == '\r') --q;
+                    qlen += static_cast<size_t>(q - p);
+                    p = nl < end ? nl + 1 : end;
+                }
             }
         }
     }
@@ -226,6 +228,7 @@ int dtpu_read_raw(const char *path, uint8_t **buf, uint64_t *len) {
     int rc = read_all(path, data);
     if (rc) return rc;
     *buf = static_cast<uint8_t *>(std::malloc(data.size() ? data.size() : 1));
+    if (!*buf) return -8;   // let the Python fallback engage, don't segfault
     std::memcpy(*buf, data.data(), data.size());
     *len = data.size();
     return 0;

@@ -316,3 +316,27 @@ def test_filtered_update_cascade_tiers(rng):
         want = regs0.copy()
         np.maximum.at(want, idx, rank)
         np.testing.assert_array_equal(got, want, err_msg=f"base={base}")
+
+
+def test_grad_hess_twins_agree(rng):
+    """The production Newton loop runs the value-FREE _joint_grad_hess /
+    _f_d1_d2 twins; the float64 finite-difference oracle validates the
+    val-bearing twins.  Pin them together bitwise so an edit to the
+    load-bearing analytic Hessian applied to one twin fails loudly."""
+    import jax.numpy as jnp
+    from dashing_tpu.sketch import estimators as est
+    p = 12
+    q = 64 - p
+    a = HLL(p)
+    a.addh_np(rng.integers(0, 2**62, 40_000, dtype=np.uint64))
+    b = HLL(p)
+    b.addh_np(rng.integers(0, 2**62, 25_000, dtype=np.uint64))
+    stats = est.pair_statistics(jnp.asarray(a.regs.astype(np.int32)),
+                                jnp.asarray(b.regs.astype(np.int32)), q)
+    m = float(1 << p)
+    for theta in ([10.0, 9.5, 8.0], [2.0, 12.0, 1.0], [7.7, 7.7, 7.7]):
+        th = jnp.asarray(theta, jnp.float32)
+        _, g_val, H_val = est._joint_val_grad_hess(th, stats, m, q)
+        g, H = est._joint_grad_hess(th, stats, m, q)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(g_val))
+        np.testing.assert_array_equal(np.asarray(H), np.asarray(H_val))

@@ -442,3 +442,13 @@ def test_fastq_fuzz_roundtrip(rng):
                 assert nrecs == recs, f"native parser trial {trial}"
         finally:
             os.unlink(path)
+
+
+def test_fastq_missing_plus_does_not_swallow(tmp_path):
+    """A record missing its '+' separator must not swallow the following
+    records into one sequence (kseq stops sequence lines at '@'/'>')."""
+    p = str(tmp_path / "b.fq")
+    open(p, "w").write("@r1\nACGT\n@r2\nTTTT\n+\nIIII\n")
+    got = fasta.read_records(p)
+    assert got == [(b"r1", b"ACGT"), (b"r2", b"TTTT")]
+    assert _native_records(p) == got
