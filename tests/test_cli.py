@@ -487,3 +487,23 @@ def test_small_batch_size_bounds():
         assert b % 8 == 0
     assert small_batch_size(14) == 64
     assert small_batch_size(24) == 0        # batching off at huge p
+
+
+def test_flatten_subcommand(genomes, tmp_path, capsys):
+    """Standalone `flatten` combines per-k binary matrices into the
+    reference container (reference src/flatten_all.cpp:39-43)."""
+    mats = []
+    for k in (15, 17):
+        out = str(tmp_path / f"d{k}.bin")
+        run_cli(["dist", "-k", str(k), "-S", "11", "-b", "-O", out,
+                 "--avoid-sorting"] + genomes)
+        mats.append(out)
+    capsys.readouterr()
+    flat = str(tmp_path / "flat.bin")
+    run_cli(["flatten", "-o", flat, "-k", "15,17"] + mats)
+    nsets, ks, data = distmat.read_flattened(flat)
+    assert nsets == 3 and list(ks) == [15, 17]
+    # entry-major interleave: values must match the per-k matrices
+    for ki, mat in enumerate(mats):
+        _, cond = distmat.read_binary(mat)
+        np.testing.assert_array_equal(data[:, ki], cond)
