@@ -54,7 +54,9 @@ def main(n: int = 1024, p: int = 14, joint: bool = False):
             # data dependence, so XLA cannot hoist the body out of the loop
             bump = (acc - jnp.floor(acc) > 2.0).astype(a.dtype)  # always 0
             aa = a.at[0, 0].add(bump)
-            stats = pw.pair_stats(aa, a, kmax, joint, kmin)
+            # same=True: the production all-pairs path marks diagonal
+            # tiles (Z = Y^T, 2 matmul families per level instead of 3)
+            stats = pw.pair_stats(aa, aa, kmax, joint, kmin, same=True)
             tri = pw.triples_from_stats(stats, p, est.ERTL_MLE,
                                         jestim, kmin)
             out = pw.measure_from_triples(tri, pw.JI, 1.0 / 21)

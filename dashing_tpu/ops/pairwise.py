@@ -50,9 +50,10 @@ def _dot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.int32).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("kmin", "kmax", "joint"))
+@functools.partial(jax.jit,
+                   static_argnames=("kmin", "kmax", "joint", "same"))
 def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
-               kmin: int = 0) -> Dict[str, jnp.ndarray]:
+               kmin: int = 0, same: bool = False) -> Dict[str, jnp.ndarray]:
     """Pairwise register statistics for all (i, j).
 
     a: (na, m) int32 registers; b: (nb, m).  Levels kmin..kmax are resolved;
@@ -60,9 +61,15 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
     values cluster in ~a dozen levels, so a tight [kmin, kmax] cuts the
     matmul count several-fold).  Returns dict of (na, nb, kmax-kmin+1)
     float32 stacks (+ marginals), tagged with kmin for padding.
+
+    same=True asserts a and b are the SAME register bank (diagonal tiles
+    of the all-pairs grid): then Z[k] = Y[k]^T exactly (Z[k][i,j] =
+    #(a_i<=k-1 & a_j<=k) = Y[k][j,i]), so the joint statistics need 2
+    matmul families per level instead of 3 — a 1/3 cut in the dominant
+    -J cost for the common n <= tile production case.
     """
     levels = jnp.arange(kmin, kmax + 1, dtype=a.dtype)
-    if joint:
+    if joint and not same:
         fused = _pallas_joint_stats(a, b, kmin, kmax)
         if fused is not None:
             fused["hist_a"] = (a[..., :, None] == levels).astype(
@@ -91,7 +98,7 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
         cums.append(x)
         if joint:
             y = _dot(ca, cb_prev)
-            z = _dot(ca_prev, cb)
+            z = y.T if same else _dot(ca_prev, cb)
             eqs.append(x - y - z + x_prev)
             gtas.append(y - x_prev)
             # note operand order: _dot's FIRST arg indexes the output's
@@ -105,7 +112,8 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
         out["gt_a"] = jnp.stack(gtas, axis=-1)
         out["gt_b"] = jnp.stack(gtbs, axis=-1)
     out["hist_a"] = (a[..., :, None] == levels).astype(jnp.float32).sum(-2)
-    out["hist_b"] = (b[..., :, None] == levels).astype(jnp.float32).sum(-2)
+    out["hist_b"] = (out["hist_a"] if same else
+                     (b[..., :, None] == levels).astype(jnp.float32).sum(-2))
     return out
 
 
@@ -326,9 +334,56 @@ def _auto_kmin(regs: np.ndarray) -> int:
     return int(regs.min(initial=0))
 
 
+# Bucketed window widths: each distinct (kmin, kmax) pair is a separate jit
+# variant (kmin/kmax are static), so the per-tile windows round kmin DOWN to
+# even and the width UP to one of these — a handful of compile variants
+# instead of one per tile pair, while still cutting the matmul count to
+# roughly the tile's own level span (the global window pays for the union
+# of ALL levels in the bank, ~25 at p=14, on every tile).
+_K_BUCKETS = (8, 16, 24, 32, 44, 58, 66)
+
+
+def _tile_window(tmin: int, tmax1: int, q: int):
+    """Bucket a tile pair's exact level window [tmin, tmax1] for jit reuse.
+
+    tmin must be <= every register in the tile pair and tmax1 >= the
+    engine's kmax for it (tile max + 1, clamped to q+1) — the bucketing
+    only ever WIDENS the window (down-rounded kmin, up-rounded width, with
+    top overflow past q+1 folded into a lower kmin), and widening is exact:
+    the extra levels hold empty histogram bins that contribute exact zeros
+    to every windowed estimator sum."""
+    kmin = max(0, tmin - (tmin & 1))
+    K = tmax1 - kmin + 1
+    for b in _K_BUCKETS:
+        if b >= K:
+            K = b
+            break
+    kmax = kmin + K - 1
+    if kmax > q + 1:
+        kmin = max(0, kmin - (kmax - (q + 1)))
+        kmax = q + 1
+    return kmin, kmax
+
+
+def _block_minmax(regs: np.ndarray, n: int, tile: int):
+    """Per-row-block register (min, max+1-clamped) for per-tile windows."""
+    return {i0: (int(regs[i0:i0 + tile].min(initial=0)),
+                 int(regs[i0:i0 + tile].max(initial=0)) + 1)
+            for i0 in range(0, n, tile)}
+
+
+def _pair_window(mm_a, mm_b, q: int):
+    """(kmax, kmin) for a tile pair — ordered for compare_tile_async."""
+    lo = min(mm_a[0], mm_b[0])
+    hi = min(max(mm_a[1], mm_b[1]), q + 1)
+    kmin, kmax = _tile_window(lo, hi, q)
+    return kmax, kmin
+
+
 def compare_tile_async(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
                        result_type: int, ksinv: float, estim: int,
-                       jestim: int, kmax: int, kmin: int) -> jnp.ndarray:
+                       jestim: int, kmax: int, kmin: int,
+                       same: bool = False) -> jnp.ndarray:
     """One (na, nb) tile of the measure matrix, left on device.
 
     jax dispatch is asynchronous, so callers can enqueue a window of tiles
@@ -353,7 +408,7 @@ def compare_tile_async(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
             a, jnp.asarray(regs_b))
         return out[:na] if pad else out
     stats = pair_stats(jnp.asarray(regs_a), jnp.asarray(regs_b), kmax,
-                       jestim == est.ERTL_JOINT_MLE, kmin)
+                       jestim == est.ERTL_JOINT_MLE, kmin, same)
     tri = triples_from_stats(stats, p, estim, jestim, kmin)
     return measure_from_triples(tri, result_type, ksinv)
 
@@ -407,8 +462,12 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
     p = sketches[0].p
     ksinv = 1.0 / k
     q = 64 - p
-    kmax = _auto_kmax(regs, q)
-    kmin = _auto_kmin(regs)
+    # Per-tile level windows: each tile pair resolves only ITS rows' level
+    # span (bucketed, _tile_window) instead of the whole bank's — the
+    # stats matmul count per tile drops to the local span, the dominant
+    # -J cost (the estimators are windowed and exact for any window that
+    # covers the tile's registers).
+    mm = _block_minmax(regs, n, tile)
     if out is None:
         out = np.empty(n * (n - 1) // 2, np.float32)
     assert out.shape == (n * (n - 1) // 2,)
@@ -429,7 +488,8 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
     regs_d = _device_regs(regs)
     _windowed((((i0, j0), compare_tile_async(
                     regs_d[i0:i0 + tile], regs_d[j0:j0 + tile], p,
-                    result_type, ksinv, estim, jestim, kmax, kmin))
+                    result_type, ksinv, estim, jestim,
+                    *_pair_window(mm[i0], mm[j0], q), same=(i0 == j0)))
                 for i0 in range(0, n, tile)
                 for j0 in range(i0, n, tile)),
                lambda key, block: put(key[0], key[1], block))
@@ -447,15 +507,16 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
     p = ref_sketches[0].p
     ksinv = 1.0 / k
     q = 64 - p
-    kmax = max(_auto_kmax(rr, q), _auto_kmax(qq, q))
-    kmin = min(_auto_kmin(rr), _auto_kmin(qq))
     nq, nr = qq.shape[0], rr.shape[0]
+    mm_r = _block_minmax(rr, nr, tile)
+    mm_q = _block_minmax(qq, nq, tile)
     out = np.empty((nq, nr), np.float32)
     rr_d, qq_d = _device_regs(rr), _device_regs(qq)
     # triple order: lhs = reference, rhs = query (result_cmp(hlls[j], hq))
     _windowed((((i0, j0), compare_tile_async(
                     rr_d[i0:i0 + tile], qq_d[j0:j0 + tile], p, result_type,
-                    ksinv, estim, jestim, kmax, kmin))
+                    ksinv, estim, jestim,
+                    *_pair_window(mm_r[i0], mm_q[j0], q)))
                 for i0 in range(0, nr, tile)
                 for j0 in range(0, nq, tile)),
                lambda key, block: out.__setitem__(
@@ -517,10 +578,10 @@ def nn_topk(ref_sketches, query_sketches, result_type: int, k: int,
     p = ref_sketches[0].p
     ksinv = 1.0 / k
     q = 64 - p
-    kmax = max(_auto_kmax(rr, q), _auto_kmax(qq, q))
-    kmin = min(_auto_kmin(rr), _auto_kmin(qq))
     sim = is_similarity(result_type)
     nq, nr = qq.shape[0], rr.shape[0]
+    mm_r = _block_minmax(rr, nr, tile)
+    mm_q = mm_r if same else _block_minmax(qq, nq, tile)
     nn = min(nn, nr)
     nn_eff = min(nn, tile)
     rr_d = _device_regs(rr)
@@ -546,7 +607,9 @@ def nn_topk(ref_sketches, query_sketches, result_type: int, k: int,
             for q0 in range(0, nq, tile):
                 block = compare_tile_async(
                     rr_d[j0:j0 + tile], qq_d[q0:q0 + tile], p, result_type,
-                    ksinv, estim, jestim, kmax, kmin)
+                    ksinv, estim, jestim,
+                    *_pair_window(mm_r[j0], mm_q[q0], q),
+                    same=(same and j0 == q0))
                 yield ((j0, q0), _device_tile_topk(
                     block, q0, j0, nn_eff, sim, exclude_self))
 
@@ -574,13 +637,14 @@ def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
     n = regs.shape[0]
     p = sketches[0].p
     ksinv = 1.0 / k
-    kmax = _auto_kmax(regs, 64 - p)
-    kmin = _auto_kmin(regs)
+    q = 64 - p
+    mm = _block_minmax(regs, n, tile)
     out = np.empty((n, n), np.float32)
     regs_d = _device_regs(regs)
     _windowed((((i0, j0), compare_tile_async(
                     regs_d[i0:i0 + tile], regs_d[j0:j0 + tile], p,
-                    result_type, ksinv, estim, jestim, kmax, kmin))
+                    result_type, ksinv, estim, jestim,
+                    *_pair_window(mm[i0], mm[j0], q), same=(i0 == j0)))
                 for i0 in range(0, n, tile)
                 for j0 in range(0, n, tile)),
                lambda key, block: out.__setitem__(

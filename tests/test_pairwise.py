@@ -186,3 +186,42 @@ def test_nn_topk_matches_dense(rng):
 def core_rect(refs, queries, result_type):
     return pw.rect_pairs(refs, queries, result_type, 21,
                          est.ERTL_MLE, est.ERTL_MLE)
+
+
+def test_tile_window_invariants():
+    """Bucketed windows must always COVER the requested exact window and
+    stay within [0, q+1]."""
+    q = 50
+    for tmin in range(0, q + 2):
+        for tmax1 in range(tmin, q + 2):
+            kmax, kmin = pw._pair_window((tmin, tmax1), (tmin, tmax1), q)
+            assert 0 <= kmin <= tmin
+            assert tmax1 <= kmax <= q + 1 or (kmax == q + 1 and tmax1 > q + 1)
+            assert (kmax - kmin + 1) in pw._K_BUCKETS or kmax == q + 1
+
+
+@pytest.mark.parametrize("jestim", [est.ERTL_MLE, est.ERTL_JOINT_MLE])
+def test_per_tile_windows_match_full_window(rng, jestim):
+    """Tiles whose rows sit at very different register levels (tiny vs huge
+    cardinalities) must produce the same measures through the per-tile
+    bucketed windows as through the full [0, q+1] window."""
+    p = 10
+    q = 64 - p
+    sketches = []
+    for i, per in enumerate([50, 80, 60000, 90000, 300, 70000]):
+        h = HLL(p, jestim=jestim)
+        h.addh_np(rng.integers(0, 2**63, per, dtype=np.uint64))
+        sketches.append(h)
+    # tile=2 -> 3 row blocks with wildly different level spans
+    cond = pw.all_pairs_condensed(sketches, pw.JI, 21, est.ERTL_MLE,
+                                  jestim, tile=2)
+    regs = np.stack([s.regs for s in sketches]).astype(np.int32)
+    idx = 0
+    for i in range(len(sketches)):
+        for j in range(i + 1, len(sketches)):
+            want = pw.compare_tile(regs[i:i + 1], regs[j:j + 1],
+                                   p, pw.JI, 1 / 21, est.ERTL_MLE, jestim,
+                                   kmax=q + 1, kmin=0)[0, 0]
+            np.testing.assert_allclose(cond[idx], want, rtol=1e-5,
+                                       atol=1e-6, err_msg=str((i, j)))
+            idx += 1
