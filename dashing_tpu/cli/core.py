@@ -220,6 +220,21 @@ def read_sketch_auto(path: str, sketch_type: str, explicit: bool = False):
     return read_typed(path, sketch_type)
 
 
+def _cache_fname(path: str, opts: CommonOpts) -> str:
+    """-W cache filename for a path (make_fname incl. the `.w.` quirk;
+    weighted sketches get the .wj / .wj.exact extension prefix, reference
+    src/dashing.h:347-350 SSS macro)."""
+    sp = sketch_params(opts).spacer()
+    ext = SKETCH_EXTS[opts.sketch_type]
+    if opts.exact_weighted:
+        ext = ".wj.exact" + ext
+    elif opts.weighted_jaccard:
+        ext = ".wj" + ext
+    return cache.make_fname(path, hll_p_from_S(opts.sketch_size), sp.w,
+                            opts.k, sp.c, opts.spacing, opts.suffix,
+                            opts.prefix, opts.encoding, ext)
+
+
 def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
     """One logical path -> a sketch, honoring --presketched and -W cache."""
     params = sketch_params(opts)
@@ -230,17 +245,7 @@ def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
     if opts.presketched:
         return read_sketch_auto(path, opts.sketch_type,
                                 opts.sketch_type_explicit)
-    sp = params.spacer()
-    ext = SKETCH_EXTS[opts.sketch_type]
-    # weighted sketches get the .wj / .wj.exact extension prefix
-    # (reference src/dashing.h:347-350 SSS macro)
-    if opts.exact_weighted:
-        ext = ".wj.exact" + ext
-    elif opts.weighted_jaccard:
-        ext = ".wj" + ext
-    fname = cache.make_fname(path, hll_p_from_S(opts.sketch_size), sp.w,
-                             opts.k, sp.c, opts.spacing, opts.suffix,
-                             opts.prefix, opts.encoding, ext)
+    fname = _cache_fname(path, opts)
     if opts.cache_sketch and os.path.isfile(fname):
         return read_sketch_auto(fname, opts.sketch_type,
                                 opts.sketch_type_explicit)
@@ -331,34 +336,78 @@ def sketch_jobs(indexed_paths, params, p: int, ex, lookahead: int = 2):
         yield j
 
 
-def sketch_paths(paths_list: List[str], opts: CommonOpts):
-    """Sketch many logical paths; overlaps host parsing with device compute
-    for the HLL fast path (dispatch all files' chunk updates asynchronously,
-    gather registers at the end — the TPU analog of the reference's
-    OMP-dynamic file loop + async writers, SURVEY.md sec 2.4 P1/P6)."""
-    simple_hll = (opts.sketch_type == "hll" and not opts.presketched
-                  and not opts.weighted_jaccard and not opts.exact_weighted
-                  and not opts.use_counting_filter and not opts.cache_sketch)
-    if not simple_hll:
-        return [sketch_or_load(p, opts) for p in paths_list]
+def filtered_jobs(indexed_paths, params, p: int, ex, lookahead: int = 2):
+    """Per-file async HLL dispatch jobs for countmin-filtered files.
+
+    The two-pass CM filter carries per-file counter state, so these can't
+    join the batched banks — but they still prefetch the next files' parses
+    and keep a bounded window of device work in flight."""
+    sp = params.spacer()
+    for pos, (i, path) in enumerate(indexed_paths):
+        for _, nxt in indexed_paths[pos + 1:pos + 1 + lookahead]:
+            pipeline.prefetch_join(ex, nxt, sp.halo)
+        yield ((i,), pipeline.sketch_file_hll_async(path, params, p))
+
+
+def device_hll_run(indexed_paths, opts: CommonOpts, put, filter_idx=None,
+                   filt_min_count: Optional[int] = None):
+    """The tuned HLL sketch engine over (index, path) pairs: parse
+    prefetch, small-file batched banks, bounded async dispatch window,
+    -W cache read/write — calling put(index, regs_uint8) as results land.
+
+    One engine serves every HLL variant (plain, cached, countmin-filtered)
+    the way the reference's single OMP-dynamic file loop serves all types
+    (reference src/sketch_and_cmp.h:484-528).
+
+    filter_idx: indices whose file gets the countmin filter (None -> all
+    iff opts.use_counting_filter).  filt_min_count: admission threshold
+    for filtered files (None -> opts.mincount floored at 2, the dist-mode
+    rule mirroring sketch_or_load)."""
+    import itertools
     import jax
     from collections import deque
-    from ..parallel import distributed
-    params = sketch_params(opts)
+    from concurrent.futures import ThreadPoolExecutor
     p = hll_p_from_S(opts.sketch_size)
+    if filt_min_count is None:
+        filt_min_count = opts.mincount if opts.mincount > 1 else 2
+    params_plain = dataclasses.replace(sketch_params(opts),
+                                       use_counting_filter=False)
+    params_filt = dataclasses.replace(sketch_params(opts),
+                                      use_counting_filter=True,
+                                      min_count=filt_min_count)
+    if filter_idx is None:
+        filter_idx = ({i for i, _ in indexed_paths}
+                      if opts.use_counting_filter else frozenset())
+    if filt_min_count <= 1:
+        filter_idx = frozenset()    # threshold 1 admits everything: plain
     # Bounded dispatch window (the hll_main pattern): each in-flight handle
     # pins a 4*2^p-byte int32 register buffer on device PER FILE, so cap
     # the total at ~256 MiB instead of holding every file's buffer at once
     # (at p=20 and 1k genomes an unbounded list is ~4 GB of device int32).
     window_cap = max(4, min(64, (256 << 20) // (4 << p)))
+    use_cache = opts.cache_sketch
+    fnames = ({i: _cache_fname(path, opts) for i, path in indexed_paths}
+              if use_cache else {})
 
     # file-level parse prefetch: a worker thread joins the NEXT files'
     # bytes while this thread packs/uploads the current one (the
     # reference's OMP-dynamic file loop overlap, host-side)
-    from concurrent.futures import ThreadPoolExecutor
     ex = ThreadPoolExecutor(max_workers=2)
+    try:
+        plain, filt = [], []
+        for i, path in indexed_paths:
+            if use_cache and os.path.isfile(fnames[i]):
+                put(i, read_sketch_auto(fnames[i], "hll",
+                                        opts.sketch_type_explicit).regs)
+                continue
+            (filt if i in filter_idx else plain).append((i, path))
 
-    def run(indexed_paths, put):
+        def land(i, regs):
+            if use_cache:
+                atomic_write_sketch(HLL(p, opts.estim, opts.jestim, regs),
+                                    fnames[i])
+            put(i, regs)
+
         dq: deque = deque()
         inflight = [0]
 
@@ -366,17 +415,19 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
             ids, h = dq.popleft()
             inflight[0] -= len(ids)
             if h is None:
-                put(ids[0], np.zeros(1 << p, np.uint8))
+                land(ids[0], np.zeros(1 << p, np.uint8))
                 return
             arr = np.clip(np.asarray(jax.device_get(h)), 0, 255
                           ).astype(np.uint8)
             if len(ids) == 1 and arr.ndim == 1:
-                put(ids[0], arr)
+                land(ids[0], arr)
             else:
                 for slot, i in enumerate(ids):
-                    put(i, arr[slot].copy())
+                    land(i, arr[slot].copy())
 
-        for job in sketch_jobs(indexed_paths, params, p, ex):
+        for job in itertools.chain(
+                sketch_jobs(plain, params_plain, p, ex),
+                filtered_jobs(filt, params_filt, p, ex)):
             dq.append(job)
             inflight[0] += len(job[0])
             # strictly-greater: at `>=`, a full batch (batch == window_cap)
@@ -387,29 +438,66 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
                 drain()
         while dq:
             drain()
+    finally:
+        ex.shutdown(wait=False)
+        pipeline.clear_prefetch()
 
+
+def _sketch_paths_generic(paths_list: List[str], opts: CommonOpts):
+    """Weighted / non-HLL sketch-or-load with file-level parse prefetch:
+    the host builders (weighted elements, minhash constructors) consume
+    joined bytes, so overlapping the NEXT files' parse with this file's
+    build recovers the pipeline overlap the device path gets for free."""
+    if opts.presketched:
+        return [sketch_or_load(p, opts) for p in paths_list]
+    from concurrent.futures import ThreadPoolExecutor
+    sp = sketch_params(opts).spacer()
+    ex = ThreadPoolExecutor(max_workers=2)
     try:
-        nproc = distributed.process_count()
-        if nproc > 1:
-            # Multi-host sketch phase: each process sketches a stride of
-            # the genome list, then ONE allgather-max rebuilds every sketch
-            # on every process (rows this process didn't compute stay zero
-            # and the elementwise max fills them in).
-            n = len(paths_list)
-            all_regs = np.zeros((n, 1 << p), np.uint8)
-            mine = distributed.my_shard(list(enumerate(paths_list)))
-            run(mine, lambda i, regs: all_regs.__setitem__(i, regs))
-            all_regs = distributed.global_register_max(all_regs
-                                                       ).astype(np.uint8)
-            return [HLL(p, opts.estim, opts.jestim, all_regs[i])
-                    for i in range(n)]
-        out: List = [None] * len(paths_list)
-        run(list(enumerate(paths_list)),
-            lambda i, regs: out.__setitem__(
-                i, HLL(p, opts.estim, opts.jestim, regs)))
+        out = []
+        for pos, path in enumerate(paths_list):
+            for nxt in paths_list[pos + 1:pos + 3]:
+                if not (opts.cache_sketch
+                        and os.path.isfile(_cache_fname(nxt, opts))):
+                    pipeline.prefetch_join(ex, nxt, sp.halo)
+            out.append(sketch_or_load(path, opts))
         return out
     finally:
         ex.shutdown(wait=False)
+        pipeline.clear_prefetch()
+
+
+def sketch_paths(paths_list: List[str], opts: CommonOpts):
+    """Sketch many logical paths, overlapping host parsing with device
+    compute (the TPU analog of the reference's OMP-dynamic file loop +
+    async writers, SURVEY.md sec 2.4 P1/P6).  EVERY HLL variant — plain,
+    -W cached, countmin-filtered — flows through the tuned device engine;
+    weighted and non-HLL types get parse prefetch around their builders."""
+    device_hll = (opts.sketch_type == "hll" and not opts.presketched
+                  and not opts.weighted_jaccard and not opts.exact_weighted)
+    if not device_hll:
+        return _sketch_paths_generic(paths_list, opts)
+    from ..parallel import distributed
+    p = hll_p_from_S(opts.sketch_size)
+    nproc = distributed.process_count()
+    if nproc > 1:
+        # Multi-host sketch phase: each process sketches a stride of
+        # the genome list, then ONE allgather-max rebuilds every sketch
+        # on every process (rows this process didn't compute stay zero
+        # and the elementwise max fills them in).
+        n = len(paths_list)
+        all_regs = np.zeros((n, 1 << p), np.uint8)
+        mine = distributed.my_shard(list(enumerate(paths_list)))
+        device_hll_run(mine, opts,
+                       lambda i, regs: all_regs.__setitem__(i, regs))
+        all_regs = distributed.global_register_max(all_regs).astype(np.uint8)
+        return [HLL(p, opts.estim, opts.jestim, all_regs[i])
+                for i in range(n)]
+    out: List = [None] * len(paths_list)
+    device_hll_run(list(enumerate(paths_list)), opts,
+                   lambda i, regs: out.__setitem__(
+                       i, HLL(p, opts.estim, opts.jestim, regs)))
+    return out
 
 
 def build_sketch(path: str, opts: CommonOpts, params: pipeline.SketchParams):

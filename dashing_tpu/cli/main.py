@@ -396,24 +396,48 @@ def sketch_main(argv: List[str]) -> int:
             # list (the reference's OMP-dynamic file loop, lifted to hosts)
             work = distributed.my_shard(work)
 
-    sketches = []
+    fnames = {i: cache.make_fname(path, core.hll_p_from_S(o.sketch_size),
+                                  sp.w, o.k, sp.c, o.spacing, o.suffix,
+                                  o.prefix, o.encoding, ext)
+              for i, path in work}
+    results: dict = {}
+    todo = []
     for i, path in work:
-        fname = cache.make_fname(path, core.hll_p_from_S(o.sketch_size),
-                                 sp.w, o.k, sp.c, o.spacing, o.suffix,
-                                 o.prefix, o.encoding, ext)
-        if skip_cached and os.path.isfile(fname):
+        if skip_cached and os.path.isfile(fnames[i]):
             if output_file:
-                sketches.append(core.read_sketch_auto(
-                    fname, o.sketch_type, o.sketch_type_explicit))
+                results[i] = core.read_sketch_auto(
+                    fnames[i], o.sketch_type, o.sketch_type_explicit)
             continue
+        todo.append((i, path))
+    hll_fast = (o.sketch_type == "hll" and not o.weighted_jaccard
+                and not o.exact_weighted)
+    if hll_fast:
+        # the tuned batched/prefetch/async device engine (one loop serves
+        # plain and countmin-filtered files alike)
+        p = core.hll_p_from_S(o.sketch_size)
+
+        def put(i, regs):
+            sk = HLL(p, o.estim, o.jestim, regs)
+            if output_file:
+                results[i] = sk
+            else:
+                core.atomic_write_sketch(sk, fnames[i])
+
+        core.device_hll_run(
+            todo, o, put,
+            filter_idx={i for i, _ in todo if use_filter[i]},
+            filt_min_count=o.mincount)
+    else:
         import dataclasses as _dc
-        pp = _dc.replace(params, use_counting_filter=use_filter[i],
-                         min_count=o.mincount)
-        sk = core.build_sketch(path, o, pp)
-        if output_file:
-            sketches.append(sk)
-        else:
-            core.atomic_write_sketch(sk, fname)
+        for i, path in todo:
+            pp = _dc.replace(params, use_counting_filter=use_filter[i],
+                             min_count=o.mincount)
+            sk = core.build_sketch(path, o, pp)
+            if output_file:
+                results[i] = sk
+            else:
+                core.atomic_write_sketch(sk, fnames[i])
+    sketches = [results[i] for i in sorted(results)]
     if output_file:
         with gzip.open(output_file + ".labels.gz", "wt") as fp:
             for path in inpaths:
@@ -537,6 +561,7 @@ def hll_main(argv: List[str]) -> int:
             drain_one()
     finally:
         ex.shutdown(wait=False)
+        pipeline.clear_prefetch()
     regs = distributed.global_register_max(regs).astype(np.uint8)
     h = HLL(p, o.estim, o.jestim, regs)
     if distributed.is_main():

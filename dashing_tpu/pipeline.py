@@ -234,6 +234,18 @@ def prefetch_join(executor, path: str, sep_len: int):
                                           sep_len))
 
 
+def clear_prefetch():
+    """Drop every pending prefetch entry (end-of-phase cleanup).
+
+    Abandoned futures can each pin a whole joined file in memory for the
+    life of the process (cancel() is a no-op once running, but dropping
+    the reference lets the array go as soon as the worker finishes)."""
+    with _PREFETCH_LOCK:
+        for _, fut in _PREFETCH.values():
+            fut.cancel()
+        _PREFETCH.clear()
+
+
 def _prefetch_pop(path: str, sep_len: int):
     """Pop a prefetch future IF its file stamp still matches — a future
     abandoned by an earlier run must not serve stale bytes after the file

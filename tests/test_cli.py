@@ -507,3 +507,40 @@ def test_flatten_subcommand(genomes, tmp_path, capsys):
     for ki, mat in enumerate(mats):
         _, cond = distmat.read_binary(mat)
         np.testing.assert_array_equal(data[:, ki], cond)
+
+
+def test_dist_W_cache_through_device_engine(genomes, tmp_path, capsys):
+    """-W routes through the tuned device engine now: first run writes
+    cache files, second run reads them, outputs identical; countmin (-y)
+    also flows through the engine and matches the per-file builder."""
+    from dashing_tpu.cli import core as c
+    out1 = str(tmp_path / "a.bin")
+    run_cli(["dist", "-k", "17", "-S", "11", "-W", "--avoid-sorting",
+             "-b", "-O", out1] + genomes)
+    capsys.readouterr()
+    cached = [g + ".w.17.spacing.11.hll" for g in genomes]
+    assert all(os.path.exists(f) for f in cached)
+    out2 = str(tmp_path / "b.bin")
+    run_cli(["dist", "-k", "17", "-S", "11", "-W", "--avoid-sorting",
+             "-b", "-O", out2] + genomes)
+    capsys.readouterr()
+    with open(out1, "rb") as f1, open(out2, "rb") as f2:
+        assert f1.read() == f2.read()
+    # engine cache file contents equal the serial builder's
+    o = c.CommonOpts()
+    o.k, o.sketch_size, o.cache_sketch = 17, 11, False
+    sk = c.sketch_or_load(genomes[0], o)
+    np.testing.assert_array_equal(sk.regs, HLL.read(cached[0]).regs)
+    for f in cached:
+        os.unlink(f)
+    # countmin-filtered engine vs per-file two-pass builder
+    run_cli(["dist", "-k", "17", "-S", "11", "-y", "-c", "2",
+             "--avoid-sorting", "-O", str(tmp_path / "cm.bin")] + genomes)
+    capsys.readouterr()
+    o2 = c.CommonOpts()
+    o2.k, o2.sketch_size = 17, 11
+    o2.use_counting_filter, o2.mincount = True, 2
+    got = c.sketch_paths(genomes, o2)
+    want = [c.sketch_or_load(g, o2) for g in genomes]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.regs, w.regs)
