@@ -643,6 +643,43 @@ def compare_rect(refs, queries, result_type: int, k: int, estim: int,
     return out
 
 
+def host_nn_topk(refs, queries, result_type: int, k: int, estim: int,
+                 jestim: int, nn: int, exclude_self: bool, tile: int = 512):
+    """Streaming k-NN for host-side sketch types (minhash/bloom/khset):
+    ref-axis tiles through the batched triple engines + a stable host
+    top-k merge — O(n_q * (nn + tile)) memory, never the full matrix
+    (HLL-register types take pw.nn_topk on device; reference bounded
+    heaps: src/sketch_and_cmp.h:712-783).
+
+    Matches the dense argsort exactly including tie-break: within-tile
+    stable argsort orders equal values by ascending ref index, and the
+    cross-tile merge concatenates earlier tiles first, so stable sorting
+    the catenation preserves ascending-index order at ties."""
+    sim = pw.is_similarity(result_type)
+    nq, nr = len(queries), len(refs)
+    nn = min(nn, nr)
+    worst = -np.inf if sim else np.inf
+    best_v = np.full((nq, 0), worst, np.float32)
+    best_i = np.zeros((nq, 0), np.int64)
+    for j0 in range(0, nr, tile):
+        block = compare_rect(refs[j0:j0 + tile], queries, result_type, k,
+                             estim, jestim)
+        rt = block.shape[1]
+        if exclude_self:
+            for qi in range(max(j0, 0), min(j0 + rt, nq)):
+                block[qi, qi - j0] = worst
+        idx = np.argsort(-block if sim else block, axis=1,
+                         kind="stable")[:, :nn]
+        cat_v = np.concatenate(
+            [best_v, np.take_along_axis(block, idx, 1)], axis=1)
+        cat_i = np.concatenate([best_i, idx + j0], axis=1)
+        order = np.argsort(-cat_v if sim else cat_v, axis=1,
+                           kind="stable")[:, :nn]
+        best_v = np.take_along_axis(cat_v, order, 1)
+        best_i = np.take_along_axis(cat_i, order, 1)
+    return best_v, best_i
+
+
 def host_measure(tri: np.ndarray, result_type: int, ksinv: float) -> np.ndarray:
     """numpy mirror of pw.measure_from_triples for host-side sketch types."""
     import jax.numpy as jnp

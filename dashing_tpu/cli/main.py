@@ -21,7 +21,7 @@ from .. import __version__, metrics, pipeline
 from ..io import cache, distmat, fasta, paths
 from ..ops import pairwise as pw
 from ..sketch import estimators as est
-from ..sketch.hll import HLL, ertl_joint
+from ..sketch.hll import HLL
 from ..sketch.khset import KSet
 from . import core
 from .core import CommonOpts, eprint
@@ -256,7 +256,6 @@ def _nn_emit(sketches, names, o: CommonOpts, result_type: int, emit_fmt: int,
     """k-NN mode (reference nndist_loop, src/sketch_and_cmp.h:712-783).
     TSV rows 'name\\tid:dist...' or binary (u32 n, u32 k, (f32,u32)[n*k])."""
     nn = o.number_neighbors
-    sim = pw.is_similarity(result_type)
     n = len(sketches)
     nref = n - nq if nq else n
     npairs = nq if nq else n
@@ -273,15 +272,11 @@ def _nn_emit(sketches, names, o: CommonOpts, result_type: int, emit_fmt: int,
         vals, order = pw.nn_topk(refs, queries, result_type, o.k, o.estim,
                                  o.jestim, nn, exclude_self=not nq)
     else:
-        mat = core.compare_rect(refs, queries, result_type, o.k, o.estim,
-                                o.jestim)
-        if not nq:
-            # exclude self-comparisons
-            for i in range(n):
-                mat[i, i] = -np.inf if sim else np.inf
-        order = np.argsort(-mat if sim else mat, axis=1,
-                           kind="stable")[:, :nn]
-        vals = np.take_along_axis(mat, order, axis=1)
+        # host-side sketch families stream ref-axis tiles through the
+        # batched triple engines with the same bounded-memory merge
+        vals, order = core.host_nn_topk(refs, queries, result_type, o.k,
+                                        o.estim, o.jestim, nn,
+                                        exclude_self=not nq)
     if emit_fmt == BINARY:
         fp, close = core.open_output(out_dists, binary=True)
         fp.write(np.uint32(npairs).tobytes())   # rows actually written
@@ -1030,20 +1025,28 @@ def panel_main(argv: List[str]) -> int:
     qpaths = paths.get_paths(inpath) if filesinfile else [inpath]
     o.sketch_size = refs[0].p
     core.validate_k(o)
-    params = core.sketch_params(o)
+    p = refs[0].p
+    # batched production path: the tuned device engine sketches every
+    # query, then ONE tiled rect JMLE pass against the whole DB (the
+    # per-pair ertl_joint loop cost ~6-9 ms tunnel RTT per DB entry)
+    queries: List = [None] * len(qpaths)
+    core.device_hll_run(
+        list(enumerate(qpaths)), o,
+        lambda i, regs: queries.__setitem__(
+            i, HLL(p, o.estim, est.ERTL_JOINT_MLE, regs)))
+    tri = pw.rect_triples(refs, queries, o.estim, est.ERTL_JOINT_MLE)
+    # orientation: lhs = ref, so t1 = only-QUERY mass
+    shared = tri[..., 2]
+    cont = np.where(tri[..., 1] + shared > 0,
+                    shared / np.maximum(tri[..., 1] + shared, 1e-30), 0.0)
+    union = tri.sum(-1)
+    ji = np.where(union > 0, shared / np.maximum(union, 1e-30), 0.0)
     fp, close = core.open_output(outpath)
     fp.write("#Query\tBestMatch\tContainment\tJaccard\n")
-    for qp in qpaths:
-        regs = pipeline.sketch_file_hll(qp, params, refs[0].p)
-        q = HLL(refs[0].p, o.estim, est.ERTL_JOINT_MLE, regs)
-        best, bc, bj = "-", -1.0, 0.0
-        for lbl, ref in zip(labels, refs):
-            oa, ob, x = ertl_joint(q, ref)
-            cont = x / (oa + x) if (oa + x) > 0 else 0.0
-            ji = x / (oa + ob + x) if (oa + ob + x) > 0 else 0.0
-            if cont > bc:
-                best, bc, bj = lbl, cont, ji
-        fp.write(f"{qp}\t{best}\t{bc:.6g}\t{bj:.6g}\n")
+    for qi, qp in enumerate(qpaths):
+        best = int(np.argmax(cont[qi]))   # first max, like the scan loop
+        fp.write(f"{qp}\t{labels[best]}\t{cont[qi, best]:.6g}"
+                 f"\t{ji[qi, best]:.6g}\n")
     if close:
         fp.close()
     return 0

@@ -525,6 +525,42 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
     return out
 
 
+def rect_triples(ref_sketches, query_sketches, estim: int, jestim: int,
+                 tile: int = 1024) -> np.ndarray:
+    """Query x reference set triples -> (nq, nr, 3) float32 (onlyREF,
+    onlyQUERY, shared), same orientation as rect_pairs (lhs = reference).
+
+    Feeds consumers that need several derived measures per pair at once
+    (panel: containment AND Jaccard) from ONE tiled batched pass — the
+    per-pair ertl_joint dispatch loop cost ~6-9 ms of tunnel RTT per pair
+    (a 1,000-sketch DB was ~10 s per query)."""
+    rr = _stack_regs(ref_sketches)
+    qq = _stack_regs(query_sketches)
+    p = ref_sketches[0].p
+    q = 64 - p
+    nq, nr = qq.shape[0], rr.shape[0]
+    mm_r = _block_minmax(rr, nr, tile)
+    mm_q = _block_minmax(qq, nq, tile)
+    joint = jestim == est.ERTL_JOINT_MLE
+    out = np.empty((nq, nr, 3), np.float32)
+    rr_d, qq_d = _device_regs(rr), _device_regs(qq)
+
+    def one(i0, j0):
+        kmax, kmin = _pair_window(mm_r[i0], mm_q[j0], q)
+        stats = pair_stats(rr_d[i0:i0 + tile], qq_d[j0:j0 + tile],
+                           kmax, joint, kmin)
+        return triples_from_stats(stats, p, estim, jestim, kmin)
+
+    _windowed((((i0, j0), one(i0, j0))
+               for i0 in range(0, nr, tile)
+               for j0 in range(0, nq, tile)),
+              lambda key, block: out.__setitem__(
+                  (slice(key[1], key[1] + tile),
+                   slice(key[0], key[0] + tile)),
+                  block.transpose(1, 0, 2)))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("nn", "sim", "exclude"))
 def _device_tile_topk(block, q0, j0, nn: int, sim: bool, exclude: bool):
     """(bt, qt) measure block -> per-query top-nn (vals, GLOBAL ref idx),
