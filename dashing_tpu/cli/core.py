@@ -158,6 +158,17 @@ def validate_k(opts: CommonOpts):
         raise SystemExit("k must be <= 32 for non-rolling hashes.")
     if opts.k > 32 and opts.spacing:
         raise SystemExit("kmers must be unspaced for k > 32")
+    if opts.encoding != "bonsai":
+        # the rolling hashes consume contiguous windows; minimizer windows
+        # (-w) apply to their hash stream, but spaced seeds and entropy
+        # scoring are exact-encoder features — reject rather than silently
+        # ignore (reference guard: src/distmain.cpp:101-104)
+        if opts.spacing:
+            raise SystemExit("spaced seeds require the exact (bonsai) "
+                             "encoder; rolling hashes are contiguous")
+        if opts.entropy_min:
+            raise SystemExit("--by-entropy requires the exact (bonsai) "
+                             "encoder; rolling windows minimize by hash")
 
 
 def sketch_params(opts: CommonOpts, rehash: bool = True) -> pipeline.SketchParams:

@@ -75,9 +75,17 @@ def _gather4(code: jnp.ndarray, consts: np.ndarray) -> u64.U64:
     return out_hi, out_lo
 
 
-@functools.partial(jax.jit, static_argnames=("k", "kind", "canon"))
-def rolling_hash_tile(tile: jnp.ndarray, *, k: int, kind: str, canon: bool):
-    """ASCII tile (R, C) -> ((hi, lo), valid) of shape (R, C - k + 1)."""
+@functools.partial(jax.jit, static_argnames=("k", "kind", "canon", "w"))
+def rolling_hash_tile(tile: jnp.ndarray, *, k: int, kind: str, canon: bool,
+                      w: int = 0):
+    """ASCII tile (R, C) -> ((hi, lo), valid) of shape (R, C - max(w,k) + 1).
+
+    w > k applies minimizer-window selection to the rolling-hash stream:
+    each w-window emits its minimum hash value (the reference applies the
+    same Spacer window machinery to every encoding, for_each_hash included
+    — reference src/sketch_and_cmp.h:296-297,338-352).  Windows touching
+    an invalid k-mer (ambiguous base / record edge) are dropped whole,
+    matching the bonsai encoder's full-window emission (ops/encode.py)."""
     code, valid = base_codes(tile)
     C = tile.shape[-1]
     W = C - k + 1
@@ -93,24 +101,47 @@ def rolling_hash_tile(tile: jnp.ndarray, *, k: int, kind: str, canon: bool):
         if canon:
             rh = u64.xor(rh, _gather4(c_t, rtab[t]))
     h = u64.min_(fh, rh) if canon else fh
+    if w > k:
+        from .encode import _SENTINEL, sliding_min
+        win = w - k + 1
+        sent = u64.full(h[0].shape, _SENTINEL)
+        h = u64.select(wvalid, h, sent)
+        h = sliding_min(h, win)
+        inv = (~wvalid).astype(jnp.int32)
+        csum = jnp.cumsum(inv, axis=-1)
+        pad = jnp.zeros(csum.shape[:-1] + (1,), jnp.int32)
+        csum = jnp.concatenate([pad, csum], axis=-1)
+        wvalid = (csum[..., win:] - csum[..., :-win]) == 0
     return h, wvalid
 
 
-def rolling_hash_oracle(seq: bytes, k: int, kind: str, canon: bool
-                        ) -> np.ndarray:
-    """Slow host reference for tests."""
+def rolling_hash_oracle(seq: bytes, k: int, kind: str, canon: bool,
+                        w: int = 0) -> np.ndarray:
+    """Slow host reference for tests.  w > k emits the minimum hash of
+    each w-window whose k-mers are ALL valid (full-window emission)."""
     from .encode import _CODE_LUT
     codes = _CODE_LUT[np.frombuffer(seq, np.uint8)]
     ftab, rtab = _tables(k, kind)
-    out = []
+    hashes, valid = [], []
     for i in range(len(codes) - k + 1):
         win = codes[i:i + k]
         if (win == 255).any():
+            hashes.append(np.uint64(0))
+            valid.append(False)
             continue
         fh = np.uint64(0)
         rh = np.uint64(0)
         for t in range(k):
             fh ^= ftab[t][win[t]]
             rh ^= rtab[t][win[t]]
-        out.append(min(fh, rh) if canon else fh)
+        hashes.append(min(fh, rh) if canon else fh)
+        valid.append(True)
+    if w <= k:
+        return np.asarray(
+            [h for h, v in zip(hashes, valid) if v], np.uint64)
+    win = w - k + 1
+    out = []
+    for i in range(len(hashes) - win + 1):
+        if all(valid[i:i + win]):
+            out.append(min(hashes[i:i + win]))
     return np.asarray(out, np.uint64)

@@ -129,7 +129,7 @@ def _tile_to_registers(tile: jnp.ndarray, regs: jnp.ndarray, *, k: int, w: int,
                                 canon=canon, entropy=entropy)
     else:
         km, valid = rolling.rolling_hash_tile(tile, k=k, kind=encoding,
-                                              canon=canon)
+                                              canon=canon, w=w)
     h = wang_hash(km) if rehash else km
     return update_registers_filtered(regs, h, valid, p, cap=ucap)
 
@@ -144,7 +144,7 @@ def _tile_to_hashes(tile: jnp.ndarray, *, k, w, positions, span, canon,
                                 canon=canon, entropy=entropy)
     else:
         km, valid = rolling.rolling_hash_tile(tile, k=k, kind=encoding,
-                                              canon=canon)
+                                              canon=canon, w=w)
     h = wang_hash(km) if rehash else km
     return h, valid
 
