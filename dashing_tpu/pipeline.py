@@ -633,6 +633,64 @@ def sketch_file_wj_hll(path: str, params: SketchParams, p: int
     return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)
 
 
+def sketch_file_bbmh_mins(path: str, params: SketchParams, p: int
+                          ) -> Optional[np.ndarray]:
+    """b-bit-MinHash bucket minima for one path, computed ON DEVICE.
+
+    Exact unsigned-u64 scatter-min (ops/minhash_update.py) — bucket values
+    identical to the host addh_np path bit for bit, but only the finished
+    (2^p,) bank crosses the link instead of every k-mer (the per-kmer addh
+    hot loop serves every sketch type in the reference,
+    src/sketch_and_cmp.h:500-512).  None -> caller uses the host path
+    (counting filter's admit mask is host-driven; p > 25 would overflow
+    the int32 scatter index path)."""
+    if (params.use_counting_filter and params.min_count > 1) or p > 25:
+        return None
+    from .ops.minhash_update import (empty_minhash_banks, minhash_banks_to_np,
+                                     scatter_min_u64)
+    sp = params.spacer()
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=True, entropy=params.entropy)
+    mhi, mlo = empty_minhash_banks(1 << p)
+    for tile in _file_tiles(path, sp):
+        h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+        idx = (h[0] >> (32 - p)).astype(jnp.int32)
+        hv = u64.shl(h, p)
+        mhi, mlo = scatter_min_u64(mhi, mlo, idx, hv, valid)
+    return minhash_banks_to_np(mhi, mlo)
+
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def sketch_file_bottomk_values(path: str, params: SketchParams, kk: int
+                               ) -> Optional[np.ndarray]:
+    """kk smallest distinct WangHash values of a path, device-reduced.
+
+    Per chunk, lax.top_k keeps the 2*kk smallest-by-high-word candidates
+    (a superset of the chunk's true bottom-kk unless one 32-bit prefix
+    repeats kk+ times — a kk-way hash collision); the host merges exact
+    u64 values.  The all-ones sentinel padding invalid lanes is filtered;
+    a genuine all-ones hash value (P = 2^-64 per element) would be
+    dropped — the documented-negligible caveat of this path."""
+    if params.use_counting_filter and params.min_count > 1:
+        return None
+    from .ops.minhash_update import bottomk_candidates, candidates_to_np
+    sp = params.spacer()
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+              canon=params.canon, encoding=params.encoding,
+              rehash=True, entropy=params.entropy)
+    vals = np.zeros(0, np.uint64)
+    for tile in _file_tiles(path, sp):
+        h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+        chi, clo = bottomk_candidates(h, valid, 2 * kk)
+        cand = candidates_to_np(chi, clo)
+        cand = cand[cand != _U64_MAX]
+        vals = np.union1d(vals, cand)[:kk]
+    return vals
+
+
 def file_kmer_hashes(path: str, params: SketchParams) -> np.ndarray:
     """All (hashed or raw per params.rehash) k-mer values of a path, host u64.
 

@@ -444,6 +444,21 @@ def build_typed(sketch_type: str, path: str, opts, params):
     from .. import pipeline
     import dataclasses as _dc
     sk = make_typed(sketch_type, opts)
+    # device-side construction for the scatter-min / top_k-reducible
+    # types: only the finished bank crosses the link, not every k-mer
+    # (bitwise-identical registers; pipeline.sketch_file_bbmh_mins)
+    if sketch_type == "bbmh":
+        mins = pipeline.sketch_file_bbmh_mins(path, params, sk.p)
+        if mins is not None:
+            sk.mins = mins
+            sk.finalize()
+            return sk
+    if sketch_type == "rmh":
+        vals = pipeline.sketch_file_bottomk_values(path, params, sk.kk)
+        if vals is not None:
+            sk.values = vals
+            sk.finalize()
+            return sk
     raw = pipeline.file_raw_kmers(path, _dc.replace(params, rehash=False))
     sk.addh_np(raw)
     sk.finalize()

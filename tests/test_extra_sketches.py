@@ -324,3 +324,72 @@ def test_superminhash_cli_flag(tmp_path, rng, capsys):
     d.write(legacy)
     got = read_sketch_auto(legacy, "superminhash")
     assert isinstance(got, DensifiedMinHash)
+
+
+# ---------------- device-side minhash construction (VERDICT r3 item 4) -----
+
+def _rand_fasta(tmp_path, rng, n=4000, name="dev.fa"):
+    fa = tmp_path / name
+    bases = rng.choice(list("ACGTACGTN"), size=n)     # with Ns
+    fa.write_text(">a\n" + "".join(bases[:n // 2]) + "\n>b\n"
+                  + "".join(bases[n // 2:]) + "\n")
+    return str(fa)
+
+
+@pytest.mark.parametrize("enc,w", [("bonsai", 0), ("bonsai", 31),
+                                   ("nthash", 0)])
+def test_device_bbmh_matches_host(tmp_path, rng, enc, w):
+    """Device scatter-min BBMH bucket minima must equal the host addh_np
+    path bit for bit (incl. est_cardinality_)."""
+    from dashing_tpu import pipeline as pl
+    from dashing_tpu.sketch.setsketches import BBitMinHash
+    path = _rand_fasta(tmp_path, rng)
+    k = 17 if enc == "bonsai" else 33
+    params = pl.SketchParams(k=k, w=w, encoding=enc)
+    p = 8
+    mins = pl.sketch_file_bbmh_mins(path, params, p)
+    host = BBitMinHash(p=p, b=16)
+    host.addh_np(pl.file_raw_kmers(path, params))
+    np.testing.assert_array_equal(mins, host.mins)
+    dev = BBitMinHash(p=p, b=16, mins=mins)
+    dev.finalize()
+    host.finalize()
+    assert dev.est_cardinality_ == host.est_cardinality_
+
+
+def test_device_bottomk_matches_host(tmp_path, rng):
+    from dashing_tpu import pipeline as pl
+    from dashing_tpu.sketch.setsketches import BottomK
+    path = _rand_fasta(tmp_path, rng, n=6000)
+    params = pl.SketchParams(k=21)
+    kk = 128
+    vals = pl.sketch_file_bottomk_values(path, params, kk)
+    host = BottomK(kk)
+    host.addh_np(pl.file_raw_kmers(path, params))
+    host.finalize()
+    np.testing.assert_array_equal(vals, host.values)
+
+
+def test_scatter_min_u64_exact(rng):
+    """The two-pass u64 scatter-min must equal np.minimum.at on full u64,
+    incl. hi-tie resolution by lo and cross-chunk stale-lo resets."""
+    import jax.numpy as jnp
+    from dashing_tpu.ops.minhash_update import (empty_minhash_banks,
+                                                minhash_banks_to_np,
+                                                scatter_min_u64)
+    m = 64
+    want = np.full(m, 0xFFFFFFFFFFFFFFFF, np.uint64)
+    mhi, mlo = empty_minhash_banks(m)
+    for _ in range(4):   # several chunks to exercise running-state resets
+        n = 500
+        # force many hi-ties: draw hi from a small pool
+        hi = rng.choice(np.arange(7, dtype=np.uint32) * 0x30000000, n)
+        lo = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        idx = rng.integers(0, m, n).astype(np.int32)
+        valid = rng.random(n) < 0.9
+        v64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+        np.minimum.at(want, idx[valid], v64[valid])
+        mhi, mlo = scatter_min_u64(mhi, mlo, jnp.asarray(idx),
+                                   (jnp.asarray(hi), jnp.asarray(lo)),
+                                   jnp.asarray(valid))
+    np.testing.assert_array_equal(minhash_banks_to_np(mhi, mlo), want)
