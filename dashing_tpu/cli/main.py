@@ -1095,7 +1095,7 @@ def readfilt_main(argv: List[str]) -> int:
     ref_regs = ref.regs.astype(np.int32)
     ref_hist = ref.histogram()
     CHUNK = 4096      # stream in bounded batches: read sets can be huge
-    iters = [iter(fasta.read_records(pth)) for pth in positional[:2]]
+    iters = [iter(fasta.read_records_full(pth)) for pth in positional[:2]]
     _end = object()
     if len(iters) == 2:
         pairs_iter = itertools.zip_longest(*iters, fillvalue=_end)
@@ -1116,15 +1116,30 @@ def readfilt_main(argv: List[str]) -> int:
                 break
         if not batch:
             break
-        seqs = [sepN.join(seq for _, seq in recs) for recs in batch]
+        seqs = [sepN.join(r[2] for r in recs) for recs in batch]
         tri = pipeline.records_joint_triples(seqs, params, ref_regs,
                                              ref_hist, ref.p)
         denom = tri[:, 0] + tri[:, 2]
         ci = np.where(denom > 0, tri[:, 2] / np.maximum(denom, 1e-300), 0.0)
-        for recs, c in zip(batch, ci):
-            if c >= frac_cutoff:
-                for name, seq in recs:
-                    fp.write(f">{name.decode()} {c:.4f}\n{seq.decode()}\n")
+        # output records mirror the reference emit() byte for byte
+        # (src/readfilt.cpp:17-33): the first FASTQ mate carries the full
+        # 'CI:%lf|onlyq|onlyref|shared|' annotation, later mates and
+        # FASTA records append '|%lf' (printf %lf = 6 fixed decimals)
+        for recs, c, tr in zip(batch, ci, tri):
+            if c < frac_cutoff:
+                continue
+            for mate, (name, comment, seq, qual) in enumerate(recs):
+                nm, cm = name.decode(), comment.decode()
+                if qual is not None:
+                    if mate == 0:
+                        fp.write(f"@{nm} {cm}|CI:{c:.6f}|{tr[0]:.6f}"
+                                 f"|{tr[1]:.6f}|{tr[2]:.6f}|\n"
+                                 f"{seq.decode()}\n+\n{qual.decode()}\n")
+                    else:
+                        fp.write(f"@{nm} {cm}|{c:.6f}\n{seq.decode()}"
+                                 f"\n+\n{qual.decode()}\n")
+                else:
+                    fp.write(f">{nm} {cm}|{c:.6f}\n{seq.decode()}\n")
         if truncated or len(batch) < CHUNK:
             break
     if close:

@@ -47,6 +47,16 @@ def _open_raw(path: str) -> bytes:
 
 def read_records(path: str) -> List[Record]:
     """Parse one FASTA or FASTQ file (auto-detected, optionally gz/zstd)."""
+    return [(n, s) for n, _, s, _ in read_records_full(path)]
+
+
+def read_records_full(path: str):
+    """Full kseq-shaped records: (name, comment, seq, qual_or_None).
+
+    name/comment split like kseq (name = up to the first whitespace,
+    comment = the rest of the header line); qual is None for FASTA.
+    readfilt re-emits reads with their original comment (reference
+    src/readfilt.cpp:17-33), so the parser must keep it."""
     data = _open_raw(path)
     if not data:
         return []
@@ -57,8 +67,16 @@ def read_records(path: str) -> List[Record]:
     raise ValueError(f"{path}: not FASTA or FASTQ (starts with {data[:1]!r})")
 
 
-def _parse_fasta(data: bytes) -> List[Record]:
-    out: List[Record] = []
+def _split_header(header: bytes):
+    header = header.rstrip(b"\r")
+    parts = header.split(None, 1)
+    name = parts[0] if parts else b""
+    comment = parts[1] if len(parts) > 1 else b""
+    return bytes(name), bytes(comment)
+
+
+def _parse_fasta(data: bytes):
+    out = []
     # Split on '\n>' boundaries without copying the whole payload per record.
     chunks = data.split(b"\n>")
     for i, chunk in enumerate(chunks):
@@ -71,20 +89,20 @@ def _parse_fasta(data: bytes) -> List[Record]:
             header, body = chunk, b""
         else:
             header, body = chunk[:nl], chunk[nl + 1:]
-        name = header.split()[0] if header.split() else header.strip()
+        name, comment = _split_header(header)
         seq = body.replace(b"\n", b"").replace(b"\r", b"")
-        out.append((bytes(name), seq))
+        out.append((name, comment, seq, None))
     return out
 
 
-def _parse_fastq(data: bytes) -> List[Record]:
+def _parse_fastq(data: bytes):
     """FASTQ with full kseq record semantics (reference call sites
     src/sketch_and_cmp.h:565-570): sequence may WRAP over multiple lines
     until the '+' separator, and quality is consumed by LENGTH (not by
     line count), so '@' at the start of a quality line never starts a
     false record.  The common strict 4-line layout takes a constant-work
     fast path (1M-read files are host-parse bound)."""
-    out: List[Record] = []
+    out = []
     lines = data.split(b"\n")
     i = 0
     n = len(lines)
@@ -95,9 +113,7 @@ def _parse_fastq(data: bytes) -> List[Record]:
             continue
         if not header.startswith(b"@"):
             raise ValueError(f"malformed FASTQ near line {i}")
-        header = header.rstrip(b"\r")
-        name = (header[1:].split()[0] if header[1:].split()
-                else header[1:])
+        name, comment = _split_header(header[1:])
         if i + 2 < n and lines[i + 2][:1] == b"+":
             # single-line sequence (the common layout)
             seq = lines[i + 1].rstrip(b"\r")
@@ -116,12 +132,17 @@ def _parse_fastq(data: bytes) -> List[Record]:
             has_qual = i < n and lines[i][:1] == b"+"
             if has_qual:
                 i += 1                   # '+' line
+        qual = None
         if has_qual:
+            qparts = []
             qlen = 0
             while i < n and qlen < len(seq):
-                qlen += len(lines[i].rstrip(b"\r"))
+                qline = lines[i].rstrip(b"\r")
+                qparts.append(qline)
+                qlen += len(qline)
                 i += 1
-        out.append((bytes(name), bytes(seq)))
+            qual = b"".join(qparts)
+        out.append((bytes(name), comment, bytes(seq), qual))
     return out
 
 

@@ -117,6 +117,54 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
     return out
 
 
+def _pallas_jmle_triples(stats, p: int, kmin: int):
+    """Route the joint-MLE Newton solve through the fused VMEM-resident
+    Pallas kernel (ops/pallas_jmle.py); None -> XLA vmap fallback.
+
+    ON by default on TPU (DASHING_TPU_PALLAS_JMLE=0 disables;
+    =interpret forces the interpreter for CPU tests): the XLA Newton loop
+    re-reads every statistic histogram from HBM per iteration — measured
+    ~70% of the -J compare phase (benchmarks/jmle_profile.py)."""
+    import os
+    flag = os.environ.get("DASHING_TPU_PALLAS_JMLE", "1")
+    if flag == "0":
+        return None
+    interp = flag == "interpret"
+    from ..pipeline import _pallas_available
+    if not (_pallas_available() or interp):
+        return None
+    from .pallas_jmle import BB as JBB, pallas_joint_mle, pick_geometry
+    eq = stats["eq"]
+    na, nb, K = eq.shape
+    ba = pick_geometry(K)
+    if ba is None:
+        return None
+    cum = stats["cum_union"]
+    hist_u_w = jnp.concatenate([cum[..., :1], cum[..., 1:] - cum[..., :-1]],
+                               axis=-1)
+    c_a = est.mle_estimate_windowed(stats["hist_a"], p, kmin)
+    c_b = est.mle_estimate_windowed(stats["hist_b"], p, kmin)
+    c_u = est.improved_estimate_windowed(hist_u_w, p, kmin)
+    tr = lambda x: jnp.moveaxis(x, -1, 0)
+    eqT, gtaT, gtbT = tr(eq), tr(stats["gt_a"]), tr(stats["gt_b"])
+    haT, hbT = stats["hist_a"].T, stats["hist_b"].T
+    pa, pb = (-na) % ba, (-nb) % JBB
+    if pa or pb:
+        pad3 = ((0, 0), (0, pa), (0, pb))
+        eqT = jnp.pad(eqT, pad3)
+        gtaT = jnp.pad(gtaT, pad3)
+        gtbT = jnp.pad(gtbT, pad3)
+        haT = jnp.pad(haT, ((0, 0), (0, pa)))
+        hbT = jnp.pad(hbT, ((0, 0), (0, pb)))
+        c_a = jnp.pad(c_a, (0, pa))
+        c_b = jnp.pad(c_b, (0, pb))
+        c_u = jnp.pad(c_u, ((0, pa), (0, pb)))
+    tri = pallas_joint_mle(eqT, gtaT, gtbT, haT, hbT, c_a, c_b, c_u,
+                           p=p, kmin=kmin, ba=ba, interpret=interp)
+    tri = jnp.moveaxis(tri, 0, -1)
+    return tri[:na, :nb] if (pa or pb) else tri
+
+
 def _pallas_joint_stats(a: jnp.ndarray, b: jnp.ndarray, kmin: int,
                         kmax: int):
     """Route the joint statistics through the fused VMEM-resident Pallas
@@ -175,6 +223,9 @@ def triples_from_stats(stats: Dict[str, jnp.ndarray], p: int,
         only_b = jnp.maximum(c_b[None, :] - shared, 0.0)
         return jnp.stack([only_a, only_b, shared], axis=-1)
     # joint MLE consumes the level window directly (no zero-padding)
+    fused = _pallas_jmle_triples(stats, p, kmin)
+    if fused is not None:
+        return fused
     eq = stats["eq"]
     gt_a = stats["gt_a"]
     gt_b = stats["gt_b"]

@@ -341,38 +341,68 @@ def pair_statistics(a: jnp.ndarray, b: jnp.ndarray, q: int):
     )
 
 
-def _log_f(k_hist: jnp.ndarray, lam, m: float, q: int, kmin: int = 0):
+def _k_parts(h, kmin: int, q: int, kfirst: bool):
+    """Split a level-stacked array for either layout.
+
+    K-last (kfirst=False) is the vmap-over-scalar-pairs layout the XLA
+    path uses; K-first (kfirst=True) puts levels on the LEADING axis with
+    explicit (rows, lanes) batch dims trailing — the layout the fused
+    Pallas Newton kernel needs so vregs fill with pairs, not levels.
+    Returns (mid-slice, bin0, top-bin, k-level constants shaped to
+    broadcast, reduction axis, kmax).  The arithmetic downstream is
+    layout-independent: identical per-element ops, only the broadcast/
+    reduction axis moves."""
+    K = h.shape[0] if kfirst else h.shape[-1]
+    kmax = kmin + K - 1
+    lo, hi = max(kmin, 1), min(kmax, q)
+    k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
+    if kfirst:
+        k = k.reshape((-1,) + (1,) * (h.ndim - 1))
+        return h[lo - kmin:hi - kmin + 1], h[0], h[-1], k, 0, kmax
+    return (h[..., lo - kmin:hi - kmin + 1], h[..., 0], h[..., -1], k,
+            -1, kmax)
+
+
+def _log_f(k_hist: jnp.ndarray, lam, m: float, q: int, kmin: int = 0,
+           kfirst: bool = False):
     """sum_k hist[k] * log f(k; lam): single-register pmf log-likelihood.
 
     `k_hist` covers levels kmin..kmin+K-1 (kmin=0, K=q+2 is the full
     histogram); the window form feeds the level-windowed joint MLE."""
     x = lam / m
-    K = k_hist.shape[-1]
-    kmax = kmin + K - 1
-    lo, hi = max(kmin, 1), min(kmax, q)
-    k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
-    zk = jnp.exp2(-k)
-    a = x[..., None] * zk
+    hm, h0, htop, k, ax, kmax = _k_parts(k_hist, kmin, q, kfirst)
+    a = (x if kfirst else x[..., None]) * jnp.exp2(-k)
     log_mid = -a + jnp.log(-jnp.expm1(-jnp.maximum(a, 1e-38)))
-    L = (k_hist[..., lo - kmin:hi - kmin + 1] * log_mid).sum(-1)
+    L = (hm * log_mid).sum(ax)
     if kmin == 0:
-        L = L + k_hist[..., 0] * (-x)
+        L = L + h0 * (-x)
     if kmax == q + 1:
         aq = x * (2.0 ** -q)
-        L = L + k_hist[..., -1] * jnp.log(-jnp.expm1(-jnp.maximum(aq, 1e-38)))
+        L = L + htop * jnp.log(-jnp.expm1(-jnp.maximum(aq, 1e-38)))
     return L
 
 
-def _joint_logl(theta, stats, m: float, q: int, kmin: int = 0):
+def _lvl_consts(stats, kmin: int, kfirst: bool):
+    """(kk, reduction axis) level constants for the diagonal term, shaped
+    to broadcast in either layout."""
+    eq = stats["eq"]
+    K = eq.shape[0] if kfirst else eq.shape[-1]
+    kk = jnp.arange(kmin, kmin + K, dtype=jnp.float32)
+    if kfirst:
+        return kk.reshape((-1,) + (1,) * (eq.ndim - 1)), 0
+    return kk, -1
+
+
+def _joint_logl(theta, stats, m: float, q: int, kmin: int = 0,
+                kfirst: bool = False):
     """Joint Poisson log-likelihood at theta = (log la, log lb, log lx)."""
     la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
-    L = _log_f(stats["gt_a"], la, m, q, kmin)
-    L += _log_f(stats["lt_b"], lb + lx, m, q, kmin)
-    L += _log_f(stats["gt_b"], lb, m, q, kmin)
-    L += _log_f(stats["lt_a"], la + lx, m, q, kmin)
+    L = _log_f(stats["gt_a"], la, m, q, kmin, kfirst)
+    L += _log_f(stats["lt_b"], lb + lx, m, q, kmin, kfirst)
+    L += _log_f(stats["gt_b"], lb, m, q, kmin, kfirst)
+    L += _log_f(stats["lt_a"], la + lx, m, q, kmin, kfirst)
     # diagonal terms
-    K = stats["eq"].shape[-1]
-    kk = jnp.arange(kmin, kmin + K, dtype=jnp.float32)
+    kk, ax = _lvl_consts(stats, kmin, kfirst)
     zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)           # z_k, z_{q+1}=0
     zk1 = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), jnp.inf)  # z_{k-1}, z_-1=inf
     labx = la + lb + lx
@@ -386,33 +416,28 @@ def _joint_logl(theta, stats, m: float, q: int, kmin: int = 0):
     # making log() -inf), and zero unobserved bins explicitly: 0 * -inf = nan
     p_eq = jnp.maximum(e_kk - g_a - g_b + e_k1, 1e-30)
     w = stats["eq"]
-    L += jnp.where(w > 0, w * jnp.log(p_eq), 0.0).sum(-1)
+    L += jnp.where(w > 0, w * jnp.log(p_eq), 0.0).sum(ax)
     return L
 
 
-def _f_d1_d2(h, lam, m: float, q: int, kmin: int = 0):
+def _f_d1_d2(h, lam, m: float, q: int, kmin: int = 0, kfirst: bool = False):
     """(d/dx, d2/dx2) of sum_k h[k] log f(k; lam) w.r.t. x = lam/m —
     the value-free sibling of _f_val_d1_d2: the Newton loop needs only
     derivatives, and skipping the value skips ALL log evaluations (the
     most expensive transcendental in the loop; measured ~25% of -J)."""
     x = lam / m
-    K = h.shape[-1]
-    kmax = kmin + K - 1
-    lo, hi = max(kmin, 1), min(kmax, q)
-    k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
+    hm, h0, htop, k, ax, kmax = _k_parts(h, kmin, q, kfirst)
     zk = jnp.exp2(-k)
-    a = jnp.maximum(x[..., None] * zk, 1e-30)
+    a = jnp.maximum((x if kfirst else x[..., None]) * zk, 1e-30)
     w = zk / jnp.expm1(a)
-    hm = h[..., lo - kmin:hi - kmin + 1]
-    d1 = (hm * (w - zk)).sum(-1)
-    d2 = (hm * (-(w * w + zk * w))).sum(-1)
+    d1 = (hm * (w - zk)).sum(ax)
+    d2 = (hm * (-(w * w + zk * w))).sum(ax)
     if kmin == 0:
-        d1 = d1 - h[..., 0]
+        d1 = d1 - h0
     if kmax == q + 1:
         zq = 2.0 ** -q
         aq = jnp.maximum(x * zq, 1e-30)
         wq = zq / jnp.expm1(aq)
-        htop = h[..., -1]
         d1 = d1 + htop * wq
         d2 = d2 + htop * (-(wq * wq + zq * wq))
     return d1, d2
@@ -452,17 +477,20 @@ def _f_val_d1_d2(h, lam, m: float, q: int, kmin: int = 0):
     return val, d1, d2
 
 
-def _joint_grad_hess(theta, stats, m: float, q: int, kmin: int = 0):
+def _joint_grad_hess(theta, stats, m: float, q: int, kmin: int = 0,
+                     kfirst: bool = False):
     """Analytic (gradient, Hessian) of _joint_logl at theta = log lambda —
     the value-free pass the Newton loop runs (see _joint_val_grad_hess for
     the derivation; this drops every log evaluation, which the derivatives
     never need: w = z/expm1 and the diagonal T-exponentials suffice)."""
     la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
 
-    gA, hA = _f_d1_d2(stats["gt_a"], la, m, q, kmin)          # w = (1,0,0)
-    gB, hB = _f_d1_d2(stats["gt_b"], lb, m, q, kmin)          # w = (0,1,0)
-    gAB, hAB = _f_d1_d2(stats["lt_b"], lb + lx, m, q, kmin)   # (0,1,1)
-    gBA, hBA = _f_d1_d2(stats["lt_a"], la + lx, m, q, kmin)   # (1,0,1)
+    gA, hA = _f_d1_d2(stats["gt_a"], la, m, q, kmin, kfirst)  # w = (1,0,0)
+    gB, hB = _f_d1_d2(stats["gt_b"], lb, m, q, kmin, kfirst)  # w = (0,1,0)
+    gAB, hAB = _f_d1_d2(stats["lt_b"], lb + lx, m, q, kmin,
+                        kfirst)                               # (0,1,1)
+    gBA, hBA = _f_d1_d2(stats["lt_a"], la + lx, m, q, kmin,
+                        kfirst)                               # (1,0,1)
     ga = gA + gBA
     gb = gB + gAB
     gx = gAB + gBA
@@ -473,7 +501,7 @@ def _joint_grad_hess(theta, stats, m: float, q: int, kmin: int = 0):
     Hbx = hAB
     Hab = jnp.zeros_like(Haa)
 
-    kk = jnp.arange(kmin, kmin + stats["eq"].shape[-1], dtype=jnp.float32)
+    kk, ax = _lvl_consts(stats, kmin, kfirst)
     zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)
     zk1f = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), 0.0)
     labx = (la + lb + lx) / m
@@ -490,23 +518,23 @@ def _joint_grad_hess(theta, stats, m: float, q: int, kmin: int = 0):
     Sb = -T1 * zk + T2 * zk + T3 * zk1f - T4 * zk1f
     Sx = -T1 * zk + T2 * zk1f + T3 * zk1f - T4 * zk1f
     wp = jnp.where(wpos, w / P, 0.0)
-    ga = ga + (wp * Sa).sum(-1)
-    gb = gb + (wp * Sb).sum(-1)
-    gx = gx + (wp * Sx).sum(-1)
+    ga = ga + (wp * Sa).sum(ax)
+    gb = gb + (wp * Sb).sum(ax)
+    gx = gx + (wp * Sx).sum(ax)
     z2, z12, zz1 = zk * zk, zk1f * zk1f, zk * zk1f
     wp2 = jnp.where(wpos, wp / P, 0.0)
     Haa = Haa + (wp * (T1 * z2 - T2 * z12 - T3 * z2 + T4 * z12)
-                 - wp2 * Sa * Sa).sum(-1)
+                 - wp2 * Sa * Sa).sum(ax)
     Hbb = Hbb + (wp * (T1 * z2 - T2 * z2 - T3 * z12 + T4 * z12)
-                 - wp2 * Sb * Sb).sum(-1)
+                 - wp2 * Sb * Sb).sum(ax)
     Hxx = Hxx + (wp * (T1 * z2 - T2 * z12 - T3 * z12 + T4 * z12)
-                 - wp2 * Sx * Sx).sum(-1)
+                 - wp2 * Sx * Sx).sum(ax)
     Hab = Hab + (wp * (T1 * z2 - T2 * zz1 - T3 * zz1 + T4 * z12)
-                 - wp2 * Sa * Sb).sum(-1)
+                 - wp2 * Sa * Sb).sum(ax)
     Hax = Hax + (wp * (T1 * z2 - T2 * z12 - T3 * zz1 + T4 * z12)
-                 - wp2 * Sa * Sx).sum(-1)
+                 - wp2 * Sa * Sx).sum(ax)
     Hbx = Hbx + (wp * (T1 * z2 - T2 * zz1 - T3 * z12 + T4 * z12)
-                 - wp2 * Sb * Sx).sum(-1)
+                 - wp2 * Sb * Sx).sum(ax)
 
     lam = jnp.stack([la, lb, lx])
     g_lam = jnp.stack([ga, gb, gx]) / m
@@ -515,7 +543,10 @@ def _joint_grad_hess(theta, stats, m: float, q: int, kmin: int = 0):
     H_lam = jnp.stack([jnp.stack([Haa, Hab, Hax]),
                        jnp.stack([Hab, Hbb, Hbx]),
                        jnp.stack([Hax, Hbx, Hxx])])
-    hess = ll * H_lam + jnp.diag(grad)
+    # batch-safe diag(grad): jnp.diag only accepts 1-D/2-D
+    eye3 = jnp.eye(3, dtype=jnp.float32).reshape(
+        (3, 3) + (1,) * (grad.ndim - 1))
+    hess = ll * H_lam + eye3 * grad[:, None]
     return grad, hess
 
 
@@ -600,7 +631,10 @@ def _joint_val_grad_hess(theta, stats, m: float, q: int,
     H_lam = jnp.stack([jnp.stack([Haa, Hab, Hax]),
                        jnp.stack([Hab, Hbb, Hbx]),
                        jnp.stack([Hax, Hbx, Hxx])])
-    hess = ll * H_lam + jnp.diag(grad)
+    # batch-safe diag(grad): jnp.diag only accepts 1-D/2-D
+    eye3 = jnp.eye(3, dtype=jnp.float32).reshape(
+        (3, 3) + (1,) * (grad.ndim - 1))
+    hess = ll * H_lam + eye3 * grad[:, None]
     return val, grad, hess
 
 
@@ -652,43 +686,55 @@ def joint_mle(stats, p: int, iters: int = 10, kmin: int = 0,
     """
     m = float(1 << p)
     q = 64 - p
-
     if cards is None:
-        c_a = mle_estimate_windowed(stats["hist_a"], p, kmin)
-        c_b = mle_estimate_windowed(stats["hist_b"], p, kmin)
-        c_u = mle_estimate_windowed(stats["hist_u"], p, kmin)
-    else:
-        c_a, c_b, c_u = cards
+        cards = (mle_estimate_windowed(stats["hist_a"], p, kmin),
+                 mle_estimate_windowed(stats["hist_b"], p, kmin),
+                 mle_estimate_windowed(stats["hist_u"], p, kmin))
+    la, lb, lx = joint_mle_core(stats, cards, m, q, kmin, iters,
+                                kfirst=False)
+    return jnp.stack([la, lb, lx])
+
+
+def joint_mle_core(stats, cards, m: float, q: int, kmin: int, iters: int,
+                   kfirst: bool):
+    """The Newton loop of joint_mle, batch-explicit: all component
+    reductions run over axis 0 (the 3-vector axis) so arbitrary trailing
+    batch dims work WITHOUT vmap — identical ops for the scalar case
+    (sum() == sum(0) on a (3,) vector).  kfirst selects the level-leading
+    stats layout for the fused Pallas kernel (ops/pallas_jmle.py)."""
+    c_a, c_b, c_u = cards
     # disjoint / degenerate initializations, clamped to a tiny positive rate
     tiny = 1e-3
     la0 = jnp.maximum(c_u - c_b, tiny)
     lb0 = jnp.maximum(c_u - c_a, tiny)
     lx0 = jnp.maximum(c_a + c_b - c_u, tiny)
     theta0 = jnp.stack([jnp.log(la0), jnp.log(lb0), jnp.log(lx0)])
+    eye = jnp.eye(3, dtype=jnp.float32).reshape(
+        (3, 3) + (1,) * (theta0.ndim - 1))
 
     def body(_, theta):
-        g, H = _joint_grad_hess(theta, stats, m, q, kmin)
-        H = H - 1e-4 * jnp.eye(3)
+        g, H = _joint_grad_hess(theta, stats, m, q, kmin, kfirst)
+        H = H - 1e-4 * eye
         step = _solve3_sym(H, g)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
-        norm = jnp.sqrt((step ** 2).sum())
+        norm = jnp.sqrt((step ** 2).sum(0))
         step = step * jnp.minimum(1.0, 2.0 / jnp.maximum(norm, 1e-9))
         new = theta - step
-        return jnp.where(jnp.all(jnp.isfinite(new)), new, theta)
+        return jnp.where(jnp.isfinite(new).all(0), new, theta)
 
     theta = jax.lax.fori_loop(0, iters, body, theta0)
-    final_val = _joint_logl(theta, stats, m, q, kmin)
-    init_val = _joint_logl(theta0, stats, m, q, kmin)
+    final_val = _joint_logl(theta, stats, m, q, kmin, kfirst)
+    init_val = _joint_logl(theta0, stats, m, q, kmin, kfirst)
     theta = jnp.where(jnp.isfinite(final_val) & (final_val >= init_val),
                       theta, theta0)
-    la, lb, lx = jnp.exp(theta)
+    la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
     # Degenerate cases: empty sketches.
     a_empty = c_a <= 0.0
     b_empty = c_b <= 0.0
     la = jnp.where(a_empty, 0.0, la)
     lx = jnp.where(a_empty | b_empty, 0.0, lx)
     lb = jnp.where(b_empty, 0.0, lb)
-    return jnp.stack([la, lb, lx])
+    return la, lb, lx
 
 
 # ---------------------------------------------------------------------------

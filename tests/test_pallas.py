@@ -148,3 +148,37 @@ def test_pallas_pair_stats_padding(rng):
     for key in ("cum_union", "eq", "gt_a", "gt_b"):
         np.testing.assert_array_equal(np.asarray(got[key])[:na, :nb],
                                       np.asarray(want[key]), err_msg=key)
+
+
+@pytest.mark.parametrize("kmin,na,nb", [(0, 8, 128), (3, 20, 150)])
+def test_pallas_jmle_matches_xla(rng, kmin, na, nb):
+    """The fused VMEM-resident Newton kernel must reproduce the XLA vmap
+    joint-MLE path (same code via joint_mle_core, different layout) to
+    f32 reassociation noise, including ragged pair blocks and empty
+    sketches."""
+    from dashing_tpu.ops import pairwise as pw
+    from dashing_tpu.ops.pallas_jmle import pallas_joint_mle, BB
+    from dashing_tpu.sketch import estimators as est
+    p = 10
+    q = 64 - p
+    K = 12
+    kmax = kmin + K - 1
+    m = 1 << p
+    a = rng.integers(kmin, kmax, size=(na, m)).astype(np.int32)
+    b = rng.integers(kmin, kmax, size=(nb, m)).astype(np.int32)
+    a[0] = 0 if kmin == 0 else kmin        # near-degenerate row
+    stats = pw.pair_stats(jnp.asarray(a), jnp.asarray(b), kmax, True, kmin)
+    # reference: the XLA vmap path (force the kernel off)
+    import os
+    os.environ["DASHING_TPU_PALLAS_JMLE"] = "0"
+    try:
+        want = np.asarray(pw.triples_from_stats(stats, p, est.ERTL_MLE,
+                                                est.ERTL_JOINT_MLE, kmin))
+    finally:
+        os.environ["DASHING_TPU_PALLAS_JMLE"] = "interpret"
+    try:
+        got = np.asarray(pw._pallas_jmle_triples(stats, p, kmin))
+    finally:
+        del os.environ["DASHING_TPU_PALLAS_JMLE"]
+    assert got.shape == want.shape == (na, nb, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
