@@ -183,6 +183,73 @@ def main_int16():
                   flush=True)
 
 
+def main_roofline():
+    """Phase roofline for the sketch-update pipeline (VERDICT r3 item 7):
+    encode+hash alone, compaction+scatter alone (warm registers, the
+    adaptive-cap production config), and the fused pipeline — plus the
+    serial composition bound 1/(1/enc + 1/upd) the fused number should
+    approach (phases share the chip; there is no second core to overlap
+    into, so the bound is additive, not max)."""
+    import jax
+    import jax.numpy as jnp
+    from dashing_tpu.ops.pallas_encode import (encode_hash_keys,
+                                               keys_to_update_inputs)
+    from dashing_tpu.ops.hll_update import update_from_idx_rank, adaptive_cap, _ROW
+
+    rng = np.random.default_rng(0)
+    C = CONTENT + K - 1
+    chunks = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                    size=(ITERS, ROWS, C)))
+    kmers = ROWS * CONTENT * ITERS
+
+    @jax.jit
+    def enc_only(chunks):
+        def body(i, acc):
+            keys = encode_hash_keys(chunks[i], k=K, p=P)
+            idx, rank = keys_to_update_inputs(keys)
+            return acc + idx.sum() + rank.sum()
+        return jax.lax.fori_loop(0, chunks.shape[0], body, jnp.int32(0))
+
+    _ = jax.device_get(enc_only(chunks))
+    enc = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = jax.device_get(enc_only(chunks))
+        enc = max(enc, kmers / (time.perf_counter() - t0))
+    print(f"encode+hash only:      {enc/1e6:9.1f} M kmers/s", flush=True)
+
+    idx, rank = _stream(rng, ITERS, ROWS * CONTENT)
+    regs0 = _warm_regs(rng)
+    # production mid-stream config: warm registers -> adaptive cap 16
+    cap = adaptive_cap(_ROW, 1 << P, 5_000_000)
+    upd = bench_update(
+        lambda regs, i, r: update_from_idx_rank(regs, i, r, cap=cap),
+        idx, rank, regs0, f"update only (warm, cap={cap})")
+
+    bound = 1.0 / (1.0 / enc + 1.0 / upd)
+    print(f"serial composition bound: {bound/1e6:9.1f} M kmers/s",
+          flush=True)
+
+    @jax.jit
+    def fused(chunks, regs):
+        def body(i, regs):
+            keys = encode_hash_keys(chunks[i], k=K, p=P)
+            idx, rank = keys_to_update_inputs(keys)
+            return update_from_idx_rank(regs, idx, rank, cap=cap)
+        return jax.lax.fori_loop(0, chunks.shape[0], body, regs)
+
+    regs_w = jnp.asarray(regs0)
+    _ = jax.device_get(fused(chunks, regs_w))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = jax.device_get(fused(chunks, regs_w))
+        best = max(best, kmers / (time.perf_counter() - t0))
+    print(f"fused (warm, cap={cap}):  {best/1e6:9.1f} M kmers/s "
+          f"({100*best/bound:.0f}% of bound)", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "update"
-    {"fused": main_fused, "int16": main_int16}.get(mode, main_update)()
+    {"fused": main_fused, "int16": main_int16,
+     "roofline": main_roofline}.get(mode, main_update)()

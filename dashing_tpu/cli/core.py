@@ -148,6 +148,12 @@ def parse_common(opts: CommonOpts, flag: str, val: str) -> bool:
         opts.number_neighbors = int(val)
         return True
     if flag == "--nperbatch":
+        # ACCEPTED-NO-OP (like -p): the reference's knob batches
+        # parallel_fill rows for CPU cache locality (reference
+        # distmat/distmat.h:481-509); the TPU engine's analog is the
+        # MXU tile size (1024, fixed by VMEM/HBM geometry, not cache
+        # lines) and the async tile window — neither benefits from a
+        # per-run row-batch knob, so the flag parses and is ignored.
         opts.nperbatch = max(int(val), 1)
         return True
     return False

@@ -1281,5 +1281,17 @@ def _main_usage():
         "readfilt\n")
 
 
+def readfilt_entry() -> int:
+    """Standalone readfilt invocation (console script), mirroring the
+    reference's separately-built side binary (reference Makefile:128-129,
+    src/readfilt.cpp has its own main)."""
+    return main(["readfilt"] + sys.argv[1:])
+
+
+def cardcmp_entry() -> int:
+    """Standalone cardcmp (reference src/cardcmp.cpp wraps card_main)."""
+    return main(["cardcmp"] + sys.argv[1:])
+
+
 if __name__ == "__main__":
     sys.exit(main())

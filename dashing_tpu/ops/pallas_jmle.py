@@ -59,8 +59,8 @@ def _kernel(eq_ref, gta_ref, gtb_ref, ha_ref, hb_ref, ca_ref, cb_ref,
     eq = eq_ref[...]
     gt_a = gta_ref[...]
     gt_b = gtb_ref[...]
-    ha = ha_ref[...][:, :, None]          # (K, BA, 1)
-    hb = hb_ref[...][:, None, :]          # (K, 1, BB)
+    ha = ha_ref[...]                      # (K, BA, 1)
+    hb = hb_ref[...]                      # (K, 1, BB)
     stats = dict(eq=eq, gt_a=gt_a, gt_b=gt_b,
                  lt_a=ha - eq - gt_a, lt_b=hb - eq - gt_b)
     cards = (ca_ref[...][:, :1], cb_ref[...][:1, :], cu_ref[...])
@@ -96,11 +96,13 @@ def pallas_joint_mle(eq, gt_a, gt_b, ha, hb, c_a, c_b, c_u, *, p: int,
         functools.partial(_kernel, m=m, q=q, kmin=kmin, iters=iters),
         grid=grid,
         in_specs=[stat_spec, stat_spec, stat_spec,
-                  pl.BlockSpec((K, ba), lambda i, j: (0, i),
+                  # marginals/cards ride with singleton broadcast dims so
+                  # every block's last-two dims are (8,128)-divisible or
+                  # equal to the full array dims (Mosaic block rule)
+                  pl.BlockSpec((K, ba, 1), lambda i, j: (0, i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((K, BB), lambda i, j: (0, j),
+                  pl.BlockSpec((K, 1, BB), lambda i, j: (0, 0, j),
                                memory_space=pltpu.VMEM),
-                  # scalar planes ride as (n, 1)/(1, n) 2-D blocks
                   pl.BlockSpec((ba, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, BB), lambda i, j: (0, j),
@@ -112,5 +114,6 @@ def pallas_joint_mle(eq, gt_a, gt_b, ha, hb, c_a, c_b, c_u, *, p: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(_vmem_need(ba, K), 16 << 20)),
         interpret=interpret,
-    )(eq, gt_a, gt_b, ha, hb, c_a[:, None], c_b[None, :], c_u)
+    )(eq, gt_a, gt_b, ha[:, :, None], hb[:, None, :],
+      c_a[:, None], c_b[None, :], c_u)
     return jnp.stack([la, lb, lx])

@@ -341,6 +341,18 @@ def pair_statistics(a: jnp.ndarray, b: jnp.ndarray, q: int):
     )
 
 
+def _expm1_k(a, kfirst: bool):
+    """expm1 with a Mosaic-lowerable fallback for the Pallas (kfirst)
+    path: Mosaic has no expm1 primitive, so use exp(a)-1 with a 3-term
+    Taylor below the cancellation crossover (max relative error ~3e-6 at
+    a ~ 0.03 — far inside the Newton solve's f32 tolerance; the XLA path
+    keeps the exact primitive so existing goldens cannot move)."""
+    if not kfirst:
+        return jnp.expm1(a)
+    taylor = a * (1.0 + a * (0.5 + a * (1.0 / 6.0)))
+    return jnp.where(jnp.abs(a) < 0.03, taylor, jnp.exp(a) - 1.0)
+
+
 def _k_parts(h, kmin: int, q: int, kfirst: bool):
     """Split a level-stacked array for either layout.
 
@@ -358,7 +370,9 @@ def _k_parts(h, kmin: int, q: int, kfirst: bool):
     k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
     if kfirst:
         k = k.reshape((-1,) + (1,) * (h.ndim - 1))
-        return h[lo - kmin:hi - kmin + 1], h[0], h[-1], k, 0, kmax
+        # h[K-1], not h[-1]: jnp lowers negative indices through a runtime
+        # select + dynamic_slice, which Mosaic cannot lower
+        return h[lo - kmin:hi - kmin + 1], h[0], h[K - 1], k, 0, kmax
     return (h[..., lo - kmin:hi - kmin + 1], h[..., 0], h[..., -1], k,
             -1, kmax)
 
@@ -372,13 +386,13 @@ def _log_f(k_hist: jnp.ndarray, lam, m: float, q: int, kmin: int = 0,
     x = lam / m
     hm, h0, htop, k, ax, kmax = _k_parts(k_hist, kmin, q, kfirst)
     a = (x if kfirst else x[..., None]) * jnp.exp2(-k)
-    log_mid = -a + jnp.log(-jnp.expm1(-jnp.maximum(a, 1e-38)))
+    log_mid = -a + jnp.log(-_expm1_k(-jnp.maximum(a, 1e-38), kfirst))
     L = (hm * log_mid).sum(ax)
     if kmin == 0:
         L = L + h0 * (-x)
     if kmax == q + 1:
         aq = x * (2.0 ** -q)
-        L = L + htop * jnp.log(-jnp.expm1(-jnp.maximum(aq, 1e-38)))
+        L = L + htop * jnp.log(-_expm1_k(-jnp.maximum(aq, 1e-38), kfirst))
     return L
 
 
@@ -429,7 +443,7 @@ def _f_d1_d2(h, lam, m: float, q: int, kmin: int = 0, kfirst: bool = False):
     hm, h0, htop, k, ax, kmax = _k_parts(h, kmin, q, kfirst)
     zk = jnp.exp2(-k)
     a = jnp.maximum((x if kfirst else x[..., None]) * zk, 1e-30)
-    w = zk / jnp.expm1(a)
+    w = zk / _expm1_k(a, kfirst)
     d1 = (hm * (w - zk)).sum(ax)
     d2 = (hm * (-(w * w + zk * w))).sum(ax)
     if kmin == 0:
@@ -437,7 +451,7 @@ def _f_d1_d2(h, lam, m: float, q: int, kmin: int = 0, kfirst: bool = False):
     if kmax == q + 1:
         zq = 2.0 ** -q
         aq = jnp.maximum(x * zq, 1e-30)
-        wq = zq / jnp.expm1(aq)
+        wq = zq / _expm1_k(aq, kfirst)
         d1 = d1 + htop * wq
         d2 = d2 + htop * (-(wq * wq + zq * wq))
     return d1, d2
@@ -722,7 +736,16 @@ def joint_mle_core(stats, cards, m: float, q: int, kmin: int, iters: int,
         new = theta - step
         return jnp.where(jnp.isfinite(new).all(0), new, theta)
 
-    theta = jax.lax.fori_loop(0, iters, body, theta0)
+    if kfirst:
+        # inside the Pallas kernel: unroll (iters is static) — Mosaic's
+        # scan lowering hits an unimplemented dynamic_slice on the carried
+        # 3-vector, and unrolling also lets the compiler software-pipeline
+        # across iterations
+        theta = theta0
+        for _ in range(iters):
+            theta = body(0, theta)
+    else:
+        theta = jax.lax.fori_loop(0, iters, body, theta0)
     final_val = _joint_logl(theta, stats, m, q, kmin, kfirst)
     init_val = _joint_logl(theta0, stats, m, q, kmin, kfirst)
     theta = jnp.where(jnp.isfinite(final_val) & (final_val >= init_val),

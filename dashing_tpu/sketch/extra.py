@@ -13,12 +13,12 @@ SuperMinHash slot (reference src/dashing.h:223-247 Sketch enum).
   2^-rbits conditioned on rank agreement.  bbnbits sets the register width
   (reference src/sketch_and_cmp.h:52-66).
 
-* SuperMinHash slot (--use-superminhash / BB_SUPERMINHASH): implemented as
-  one-permutation MinHash with optimal rotation densification, which fills
-  every register in a single pass like SuperMinHash does.  The register
-  comparison/JI surface matches; the register VALUES are not SuperMinHash's
-  (divergence documented in PARITY.md — the reference's exact algorithm is
-  in the missing submodule).
+* SuperMinHash (--use-superminhash / BB_SUPERMINHASH): the REAL Ertl 2017
+  algorithm (class SuperMinHash below) — generation-counter lazy
+  Fisher-Yates permutation per element, exact early stop, Gamma/Beta-law
+  cardinality MLE.  Round 1 shipped a one-permutation-with-densification
+  stand-in (class DensifiedMinHash), kept only so its DTPUSMH1 files stay
+  readable; new sketches are always SuperMinHash (DTPUSMH2).
 """
 from __future__ import annotations
 
