@@ -367,7 +367,8 @@ def _k_parts(h, kmin: int, q: int, kfirst: bool):
     K = h.shape[0] if kfirst else h.shape[-1]
     kmax = kmin + K - 1
     lo, hi = max(kmin, 1), min(kmax, q)
-    k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
+    # int iota then convert: Mosaic has no float-typed tpu.iota
+    k = jnp.arange(lo, hi + 1, dtype=jnp.int32).astype(jnp.float32)
     if kfirst:
         k = k.reshape((-1,) + (1,) * (h.ndim - 1))
         # h[K-1], not h[-1]: jnp lowers negative indices through a runtime
@@ -401,7 +402,7 @@ def _lvl_consts(stats, kmin: int, kfirst: bool):
     to broadcast in either layout."""
     eq = stats["eq"]
     K = eq.shape[0] if kfirst else eq.shape[-1]
-    kk = jnp.arange(kmin, kmin + K, dtype=jnp.float32)
+    kk = jnp.arange(kmin, kmin + K, dtype=jnp.int32).astype(jnp.float32)
     if kfirst:
         return kk.reshape((-1,) + (1,) * (eq.ndim - 1)), 0
     return kk, -1
@@ -736,16 +737,7 @@ def joint_mle_core(stats, cards, m: float, q: int, kmin: int, iters: int,
         new = theta - step
         return jnp.where(jnp.isfinite(new).all(0), new, theta)
 
-    if kfirst:
-        # inside the Pallas kernel: unroll (iters is static) — Mosaic's
-        # scan lowering hits an unimplemented dynamic_slice on the carried
-        # 3-vector, and unrolling also lets the compiler software-pipeline
-        # across iterations
-        theta = theta0
-        for _ in range(iters):
-            theta = body(0, theta)
-    else:
-        theta = jax.lax.fori_loop(0, iters, body, theta0)
+    theta = jax.lax.fori_loop(0, iters, body, theta0)
     final_val = _joint_logl(theta, stats, m, q, kmin, kfirst)
     init_val = _joint_logl(theta0, stats, m, q, kmin, kfirst)
     theta = jnp.where(jnp.isfinite(final_val) & (final_val >= init_val),

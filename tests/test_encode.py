@@ -171,3 +171,53 @@ def test_entropy_minimizer_allT_not_sentinel_aliased():
     vals = u64.to_np(km)[np.asarray(valid)]
     # the poly-T region's windows must select the all-T k-mer (entropy 0)
     assert np.uint64(0xFFFFFFFFFFFFFFFF) in vals
+
+
+def test_spaced_window_matches_oracle(rng):
+    """spacing x minimizer-window combo (VERDICT r3 item 9): windowed
+    minimization over SPACED seed values must match the host oracle."""
+    bases = rng.choice(list(b"ACGTACGTN"), size=350).astype(np.uint8)
+    seq = bases.tobytes()
+    gaps = parse_spacing("1x2", 9)
+    sp = Spacer(9, w=16, gaps=gaps)
+    got = np.sort(_device_kmers(seq, sp))
+    want = np.sort(encode.encode_oracle(seq, sp))
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_spaced_entropy_window_matches_oracle(rng):
+    """spacing x entropy x window combo: the quantized-entropy minimizer
+    key ((ent * 2^18) << offset packing, ties leftmost) mirrored by an
+    inline host oracle."""
+    bases = rng.choice(list(b"ACGT"), size=200).astype(np.uint8)
+    seq = bases.tobytes()
+    gaps = parse_spacing("1x2", 7)
+    sp = Spacer(7, w=12, gaps=gaps)
+    seq_arr = np.frombuffer(seq, np.uint8)
+    tile = encode.tile_sequence(seq_arr, 256, sp.halo)   # single row
+    km, valid = encode_tile(tile, k=sp.k, w=sp.w,
+                            positions=tuple(sp.positions), span=sp.c,
+                            canon=False, entropy=True)
+    got = np.sort(u64.to_np(km)[np.asarray(valid)])
+    # host oracle
+    codes = encode._CODE_LUT[seq_arr]
+    pos = np.array(sp.positions)
+    vals, ents = [], []
+    for i in range(len(codes) - sp.c + 1):
+        picks = codes[i:i + sp.c][pos]
+        v = 0
+        for b in picks:
+            v = (v << 2) | int(b)
+        vals.append(v)
+        cnt = np.bincount(picks, minlength=4) / float(sp.k)
+        ent = -(cnt[cnt > 0] * np.log2(cnt[cnt > 0])).sum()
+        ents.append(min(int(ent * 2.0 ** 18), (1 << 20) - 1))
+    wlen = sp.w - sp.c + 1
+    want = []
+    for i in range(len(vals) - wlen + 1):
+        j = i + int(np.argmin(ents[i:i + wlen]))   # ties leftmost
+        want.append(vals[j])
+    want = np.sort(np.array(want, np.uint64))
+    assert got.shape == want.shape
+    assert (got == want).all()
