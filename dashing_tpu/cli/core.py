@@ -264,8 +264,18 @@ def sketch_or_load(path: str, opts: CommonOpts, use_filter: bool = False):
                                 opts.sketch_type_explicit)
     fname = _cache_fname(path, opts)
     if opts.cache_sketch and os.path.isfile(fname):
-        return read_sketch_auto(fname, opts.sketch_type,
-                                opts.sketch_type_explicit)
+        sk = read_sketch_auto(fname, opts.sketch_type,
+                              opts.sketch_type_explicit)
+        from ..sketch.extra import DensifiedMinHash
+        if not (opts.sketch_type == "superminhash"
+                and isinstance(sk, DensifiedMinHash)):
+            return sk
+        # stale round-1 cache (DTPUSMH1 densified stand-in): silently
+        # mixing it with fresh real-SuperMinHash sketches would abort in
+        # check_compatible with an unhelpful 'mixed sketch types' —
+        # rebuild and overwrite in the current format instead (ADVICE r2)
+        eprint(f"Note: rebuilding stale DTPUSMH1 cache {fname} in the "
+               "SuperMinHash (DTPUSMH2) format")
     sk = build_sketch(path, opts, params)
     if opts.cache_sketch:
         atomic_write_sketch(sk, fname)

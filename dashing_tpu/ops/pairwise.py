@@ -632,10 +632,13 @@ def _device_tile_topk(block, q0, j0, nn: int, sim: bool, exclude: bool):
         # ragged final ref tile: pad with worst-sorting sentinels — they
         # can never reach the merged top-nn (earlier full tiles already
         # supplied >= nn real candidates, and stable sorts keep real
-        # entries first at equal values)
+        # entries first at equal values).  Pad idx with -1, not 0: an
+        # escaped sentinel then shows up as ref -1 instead of silently
+        # aliasing ref 0 (ADVICE r2 item 3).
         worst = jnp.float32(-jnp.inf if sim else jnp.inf)
         vals = jnp.pad(vals, ((0, 0), (0, nn - kk)), constant_values=worst)
-        idx = jnp.pad(idx, ((0, 0), (0, nn - kk)))
+        return vals, jnp.pad(idx + j0, ((0, 0), (0, nn - kk)),
+                             constant_values=-1)
     return vals, idx + j0
 
 
