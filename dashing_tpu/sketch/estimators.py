@@ -367,13 +367,16 @@ def _k_parts(h, kmin: int, q: int, kfirst: bool):
     K = h.shape[0] if kfirst else h.shape[-1]
     kmax = kmin + K - 1
     lo, hi = max(kmin, 1), min(kmax, q)
-    # int iota then convert: Mosaic has no float-typed tpu.iota
-    k = jnp.arange(lo, hi + 1, dtype=jnp.int32).astype(jnp.float32)
     if kfirst:
-        k = k.reshape((-1,) + (1,) * (h.ndim - 1))
-        # h[K-1], not h[-1]: jnp lowers negative indices through a runtime
-        # select + dynamic_slice, which Mosaic cannot lower
+        # broadcasted_iota, not 1-D jnp.arange: 1-D iota CRASHES the
+        # Mosaic compile helper on this toolchain (probe-bisected);
+        # likewise h[K-1], not h[-1] (negative indexing lowers through a
+        # runtime select + dynamic_slice Mosaic cannot lower)
+        k = (jax.lax.broadcasted_iota(
+                jnp.int32, (hi - lo + 1,) + (1,) * (h.ndim - 1), 0)
+             + lo).astype(jnp.float32)
         return h[lo - kmin:hi - kmin + 1], h[0], h[K - 1], k, 0, kmax
+    k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
     return (h[..., lo - kmin:hi - kmin + 1], h[..., 0], h[..., -1], k,
             -1, kmax)
 
@@ -402,10 +405,12 @@ def _lvl_consts(stats, kmin: int, kfirst: bool):
     to broadcast in either layout."""
     eq = stats["eq"]
     K = eq.shape[0] if kfirst else eq.shape[-1]
-    kk = jnp.arange(kmin, kmin + K, dtype=jnp.int32).astype(jnp.float32)
     if kfirst:
-        return kk.reshape((-1,) + (1,) * (eq.ndim - 1)), 0
-    return kk, -1
+        kk = (jax.lax.broadcasted_iota(
+                 jnp.int32, (K,) + (1,) * (eq.ndim - 1), 0)
+              + kmin).astype(jnp.float32)
+        return kk, 0
+    return jnp.arange(kmin, kmin + K, dtype=jnp.float32), -1
 
 
 def _joint_logl(theta, stats, m: float, q: int, kmin: int = 0,
@@ -558,10 +563,14 @@ def _joint_grad_hess(theta, stats, m: float, q: int, kmin: int = 0,
     H_lam = jnp.stack([jnp.stack([Haa, Hab, Hax]),
                        jnp.stack([Hab, Hbb, Hbx]),
                        jnp.stack([Hax, Hbx, Hxx])])
-    # batch-safe diag(grad): jnp.diag only accepts 1-D/2-D
-    eye3 = jnp.eye(3, dtype=jnp.float32).reshape(
-        (3, 3) + (1,) * (grad.ndim - 1))
-    hess = ll * H_lam + eye3 * grad[:, None]
+    # batch-safe diag(grad) built by explicit stacking: jnp.diag only
+    # accepts 1-D/2-D, and a reshaped jnp.eye constant crashes the Mosaic
+    # compile helper (probe-bisected); values are identical either way
+    z = jnp.zeros_like(grad[0])
+    diag = jnp.stack([jnp.stack([grad[0], z, z]),
+                      jnp.stack([z, grad[1], z]),
+                      jnp.stack([z, z, grad[2]])])
+    hess = ll * H_lam + diag
     return grad, hess
 
 
@@ -646,10 +655,14 @@ def _joint_val_grad_hess(theta, stats, m: float, q: int,
     H_lam = jnp.stack([jnp.stack([Haa, Hab, Hax]),
                        jnp.stack([Hab, Hbb, Hbx]),
                        jnp.stack([Hax, Hbx, Hxx])])
-    # batch-safe diag(grad): jnp.diag only accepts 1-D/2-D
-    eye3 = jnp.eye(3, dtype=jnp.float32).reshape(
-        (3, 3) + (1,) * (grad.ndim - 1))
-    hess = ll * H_lam + eye3 * grad[:, None]
+    # batch-safe diag(grad) built by explicit stacking: jnp.diag only
+    # accepts 1-D/2-D, and a reshaped jnp.eye constant crashes the Mosaic
+    # compile helper (probe-bisected); values are identical either way
+    z = jnp.zeros_like(grad[0])
+    diag = jnp.stack([jnp.stack([grad[0], z, z]),
+                      jnp.stack([z, grad[1], z]),
+                      jnp.stack([z, z, grad[2]])])
+    hess = ll * H_lam + diag
     return val, grad, hess
 
 
@@ -724,12 +737,16 @@ def joint_mle_core(stats, cards, m: float, q: int, kmin: int, iters: int,
     lb0 = jnp.maximum(c_u - c_a, tiny)
     lx0 = jnp.maximum(c_a + c_b - c_u, tiny)
     theta0 = jnp.stack([jnp.log(la0), jnp.log(lb0), jnp.log(lx0)])
-    eye = jnp.eye(3, dtype=jnp.float32).reshape(
-        (3, 3) + (1,) * (theta0.ndim - 1))
 
     def body(_, theta):
         g, H = _joint_grad_hess(theta, stats, m, q, kmin, kfirst)
-        H = H - 1e-4 * eye
+        # damp the diagonal WITHOUT an eye-constant broadcast (Mosaic
+        # crash, probe-bisected); subtracting literal 0.0 off-diagonal is
+        # a float no-op, so this is bit-identical to H - 1e-4*eye
+        H = jnp.stack([
+            jnp.stack([H[0, 0] - 1e-4, H[0, 1], H[0, 2]]),
+            jnp.stack([H[1, 0], H[1, 1] - 1e-4, H[1, 2]]),
+            jnp.stack([H[2, 0], H[2, 1], H[2, 2] - 1e-4])])
         step = _solve3_sym(H, g)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
         norm = jnp.sqrt((step ** 2).sum(0))
