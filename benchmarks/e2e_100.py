@@ -56,13 +56,16 @@ def ensure_genomes() -> str:
 def main(reps: int = 3):
     fofn = ensure_genomes()
     out = os.path.join(GEN_DIR, "dist.bin")
+    # DTPU_E2E_FLAGS appends extra dist flags (e.g. "-W" to measure the
+    # cached-sketch path, "-J" for joint MLE)
+    extra = os.environ.get("DTPU_E2E_FLAGS", "").split()
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
         res = subprocess.run(
             [sys.executable, "-m", "dashing_tpu.cli", "dist", "-k", KK,
              "-S", S, "-M", "-b", "-O", out, "-F", fofn,
-             "--avoid-sorting"],
+             "--avoid-sorting"] + extra,
             cwd="/root/repo", capture_output=True)
         dt = time.perf_counter() - t0
         ok = res.returncode == 0 and os.path.getsize(out) > 4

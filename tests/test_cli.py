@@ -544,3 +544,42 @@ def test_dist_W_cache_through_device_engine(genomes, tmp_path, capsys):
     want = [c.sketch_or_load(g, o2) for g in genomes]
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g.regs, w.regs)
+
+
+def test_readfilt_emit_format(tmp_path, rng, capsys):
+    """Output records mirror the reference emit() byte layout
+    (src/readfilt.cpp:17-33): FASTQ mate 1 '@name comment|CI:%lf|a|b|x|',
+    mate 2 '@name comment|%lf', FASTA '>name comment|%lf'; original
+    comments preserved; quality re-emitted."""
+    import re
+    ref = "".join(rng.choice(list("ACGT"), size=5000))
+    fa = tmp_path / "ref.fa"
+    fa.write_text(f">r\n{ref}\n")
+    run_cli(["sketch", "-k", "15", "-S", "12", str(fa)])
+    hll_path = str(fa) + ".w.15.spacing.12.hll"
+    r1, r2 = tmp_path / "f1.fq", tmp_path / "f2.fq"
+    r1.write_text(f"@m1 some comment\n{ref[100:200]}\n+\n{'I' * 100}\n")
+    r2.write_text(f"@m2 other\n{ref[300:400]}\n+\n{'J' * 100}\n")
+    capsys.readouterr()
+    run_cli(["readfilt", "-k", "15", "-s", hll_path, "-f", "0.3",
+             str(r1), str(r2)])
+    lines = capsys.readouterr().out.splitlines()
+    assert len(lines) == 8
+    m = re.fullmatch(
+        r"@m1 some comment\|CI:(\d+\.\d{6})\|\d+\.\d{6}\|\d+\.\d{6}"
+        r"\|\d+\.\d{6}\|", lines[0])
+    assert m, lines[0]
+    ci = m.group(1)
+    assert lines[1] == ref[100:200] and lines[2] == "+"
+    assert lines[3] == "I" * 100
+    assert lines[4] == f"@m2 other|{ci}"
+    assert lines[7] == "J" * 100
+    # FASTA input: '>name comment|%lf', no quality lines
+    fr = tmp_path / "r.fa"
+    fr.write_text(f">fr a note\n{ref[500:650]}\n")
+    capsys.readouterr()
+    run_cli(["readfilt", "-k", "15", "-s", hll_path, "-f", "0.3", str(fr)])
+    lines = capsys.readouterr().out.splitlines()
+    assert len(lines) == 2
+    assert re.fullmatch(r">fr a note\|\d+\.\d{6}", lines[0]), lines[0]
+    assert lines[1] == ref[500:650]
