@@ -111,9 +111,20 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
         out["eq"] = jnp.stack(eqs, axis=-1)
         out["gt_a"] = jnp.stack(gtas, axis=-1)
         out["gt_b"] = jnp.stack(gtbs, axis=-1)
-    out["hist_a"] = (a[..., :, None] == levels).astype(jnp.float32).sum(-2)
-    out["hist_b"] = (out["hist_a"] if same else
-                     (b[..., :, None] == levels).astype(jnp.float32).sum(-2))
+    if same:
+        # diagonal of X[k] IS the per-row cumulative histogram
+        # (#(a_i <= k)); differencing gives the marginal histogram
+        # exactly (integer counts in f32), skipping both one-hot passes
+        # over the (n, m) register matrix
+        d = jnp.diagonal(out["cum_union"], axis1=0, axis2=1).T  # (na, K)
+        out["hist_a"] = jnp.concatenate(
+            [d[..., :1], d[..., 1:] - d[..., :-1]], axis=-1)
+        out["hist_b"] = out["hist_a"]
+    else:
+        out["hist_a"] = (a[..., :, None] == levels).astype(
+            jnp.float32).sum(-2)
+        out["hist_b"] = (b[..., :, None] == levels).astype(
+            jnp.float32).sum(-2)
     return out
 
 
