@@ -376,6 +376,23 @@ def filtered_jobs(indexed_paths, params, p: int, ex, lookahead: int = 2):
         yield ((i,), pipeline.sketch_file_hll_async(path, params, p))
 
 
+def _sketch_with_retry(path: str, params, p: int, attempts: int = 3):
+    """Synchronously rebuild one file's HLL registers, retrying transient
+    backend errors with a short backoff.  Used when an async handle's pull
+    fails mid-drain: sketching is pure, so recomputation cannot change the
+    result.  Raises the last error once attempts are exhausted (fail-loud,
+    SURVEY.md sec 5.3)."""
+    import time as _time
+    import jax
+    for attempt in range(attempts):
+        try:
+            return pipeline.sketch_file_hll(path, params, p)
+        except jax.errors.JaxRuntimeError:
+            if attempt == attempts - 1:
+                raise
+            _time.sleep(2.0 * (attempt + 1))
+
+
 def device_hll_run(indexed_paths, opts: CommonOpts, put, filter_idx=None,
                    filt_min_count: Optional[int] = None):
     """The tuned HLL sketch engine over (index, path) pairs: parse
@@ -428,6 +445,9 @@ def device_hll_run(indexed_paths, opts: CommonOpts, put, filter_idx=None,
                                         opts.sketch_type_explicit).regs)
                 continue
             (filt if i in filter_idx else plain).append((i, path))
+        # index -> (path, params) for transient-failure re-dispatch
+        redo = {i: (path, params_plain) for i, path in plain}
+        redo.update({i: (path, params_filt) for i, path in filt})
 
         def land(i, regs):
             if use_cache:
@@ -444,8 +464,21 @@ def device_hll_run(indexed_paths, opts: CommonOpts, put, filter_idx=None,
             if h is None:
                 land(ids[0], np.zeros(1 << p, np.uint8))
                 return
-            arr = np.clip(np.asarray(jax.device_get(h)), 0, 255
-                          ).astype(np.uint8)
+            try:
+                arr = np.clip(np.asarray(jax.device_get(h)), 0, 255
+                              ).astype(np.uint8)
+            except jax.errors.JaxRuntimeError as e:
+                # Transient backend failure (an interrupted transfer or a
+                # device-side FAILED_PRECONDITION observed on real TPU
+                # tunnels) poisons only this handle; the pipeline is
+                # functional, so rebuilding the affected files is
+                # idempotent (SURVEY.md sec 5.3 failure detection).
+                eprint(f"Warning: device pull failed for {len(ids)} "
+                       f"sketch(es) ({type(e).__name__}); re-dispatching")
+                for i in ids:
+                    pth, prm = redo[i]
+                    land(i, _sketch_with_retry(pth, prm, p))
+                return
             if len(ids) == 1 and arr.ndim == 1:
                 land(ids[0], arr)
             else:

@@ -477,6 +477,71 @@ def test_sketch_paths_batched_mixed_sizes(tmp_path, rng):
         np.testing.assert_array_equal(sk.regs, want, err_msg=path)
 
 
+def test_device_hll_run_retries_transient_pull_failure(tmp_path, rng,
+                                                       monkeypatch, capsys):
+    """A transient backend error on a device pull (observed as
+    FAILED_PRECONDITION over real TPU tunnels) must not kill the run: the
+    affected files are re-dispatched synchronously and the registers come
+    out identical to a clean run (SURVEY.md sec 5.3)."""
+    import jax
+    from dashing_tpu.cli import core
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"r{i}.fa"
+        p.write_text(f">r{i}\n" + "".join(rng.choice(list("ACGT"),
+                                                     size=4_000)) + "\n")
+        paths.append(str(p))
+    o = core.CommonOpts(k=21, sketch_size=11)
+    clean = {}
+    core.device_hll_run(list(enumerate(paths)), o,
+                        lambda i, r: clean.__setitem__(i, r))
+    assert len(clean) == 6
+
+    real_get = jax.device_get
+    fails = {"n": 2}
+
+    def flaky_get(h):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise jax.errors.JaxRuntimeError(
+                "FAILED_PRECONDITION: TPU backend error (injected)")
+        return real_get(h)
+
+    monkeypatch.setattr(jax, "device_get", flaky_get)
+    got = {}
+    core.device_hll_run(list(enumerate(paths)), o,
+                        lambda i, r: got.__setitem__(i, r))
+    assert fails["n"] == 0, "failure injection never fired"
+    assert "re-dispatching" in capsys.readouterr().err
+    for i in range(6):
+        np.testing.assert_array_equal(got[i], clean[i])
+
+
+def test_sketch_with_retry_exhausts_and_raises(tmp_path, rng, monkeypatch):
+    """Persistent backend failure stays fail-loud: after bounded retries
+    the original error propagates instead of silently degrading."""
+    import jax
+    from dashing_tpu import pipeline
+    from dashing_tpu.cli import core
+    p = tmp_path / "x.fa"
+    p.write_text(">x\n" + "".join(rng.choice(list("ACGT"), size=2_000))
+                 + "\n")
+
+    calls = {"n": 0}
+
+    def always_fail(path, params, pp):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("injected permanent failure")
+
+    monkeypatch.setattr(pipeline, "sketch_file_hll", always_fail)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    o = core.CommonOpts(k=21, sketch_size=11)
+    params = core.sketch_params(o)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        core._sketch_with_retry(str(p), params, 11, attempts=3)
+    assert calls["n"] == 3
+
+
 def test_small_batch_size_bounds():
     """Bank memory bound must hold at every p — no floor (review r2: a
     max(8,...) floor pinned multi-GiB banks at -S 24)."""
