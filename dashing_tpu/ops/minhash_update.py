@@ -102,8 +102,11 @@ def bottomk_candidates(h: u64.U64, valid: jnp.ndarray, cap: int
     hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF)).reshape(-1)
     lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF)).reshape(-1)
     k = min(cap, hi.shape[0])
-    # top_k on the NEGATED order-preserving int32 picks the smallest
-    neg = -_as_ordered_i32(hi)
+    # top_k on the BIT-INVERTED order-preserving int32 picks the smallest:
+    # ~x reverses int32 order with no overflow (arithmetic negation wraps
+    # INT32_MIN onto itself, which would sort a hi==0 element — the best
+    # possible bottom-k candidate — LAST and silently drop it)
+    neg = ~_as_ordered_i32(hi)
     _, pos = jax.lax.top_k(neg, k)
     return hi[pos], lo[pos]
 

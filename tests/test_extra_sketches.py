@@ -393,3 +393,32 @@ def test_scatter_min_u64_exact(rng):
                                    (jnp.asarray(hi), jnp.asarray(lo)),
                                    jnp.asarray(valid))
     np.testing.assert_array_equal(minhash_banks_to_np(mhi, mlo), want)
+
+
+def test_bottomk_candidates_keep_zero_high_word(rng):
+    """Regression: a hash with hi == 0 maps to ordered-int32 MIN, whose
+    arithmetic negation overflows back onto itself and sorted LAST — the
+    global-minimum element silently fell out of the candidate set.  The
+    bit-inverted key must keep it first."""
+    import jax.numpy as jnp
+    from dashing_tpu.ops.minhash_update import (bottomk_candidates,
+                                                candidates_to_np)
+    n = 1024
+    hi = rng.integers(1 << 16, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    lo = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    hi[17] = 0            # the smallest possible high word
+    lo[17] = 0xDEADBEEF
+    valid = np.ones(n, bool)
+    valid[18] = False
+    chi, clo = bottomk_candidates((jnp.asarray(hi), jnp.asarray(lo)),
+                                  jnp.asarray(valid), 16)
+    got = candidates_to_np(chi, clo)
+    assert got[0] == (0xDEADBEEF), hex(got[0])
+    # and generally: candidates == the 16 smallest by high word, with the
+    # invalid lane forced to sort last exactly as the device path does
+    v64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    order_hi = hi.copy()
+    order_hi[~valid] = 0xFFFFFFFF
+    v64[~valid] = 0xFFFFFFFFFFFFFFFF
+    want = np.sort(v64[np.argsort(order_hi, kind="stable")[:16]])
+    np.testing.assert_array_equal(np.sort(got), want)
