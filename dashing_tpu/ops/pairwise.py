@@ -490,15 +490,42 @@ def compare_tile(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
 _TILE_WINDOW = 4          # async tiles in flight during all-pairs loops
 
 
-def _windowed(tiles, writeback, window: int = _TILE_WINDOW):
+def _windowed(tiles, writeback, window: int = _TILE_WINDOW, redo=None):
     """Drive (key, device_future) pairs keeping `window` tiles in flight;
     `writeback(key, np_block)` lands each finished tile.  Tuple payloads
-    (e.g. top-k (vals, idx)) pass through unconverted — np.asarray on a
-    tuple would stack mixed dtypes into one promoted float64 array."""
+    (e.g. top-k (vals, idx)) convert per element, keeping each dtype.
+
+    redo(key) -> device_future, when given, rebuilds a tile whose pull hit
+    a transient backend error (observed as FAILED_PRECONDITION over real
+    TPU tunnels): tile compute is pure, so re-dispatch is idempotent, and
+    a hiccup no longer loses a whole matrix after the sketch phase
+    (SURVEY.md sec 5.3).  Bounded attempts, fail-loud after the last."""
+    import time as _time
     from collections import deque
+    import jax
+
+    def to_np(d):
+        # elementwise for tuples: np.asarray on the tuple itself would
+        # stack mixed dtypes into one promoted float64 array
+        return (tuple(np.asarray(x) for x in d) if isinstance(d, tuple)
+                else np.asarray(d))
+
+    def pull(k, d):
+        try:
+            return to_np(d)
+        except jax.errors.JaxRuntimeError:
+            if redo is None:
+                raise
+        for attempt in range(3):
+            try:
+                return to_np(redo(k))
+            except jax.errors.JaxRuntimeError:
+                if attempt == 2:
+                    raise
+                _time.sleep(2.0 * (attempt + 1))
 
     def land(k, d):
-        writeback(k, d if isinstance(d, tuple) else np.asarray(d))
+        writeback(k, pull(k, d))
 
     pending: deque = deque()
     for key, dev in tiles:
@@ -548,13 +575,18 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
             out[base + js_sel - gi - 1] = block[ii, sel]
 
     regs_d = _device_regs(regs)
-    _windowed((((i0, j0), compare_tile_async(
-                    regs_d[i0:i0 + tile], regs_d[j0:j0 + tile], p,
-                    result_type, ksinv, estim, jestim,
-                    *_pair_window(mm[i0], mm[j0], q), same=(i0 == j0)))
+
+    def one(i0, j0):
+        return compare_tile_async(
+            regs_d[i0:i0 + tile], regs_d[j0:j0 + tile], p,
+            result_type, ksinv, estim, jestim,
+            *_pair_window(mm[i0], mm[j0], q), same=(i0 == j0))
+
+    _windowed((((i0, j0), one(i0, j0))
                 for i0 in range(0, n, tile)
                 for j0 in range(i0, n, tile)),
-               lambda key, block: put(key[0], key[1], block))
+               lambda key, block: put(key[0], key[1], block),
+               redo=lambda key: one(*key))
     return out
 
 
@@ -575,15 +607,18 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
     out = np.empty((nq, nr), np.float32)
     rr_d, qq_d = _device_regs(rr), _device_regs(qq)
     # triple order: lhs = reference, rhs = query (result_cmp(hlls[j], hq))
-    _windowed((((i0, j0), compare_tile_async(
-                    rr_d[i0:i0 + tile], qq_d[j0:j0 + tile], p, result_type,
-                    ksinv, estim, jestim,
-                    *_pair_window(mm_r[i0], mm_q[j0], q)))
+    def one(i0, j0):
+        return compare_tile_async(
+            rr_d[i0:i0 + tile], qq_d[j0:j0 + tile], p, result_type,
+            ksinv, estim, jestim, *_pair_window(mm_r[i0], mm_q[j0], q))
+
+    _windowed((((i0, j0), one(i0, j0))
                 for i0 in range(0, nr, tile)
                 for j0 in range(0, nq, tile)),
                lambda key, block: out.__setitem__(
                    (slice(key[1], key[1] + tile),
-                    slice(key[0], key[0] + tile)), block.T))
+                    slice(key[0], key[0] + tile)), block.T),
+               redo=lambda key: one(*key))
     return out
 
 
@@ -619,7 +654,8 @@ def rect_triples(ref_sketches, query_sketches, estim: int, jestim: int,
               lambda key, block: out.__setitem__(
                   (slice(key[1], key[1] + tile),
                    slice(key[0], key[0] + tile)),
-                  block.transpose(1, 0, 2)))
+                  block.transpose(1, 0, 2)),
+              redo=lambda key: one(*key))
     return out
 
 
@@ -703,16 +739,17 @@ def nn_topk(ref_sketches, query_sketches, result_type: int, k: int,
         best_v = np.take_along_axis(cat_v, order, axis=1)
         best_i = np.take_along_axis(cat_i, order, axis=1)
 
+    def one(j0, q0):
+        block = compare_tile_async(
+            rr_d[j0:j0 + tile], qq_d[q0:q0 + tile], p, result_type,
+            ksinv, estim, jestim, *_pair_window(mm_r[j0], mm_q[q0], q),
+            same=(same and j0 == q0))
+        return _device_tile_topk(block, q0, j0, nn_eff, sim, exclude_self)
+
     def tiles():
         for j0 in range(0, nr, tile):
             for q0 in range(0, nq, tile):
-                block = compare_tile_async(
-                    rr_d[j0:j0 + tile], qq_d[q0:q0 + tile], p, result_type,
-                    ksinv, estim, jestim,
-                    *_pair_window(mm_r[j0], mm_q[q0], q),
-                    same=(same and j0 == q0))
-                yield ((j0, q0), _device_tile_topk(
-                    block, q0, j0, nn_eff, sim, exclude_self))
+                yield ((j0, q0), one(j0, q0))
 
     def land(key, vi):
         j0, q0 = key
@@ -724,7 +761,7 @@ def nn_topk(ref_sketches, query_sketches, result_type: int, k: int,
         staged_v[q0:q0 + qt] = np.asarray(v, np.float32)[:qt]
         staged_i[q0:q0 + qt] = np.asarray(i, np.int64)[:qt]
 
-    _windowed(tiles(), land)
+    _windowed(tiles(), land, redo=lambda key: one(*key))
     if pending[0] is not None:
         merge()
     return best_v, best_i
@@ -742,14 +779,19 @@ def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
     mm = _block_minmax(regs, n, tile)
     out = np.empty((n, n), np.float32)
     regs_d = _device_regs(regs)
-    _windowed((((i0, j0), compare_tile_async(
-                    regs_d[i0:i0 + tile], regs_d[j0:j0 + tile], p,
-                    result_type, ksinv, estim, jestim,
-                    *_pair_window(mm[i0], mm[j0], q), same=(i0 == j0)))
+
+    def one(i0, j0):
+        return compare_tile_async(
+            regs_d[i0:i0 + tile], regs_d[j0:j0 + tile], p,
+            result_type, ksinv, estim, jestim,
+            *_pair_window(mm[i0], mm[j0], q), same=(i0 == j0))
+
+    _windowed((((i0, j0), one(i0, j0))
                 for i0 in range(0, n, tile)
                 for j0 in range(0, n, tile)),
                lambda key, block: out.__setitem__(
                    (slice(key[0], key[0] + tile),
-                    slice(key[1], key[1] + tile)), block))
+                    slice(key[1], key[1] + tile)), block),
+               redo=lambda key: one(*key))
     np.fill_diagonal(out, 0.0)
     return out

@@ -45,6 +45,65 @@ def test_condensed_layout(rng):
     assert idx == cond.size
 
 
+def test_windowed_retries_transient_pull_failure(rng, monkeypatch):
+    """A transient JaxRuntimeError pulling one tile must re-dispatch that
+    tile (pure compute, idempotent) and produce the identical matrix —
+    observed failure mode: FAILED_PRECONDITION over the real TPU tunnel
+    killing a dist run after the sketch phase (SURVEY.md sec 5.3)."""
+    import jax
+    sketches, _ = _mk_sketches(rng, n=7)
+    want = pw.all_pairs_condensed(sketches, pw.JI, 21, est.ERTL_MLE,
+                                  est.ERTL_MLE, tile=3)
+
+    real_asarray = np.asarray
+    fails = {"n": 2}
+
+    def flaky_asarray(x, *a, **kw):
+        if fails["n"] > 0 and hasattr(x, "addressable_shards"):
+            fails["n"] -= 1
+            raise jax.errors.JaxRuntimeError(
+                "FAILED_PRECONDITION: TPU backend error (injected)")
+        return real_asarray(x, *a, **kw)
+
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    monkeypatch.setattr(pw.np, "asarray", flaky_asarray)
+    got = pw.all_pairs_condensed(sketches, pw.JI, 21, est.ERTL_MLE,
+                                 est.ERTL_MLE, tile=3)
+    monkeypatch.setattr(pw.np, "asarray", real_asarray)
+    assert fails["n"] == 0, "failure injection never fired"
+    np.testing.assert_array_equal(got, want)
+
+
+def test_windowed_permanent_failure_raises(monkeypatch):
+    """Bounded attempts: a persistent backend error propagates instead of
+    looping forever or silently dropping a tile."""
+    import jax
+
+    calls = {"n": 0}
+
+    class Boom:
+        addressable_shards = ()
+
+    def redo(key):
+        calls["n"] += 1
+        return Boom()
+
+    real_asarray = np.asarray
+
+    def flaky_asarray(x, *a, **kw):
+        if isinstance(x, Boom):
+            raise jax.errors.JaxRuntimeError("injected permanent failure")
+        return real_asarray(x, *a, **kw)
+
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    monkeypatch.setattr(pw.np, "asarray", flaky_asarray)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        pw._windowed(iter([((0, 0), Boom())]), lambda k, b: None,
+                     redo=redo)
+    monkeypatch.setattr(pw.np, "asarray", real_asarray)
+    assert calls["n"] == 3
+
+
 def test_ji_close_to_exact(rng):
     sketches, sets = _mk_sketches(rng, n=4, p=14, pool=30000, per=12000)
     cond = pw.all_pairs_condensed(sketches, pw.JI, 21, est.ERTL_MLE, est.ERTL_MLE)
