@@ -161,3 +161,32 @@ def test_cli_union_mesh_identical(tmp_path, rng, capsys):
     a = HLL.read(out_m)
     b = HLL.read(out_s)
     np.testing.assert_array_equal(a.regs, b.regs)
+
+
+def test_cli_panel_mesh_identical(tmp_path, rng, capsys):
+    """The round-3 batched panel path (device_hll_run queries + one tiled
+    rect JMLE pass) must emit identical output on the mesh and off it."""
+    import gzip
+    refs = [_write_genome(tmp_path, rng, f"p{i}.fa", 12_000 + 531 * i)
+            for i in range(3)]
+    db = str(tmp_path / "panel.db")
+    assert climain.main(["sketch", "-k", "17", "-S", "12", "-o", db,
+                         "--avoid-sorting"] + refs) == 0
+    with gzip.open(db + ".labels.gz", "rt") as f, \
+            open(db + ".labels", "w") as g:
+        g.write(f.read())
+    qpath = tmp_path / "q.fa"
+    qpath.write_text(">q\n" + open(refs[1]).read().splitlines()[1][:6000]
+                     + "\n")
+    out_m = str(tmp_path / "panel_mesh.tsv")
+    out_s = str(tmp_path / "panel_single.tsv")
+    capsys.readouterr()
+    assert climain.main(["panel", "-k", "17", "-o", out_m, db,
+                         str(qpath)]) == 0
+    with mesh_disabled():
+        assert climain.main(["panel", "-k", "17", "-o", out_s, db,
+                             str(qpath)]) == 0
+    capsys.readouterr()
+    m = open(out_m).read()
+    assert open(out_s).read() == m
+    assert "p1.fa" in m          # best match is the source genome
