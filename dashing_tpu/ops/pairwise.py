@@ -128,6 +128,41 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
     return out
 
 
+def _pallas_union_triples(stats, c_a, c_b, p: int, kmin: int, estim: int):
+    """Route the non-joint triple derivation through the fused
+    VMEM-resident union-cardinality kernel (ops/pallas_mle.py); None ->
+    XLA fallback.
+
+    ON by default on TPU (DASHING_TPU_PALLAS_MLE=0 disables; =interpret
+    forces the interpreter for CPU tests): the XLA path materializes the
+    (na, nb, K) union histogram in HBM and the default ERTL_MLE Newton
+    loop re-reads it every iteration."""
+    import os
+    flag = os.environ.get("DASHING_TPU_PALLAS_MLE", "1")
+    if flag == "0":
+        return None
+    interp = flag == "interpret"
+    from ..pipeline import _pallas_available
+    if not (_pallas_available() or interp):
+        return None
+    from .pallas_mle import BB as MBB, pallas_union_triples, pick_geometry
+    cum = stats["cum_union"]
+    na, nb, K = cum.shape
+    ba = pick_geometry(K)
+    if ba is None:
+        return None
+    cumT = jnp.moveaxis(cum, -1, 0)
+    pa, pb = (-na) % ba, (-nb) % MBB
+    if pa or pb:
+        cumT = jnp.pad(cumT, ((0, 0), (0, pa), (0, pb)))
+        c_a = jnp.pad(c_a, (0, pa))
+        c_b = jnp.pad(c_b, (0, pb))
+    tri = pallas_union_triples(cumT, c_a, c_b, p=p, kmin=kmin,
+                               method=estim, ba=ba, interpret=interp)
+    tri = jnp.moveaxis(tri, 0, -1)
+    return tri[:na, :nb] if (pa or pb) else tri
+
+
 def _pallas_jmle_triples(stats, p: int, kmin: int):
     """Route the joint-MLE Newton solve through the fused VMEM-resident
     Pallas kernel (ops/pallas_jmle.py); None -> XLA vmap fallback.
@@ -228,6 +263,9 @@ def triples_from_stats(stats: Dict[str, jnp.ndarray], p: int,
         # the sigma/tau series — the dominant n^2 estimator cost
         c_a = est.estimate_windowed(stats["hist_a"], p, kmin, estim)
         c_b = est.estimate_windowed(stats["hist_b"], p, kmin, estim)
+        fused = _pallas_union_triples(stats, c_a, c_b, p, kmin, estim)
+        if fused is not None:
+            return fused
         c_u = est.estimate_windowed(hist_u_w, p, kmin, estim)
         shared = jnp.maximum(0.0, c_a[:, None] + c_b[None, :] - c_u)
         only_a = jnp.maximum(c_a[:, None] - shared, 0.0)

@@ -210,70 +210,89 @@ def estimate(C: jnp.ndarray, p: int, method: int = ERTL_MLE) -> jnp.ndarray:
 # entirely, which dominated the n^2-pair estimator cost.
 # ---------------------------------------------------------------------------
 
-def _win_parts(Cw: jnp.ndarray, p: int, kmin: int):
-    """Split a windowed histogram into (C0, Cmid, Ctop, mid levels)."""
+def _win_parts(Cw: jnp.ndarray, p: int, kmin: int, kfirst: bool = False):
+    """Split a windowed histogram into (C0, Cmid, Ctop, mid levels, axis).
+
+    kfirst=True reads the level-LEADING layout (K, ...batch) the fused
+    Pallas kernels use (see _k_parts for the Mosaic constraints: 1-D
+    iota and negative indexing don't lower)."""
     q = 64 - p
-    K = Cw.shape[-1]
+    K = Cw.shape[0] if kfirst else Cw.shape[-1]
     kmax = kmin + K - 1
+    lo = max(kmin, 1)
+    hi = min(kmax, q)
+    if kfirst:
+        zeros = jnp.zeros(Cw.shape[1:], Cw.dtype)
+        c0 = Cw[0] if kmin == 0 else zeros
+        ctop = Cw[K - 1] if kmax == q + 1 else zeros
+        k = (jax.lax.broadcasted_iota(
+                jnp.int32, (hi - lo + 1,) + (1,) * (Cw.ndim - 1), 0)
+             + lo).astype(jnp.float32)
+        return c0, Cw[lo - kmin:hi - kmin + 1], ctop, k, 0
     c0 = Cw[..., 0] if kmin == 0 else jnp.zeros(Cw.shape[:-1], Cw.dtype)
     ctop = (Cw[..., -1] if kmax == q + 1
             else jnp.zeros(Cw.shape[:-1], Cw.dtype))
-    lo = max(kmin, 1)
-    hi = min(kmax, q)
     sl = slice(lo - kmin, hi - kmin + 1)
     k = jnp.arange(lo, hi + 1, dtype=jnp.float32)
-    return c0, Cw[..., sl], ctop, k
+    return c0, Cw[..., sl], ctop, k, -1
 
 
-def improved_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int
-                               ) -> jnp.ndarray:
+def improved_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
+                               kfirst: bool = False) -> jnp.ndarray:
     m = float(1 << p)
     q = 64 - p
-    c0, cmid, ctop, k = _win_parts(Cw, p, kmin)
-    mid = (cmid * jnp.exp2(-k)).sum(-1)
+    K = Cw.shape[0] if kfirst else Cw.shape[-1]
+    c0, cmid, ctop, k, ax = _win_parts(Cw, p, kmin, kfirst)
+    mid = (cmid * jnp.exp2(-k)).sum(ax)
     denom = mid
     if kmin == 0:
         denom = denom + m * _sigma(c0 / m, iters=p + 6)
-    if kmin + Cw.shape[-1] - 1 == q + 1:
+    if kmin + K - 1 == q + 1:
         denom = denom + m * _tau(1.0 - ctop / m, iters=24) * (2.0 ** -q)
     return _ALPHA_INF * m * m / denom
 
 
-def _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q: int):
+def _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q: int, ax: int = -1,
+                          kfirst: bool = False):
     zk = jnp.exp2(-k)
-    a = jnp.maximum(x[..., None] * zk, 1e-30)
-    w = zk / jnp.expm1(a)
-    d1 = (cmid * (w - zk)).sum(-1) - c0
-    d2 = (cmid * (-(w * w + zk * w))).sum(-1)
+    a = jnp.maximum((x if kfirst else x[..., None]) * zk, 1e-30)
+    w = zk / _expm1_k(a, kfirst)
+    d1 = (cmid * (w - zk)).sum(ax) - c0
+    d2 = (cmid * (-(w * w + zk * w))).sum(ax)
     zq = 2.0 ** -q
     aq = jnp.maximum(x * zq, 1e-30)
-    wq = zq / jnp.expm1(aq)
+    wq = zq / _expm1_k(aq, kfirst)
     return d1 + ctop * wq, d2 + ctop * (-(wq * wq + zq * wq))
 
 
 def mle_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
-                          iters: int = 12) -> jnp.ndarray:
+                          iters: int = 12, kfirst: bool = False
+                          ) -> jnp.ndarray:
     """MLE on a level-windowed histogram (levels kmin..kmin+K-1).
 
     Exact when every register lies inside the window — the all-pairs engine
     guarantees this by setting kmin/kmax from the stacked registers.
     12 iterations: the improved-estimator init is within ~2x of the optimum
     (<1 in log space) and each damped Newton step is superlinear once near
-    it; measured f32 fixpoint by iteration 8 across 10..2e6 cardinalities."""
+    it; measured f32 fixpoint by iteration 8 across 10..2e6 cardinalities.
+
+    kfirst selects the level-leading layout for the fused Pallas path
+    (ops/pallas_mle.py) — same code, only the broadcast/reduce axis moves,
+    so the two paths cannot drift."""
     m = float(1 << p)
     q = 64 - p
-    c0, cmid, ctop, k = _win_parts(Cw, p, kmin)
-    mtot = Cw.sum(-1)
+    c0, cmid, ctop, k, ax = _win_parts(Cw, p, kmin, kfirst)
+    mtot = Cw.sum(0 if kfirst else -1)
     empty = c0 >= mtot
     full = ctop >= mtot
 
-    x0 = jnp.clip(improved_estimate_windowed(Cw, p, kmin) / m,
+    x0 = jnp.clip(improved_estimate_windowed(Cw, p, kmin, kfirst) / m,
                   1e-12, 2.0 ** (q + 1))
     u0 = jnp.log(x0)
 
     def body(_, u):
         x = jnp.exp(u)
-        g, gp = _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q)
+        g, gp = _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q, ax, kfirst)
         dldu = x * g
         d2 = dldu + x * x * gp
         step = dldu / jnp.minimum(d2, -1e-9)
@@ -285,30 +304,39 @@ def mle_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
     return jnp.where(full, jnp.inf, est)
 
 
-def original_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int
-                               ) -> jnp.ndarray:
+def original_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
+                               kfirst: bool = False) -> jnp.ndarray:
     m = float(1 << p)
-    K = Cw.shape[-1]
-    k = jnp.arange(kmin, kmin + K, dtype=jnp.float32)
-    denom = (Cw * jnp.exp2(-k)).sum(-1)
+    if kfirst:
+        K = Cw.shape[0]
+        k = (jax.lax.broadcasted_iota(
+                jnp.int32, (K,) + (1,) * (Cw.ndim - 1), 0)
+             + kmin).astype(jnp.float32)
+        denom = (Cw * jnp.exp2(-k)).sum(0)
+        c0 = Cw[0] if kmin == 0 else jnp.zeros(Cw.shape[1:], Cw.dtype)
+    else:
+        K = Cw.shape[-1]
+        k = jnp.arange(kmin, kmin + K, dtype=jnp.float32)
+        denom = (Cw * jnp.exp2(-k)).sum(-1)
+        c0 = Cw[..., 0] if kmin == 0 else jnp.zeros(Cw.shape[:-1], Cw.dtype)
     alpha = (0.7213 / (1.0 + 1.079 / m) if m >= 128
              else {16: 0.673, 32: 0.697, 64: 0.709}.get(
                  int(m), 0.7213 / (1.0 + 1.079 / m)))
     e = alpha * m * m / denom
-    c0 = Cw[..., 0] if kmin == 0 else jnp.zeros(Cw.shape[:-1], Cw.dtype)
     small = (e <= 2.5 * m) & (c0 > 0)
     e_small = m * jnp.log(m / jnp.maximum(c0, 1e-9))
     return jnp.where(small, e_small, e)
 
 
-@partial(jax.jit, static_argnames=("p", "kmin", "method"))
+@partial(jax.jit, static_argnames=("p", "kmin", "method", "kfirst"))
 def estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
-                      method: int = ERTL_MLE) -> jnp.ndarray:
+                      method: int = ERTL_MLE, kfirst: bool = False
+                      ) -> jnp.ndarray:
     if method == ORIGINAL:
-        return original_estimate_windowed(Cw, p, kmin)
+        return original_estimate_windowed(Cw, p, kmin, kfirst)
     if method == ERTL_IMPROVED:
-        return improved_estimate_windowed(Cw, p, kmin)
-    return mle_estimate_windowed(Cw, p, kmin)
+        return improved_estimate_windowed(Cw, p, kmin, kfirst)
+    return mle_estimate_windowed(Cw, p, kmin, kfirst=kfirst)
 
 
 # ---------------------------------------------------------------------------

@@ -188,3 +188,45 @@ def test_pallas_jmle_matches_xla(rng, kmin, na, nb):
     ji_w = want[..., 2] / np.maximum(want.sum(-1), 1e-30)
     ji_g = got[..., 2] / np.maximum(got.sum(-1), 1e-30)
     np.testing.assert_allclose(ji_g, ji_w, atol=2e-6)
+
+
+@pytest.mark.parametrize("kmin,na,nb,estim", [
+    (0, 8, 128, 2),       # ERTL_MLE, window touches bin 0 (sigma path)
+    (3, 20, 150, 2),      # ERTL_MLE, interior window, ragged block
+    (3, 8, 128, 1),       # ERTL_IMPROVED
+    (3, 8, 128, 0),       # ORIGINAL
+])
+def test_pallas_union_mle_matches_xla(rng, kmin, na, nb, estim):
+    """The fused union-cardinality kernel must reproduce the XLA windowed
+    estimator path (same code via kfirst layout) for every estimator
+    method, including ragged pair blocks."""
+    from dashing_tpu.ops import pairwise as pw
+    from dashing_tpu.sketch import estimators as est
+    p = 10
+    K = 12
+    kmax = kmin + K - 1
+    m = 1 << p
+    a = rng.integers(kmin, kmax, size=(na, m)).astype(np.int32)
+    b = rng.integers(kmin, kmax, size=(nb, m)).astype(np.int32)
+    a[0] = 0 if kmin == 0 else kmin        # near-degenerate row
+    stats = pw.pair_stats(jnp.asarray(a), jnp.asarray(b), kmax, False,
+                          kmin)
+    import os
+    os.environ["DASHING_TPU_PALLAS_MLE"] = "0"
+    try:
+        want = np.asarray(pw.triples_from_stats(stats, p, estim,
+                                                est.ERTL_MLE, kmin))
+    finally:
+        os.environ["DASHING_TPU_PALLAS_MLE"] = "interpret"
+    try:
+        c_a = est.estimate_windowed(stats["hist_a"], p, kmin, estim)
+        c_b = est.estimate_windowed(stats["hist_b"], p, kmin, estim)
+        got = np.asarray(pw._pallas_union_triples(stats, c_a, c_b, p,
+                                                  kmin, estim))
+    finally:
+        del os.environ["DASHING_TPU_PALLAS_MLE"]
+    assert got.shape == want.shape == (na, nb, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=5e-2)
+    ji_w = want[..., 2] / np.maximum(want.sum(-1), 1e-30)
+    ji_g = got[..., 2] / np.maximum(got.sum(-1), 1e-30)
+    np.testing.assert_allclose(ji_g, ji_w, atol=2e-6)
