@@ -532,24 +532,36 @@ def hll_main(argv: List[str]) -> int:
     # with device compute without holding every file's buffer at once
     window: deque = deque()
     WINDOW = 4
+    mine = list(enumerate(distributed.my_shard(inpaths)))
+    path_of = dict(mine)
 
     def drain_one():
-        h = window.popleft()
+        ids, h = window.popleft()
         if h is None:            # empty file
             return
-        dev = np.clip(np.asarray(jax.device_get(h)), 0, 255).astype(np.uint8)
+        try:
+            dev = np.clip(np.asarray(jax.device_get(h)), 0, 255
+                          ).astype(np.uint8)
+        except jax.errors.JaxRuntimeError as e:
+            # transient backend failure: rebuild the affected files
+            # synchronously (pure pipeline, idempotent; SURVEY.md 5.3)
+            eprint(f"Warning: device pull failed for {len(ids)} file(s) "
+                   f"({type(e).__name__}); re-dispatching")
+            for i in ids:
+                np.maximum(regs, core._sketch_with_retry(
+                    path_of[i], params, p), out=regs)
+            return
         if dev.ndim == 2:        # batched (B, m) bank: fold the files in
             dev = dev.max(axis=0)
         np.maximum(regs, dev, out=regs)
 
     from concurrent.futures import ThreadPoolExecutor
     ex = ThreadPoolExecutor(max_workers=2)
-    mine = list(enumerate(distributed.my_shard(inpaths)))
     try:
         # shared job generator: small files batch into (B, 2^p) banks —
         # the bank max-reduces into the single merged register set
         for ids, h in core.sketch_jobs(mine, params, p, ex):
-            window.append(h)
+            window.append((ids, h))
             if len(window) >= WINDOW:
                 drain_one()
         while window:

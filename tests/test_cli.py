@@ -517,6 +517,39 @@ def test_device_hll_run_retries_transient_pull_failure(tmp_path, rng,
         np.testing.assert_array_equal(got[i], clean[i])
 
 
+def test_hll_main_retries_transient_pull_failure(tmp_path, rng,
+                                                 monkeypatch, capsys):
+    """The hll subcommand's merge drain must survive a transient pull
+    failure and produce the identical merged cardinality."""
+    import jax
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"h{i}.fa"
+        p.write_text(f">h{i}\n" + "".join(rng.choice(list("ACGT"),
+                                                     size=3_000)) + "\n")
+        paths.append(str(p))
+    args = ["hll", "-k", "21", "-S", "12"] + paths
+    run_cli(args)
+    clean = capsys.readouterr().out
+
+    real_get = jax.device_get
+    fails = {"n": 1}
+
+    def flaky_get(h):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise jax.errors.JaxRuntimeError(
+                "FAILED_PRECONDITION: TPU backend error (injected)")
+        return real_get(h)
+
+    monkeypatch.setattr(jax, "device_get", flaky_get)
+    run_cli(args)
+    cap = capsys.readouterr()
+    assert fails["n"] == 0, "failure injection never fired"
+    assert "re-dispatching" in cap.err
+    assert cap.out == clean
+
+
 def test_sketch_with_retry_exhausts_and_raises(tmp_path, rng, monkeypatch):
     """Persistent backend failure stays fail-loud: after bounded retries
     the original error propagates instead of silently degrading."""
