@@ -230,3 +230,34 @@ def test_pallas_union_mle_matches_xla(rng, kmin, na, nb, estim):
     ji_w = want[..., 2] / np.maximum(want.sum(-1), 1e-30)
     ji_g = got[..., 2] / np.maximum(got.sum(-1), 1e-30)
     np.testing.assert_allclose(ji_g, ji_w, atol=2e-6)
+
+
+def test_pallas_union_mle_diagonal_tile(rng):
+    """Kernel path on a same-bank (diagonal) tile: pair_stats(same=True)
+    derives marginals from the X diagonal; the kernel must agree with the
+    XLA path on the exact same stats."""
+    from dashing_tpu.ops import pairwise as pw
+    from dashing_tpu.sketch import estimators as est
+    import os
+    p, kmin, K = 10, 4, 10
+    kmax = kmin + K - 1
+    a = rng.integers(kmin, kmax, size=(24, 1 << p)).astype(np.int32)
+    stats = pw.pair_stats(jnp.asarray(a), jnp.asarray(a), kmax, False,
+                          kmin, same=True)
+    os.environ["DASHING_TPU_PALLAS_MLE"] = "0"
+    try:
+        want = np.asarray(pw.triples_from_stats(stats, p, est.ERTL_MLE,
+                                                est.ERTL_MLE, kmin))
+    finally:
+        os.environ["DASHING_TPU_PALLAS_MLE"] = "interpret"
+    try:
+        c_a = est.estimate_windowed(stats["hist_a"], p, kmin, est.ERTL_MLE)
+        c_b = est.estimate_windowed(stats["hist_b"], p, kmin, est.ERTL_MLE)
+        got = np.asarray(pw._pallas_union_triples(stats, c_a, c_b, p,
+                                                  kmin, est.ERTL_MLE))
+    finally:
+        del os.environ["DASHING_TPU_PALLAS_MLE"]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=5e-2)
+    ji_w = want[..., 2] / np.maximum(want.sum(-1), 1e-30)
+    ji_g = got[..., 2] / np.maximum(got.sum(-1), 1e-30)
+    np.testing.assert_allclose(ji_g, ji_w, atol=2e-6)
