@@ -116,34 +116,50 @@ def _fmt(v: float, scientific: bool = False) -> str:
     return ("%e" if scientific else "%.6g") % v
 
 
+def _row_segments(vals: np.ndarray, counts: np.ndarray, fmt_code: int):
+    """Per-row '\\t<v>\\t<v>...' segments; native C++ formatter when the
+    shared library is present (15-40x the Python loop; byte-identical,
+    asserted by tests/test_io_pipeline.py), Python otherwise.  Values are
+    formatted at float32 — the precision the binary format stores
+    (write_binary's dtype code 0) — on BOTH paths, so native/fallback and
+    text/binary outputs agree."""
+    from . import native
+    vals = np.ascontiguousarray(vals, np.float32)
+    it = native.fmt_rows_iter(vals, counts, fmt_code)
+    if it is not None:
+        return it
+    py_fmt = ("%.6g", "%e", "%f")[fmt_code]
+
+    def gen():
+        pos = 0
+        for cnt in counts:
+            c = int(cnt)
+            yield "".join("\t" + py_fmt % v for v in vals[pos:pos + c])
+            pos += c
+    return gen()
+
+
 def emit_ut_tsv(fp, names: Sequence[str], condensed: np.ndarray,
                 scientific: bool = False):
     n = len(names)
     fp.write("##Names\t" + "\t".join(names) + "\n")
-    pos = 0
-    for i in range(n):
-        row = [names[i]]
-        row.extend(["-"] * (i + 1))
-        cnt = n - i - 1
-        row.extend(_fmt(v, scientific) for v in condensed[pos:pos + cnt])
-        pos += cnt
-        fp.write("\t".join(row) + "\n")
+    counts = np.arange(n - 1, -1, -1, dtype=np.int64)
+    segs = _row_segments(np.asarray(condensed), counts, 1 if scientific else 0)
+    for i, seg in enumerate(segs):
+        fp.write(names[i] + "\t-" * (i + 1) + seg + "\n")
 
 
 def emit_phylip(fp, names: Sequence[str], condensed: np.ndarray,
                 scientific: bool = False):
     n = len(names)
     fp.write(f"{n}\n")
-    pos = 0
-    for i in range(n):
+    counts = np.arange(n - 1, -1, -1, dtype=np.int64)
+    segs = _row_segments(np.asarray(condensed), counts, 1 if scientific else 0)
+    for i, seg in enumerate(segs):
         name = names[i]
         if len(name) < 9:
             name = name + " " * (9 - len(name))
-        cnt = n - i - 1
-        vals = "".join("\t" + _fmt(v, scientific)
-                       for v in condensed[pos:pos + cnt])
-        pos += cnt
-        fp.write(name + vals + "\n")
+        fp.write(name + seg + "\n")
 
 
 def emit_full_tsv(fp, names: Sequence[str], square: np.ndarray,
@@ -153,9 +169,11 @@ def emit_full_tsv(fp, names: Sequence[str], square: np.ndarray,
     # after the last) — note NO separator between "#Names" and name 0.
     fp.write("#Names" + "\t".join(names) + "\n")
     n = len(names)
-    for i in range(n):
-        vals = "\t".join(_fmt(square[i, j], scientific) for j in range(n))
-        fp.write(f"{names[i]}\t{vals}\n")
+    sq = np.ascontiguousarray(square, np.float32).reshape(-1)
+    counts = np.full(n, n, np.int64)
+    segs = _row_segments(sq, counts, 1 if scientific else 0)
+    for i, seg in enumerate(segs):
+        fp.write(names[i] + seg + "\n")
 
 
 def condensed_to_square(condensed: np.ndarray, n: int, diag: float = 0.0
@@ -175,9 +193,11 @@ def print_binary(in_path: str, fp, use_scientific: bool = False):
     binary condensed matrix -> TSV dump."""
     n, data = read_binary(in_path)
     sq = condensed_to_square(data, n)
-    fmt = "%e" if use_scientific else "%f"
-    for i in range(n):
-        fp.write("\t".join(fmt % v for v in sq[i]) + "\n")
+    counts = np.full(n, n, np.int64)
+    segs = _row_segments(np.ascontiguousarray(sq).reshape(-1), counts,
+                         1 if use_scientific else 2)
+    for seg in segs:
+        fp.write(seg[1:] + "\n")
 
 
 # -- flatten (multi-k) -------------------------------------------------------

@@ -63,6 +63,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dtpu_read_raw.restype = ctypes.c_int
         lib.dtpu_free_buf.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         lib.dtpu_free_buf.restype = None
+        lib.dtpu_fmt_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+        lib.dtpu_fmt_rows.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -87,6 +92,54 @@ def read_raw(path: str) -> Optional[bytes]:
         return ctypes.string_at(buf, ln.value)
     finally:
         lib.dtpu_free_buf(buf)
+
+
+def fmt_rows_iter(vals: np.ndarray, counts: np.ndarray, fmt: int):
+    """Format matrix rows natively; yields one str segment per row, each of
+    the form '\\t<v0>\\t<v1>...'.  `vals` holds the rows concatenated,
+    `counts` the per-row value counts.  fmt: 0 = '%.6g', 1 = '%e',
+    2 = '%f' (matching io.distmat's emitters).  Returns None when the
+    native library is unavailable — callers fall back to the Python loop.
+
+    Rows are processed in bounded batches (~64 MB of formatting buffer) so
+    arbitrarily large matrices never materialize a full text copy."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dtpu_fmt_rows"):
+        return None
+    vals = np.ascontiguousarray(vals, np.float32)
+    counts = np.asarray(counts, np.int64)
+    if int(counts.sum()) != vals.size:
+        raise ValueError("counts do not partition vals")
+    slot = 56 if fmt == 2 else 18
+    batch_vals = max(1, (64 << 20) // slot)
+
+    def gen():
+        r, v0 = 0, 0
+        nrows = counts.size
+        while r < nrows:
+            r1, acc = r, 0
+            while r1 < nrows and (acc == 0 or acc + counts[r1] <= batch_vals):
+                acc += int(counts[r1])
+                r1 += 1
+            off = np.zeros(r1 - r + 1, np.int64)
+            np.cumsum(counts[r:r1], out=off[1:])
+            sub = vals[v0:v0 + acc]
+            v0 += acc
+            out = ctypes.create_string_buffer(max(1, acc * slot))
+            seg = np.zeros(r1 - r, np.int64)
+            rc = lib.dtpu_fmt_rows(
+                sub.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                r1 - r, fmt, slot, 0, out,
+                seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            if rc != 0:
+                raise RuntimeError("dtpu_fmt_rows failed")
+            mv = memoryview(out)
+            for i in range(r1 - r):
+                a = int(off[i]) * slot
+                yield bytes(mv[a:a + int(seg[i])]).decode("ascii")
+            r = r1
+    return gen()
 
 
 def read_joined(path: str, sep_len: int

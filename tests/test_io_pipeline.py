@@ -134,6 +134,49 @@ def test_text_emitters(rng):
     assert lines[0].startswith("#Namesalpha\t")
 
 
+def test_native_formatter_matches_python(rng, monkeypatch):
+    """The C++ row formatter (native/emit.cpp) must be byte-identical to
+    the Python '%'-operator fallback for every emitted format, including
+    non-finite and extreme-magnitude values (glibc prints '-nan' where
+    Python prints 'nan'; the kernel normalizes)."""
+    from dashing_tpu.io import native as dnative
+    if dnative.fmt_rows_iter(np.zeros(1, np.float32),
+                             np.ones(1, np.int64), 0) is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    edge = np.array([0.0, -0.0, 1.0, -1.0, 0.1, 1 / 3, 1e-30, -1e-30,
+                     3.4e38, -3.4e38, 1.17549435e-38, 1e-45, np.inf,
+                     -np.inf, np.nan, 123456.7, 0.9999995, 1e6, 999999.4,
+                     999999.6, 1e-5], np.float32)
+    rnd = (rng.standard_normal(4000)
+           * np.exp(rng.uniform(-40, 40, 4000))).astype(np.float32)
+    vals = np.concatenate([edge, rnd])
+    counts = np.array([edge.size, 1000, 3000, 0], np.int64)
+    for code, pyfmt in ((0, "%.6g"), (1, "%e"), (2, "%f")):
+        segs = list(dnative.fmt_rows_iter(vals, counts, code))
+        pos = 0
+        for seg, cnt in zip(segs, counts):
+            want = "".join("\t" + pyfmt % v for v in vals[pos:pos + int(cnt)])
+            assert seg == want
+            pos += int(cnt)
+    # whole-emitter agreement: native vs forced-fallback output
+    names = [f"g{i}" for i in range(30)]
+    cond = rng.random(30 * 29 // 2).astype(np.float32)
+    outs = []
+    for force_py in (False, True):
+        if force_py:
+            monkeypatch.setattr(dnative, "fmt_rows_iter",
+                                lambda *a, **k: None)
+        for emit in (distmat.emit_ut_tsv, distmat.emit_phylip):
+            buf = io.StringIO()
+            emit(buf, names, cond, False)
+            outs.append(buf.getvalue())
+            buf = io.StringIO()
+            emit(buf, names, cond, True)
+            outs.append(buf.getvalue())
+    assert outs[:4] == outs[4:]
+
+
 def test_flatten_roundtrip(tmp_path, rng):
     n = 5
     ne = n * (n - 1) // 2
