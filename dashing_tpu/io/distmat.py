@@ -122,9 +122,9 @@ def _row_segments(vals: np.ndarray, counts: np.ndarray, fmt_code: int):
     asserted by tests/test_io_pipeline.py), Python otherwise.  Values are
     formatted at float32 — the precision the binary format stores
     (write_binary's dtype code 0) — on BOTH paths, so native/fallback and
-    text/binary outputs agree."""
+    text/binary outputs agree.  `vals` may be an out-of-core memmap; both
+    paths read it in bounded slices."""
     from . import native
-    vals = np.ascontiguousarray(vals, np.float32)
     it = native.fmt_rows_iter(vals, counts, fmt_code)
     if it is not None:
         return it
@@ -134,7 +134,8 @@ def _row_segments(vals: np.ndarray, counts: np.ndarray, fmt_code: int):
         pos = 0
         for cnt in counts:
             c = int(cnt)
-            yield "".join("\t" + py_fmt % v for v in vals[pos:pos + c])
+            row = np.asarray(vals[pos:pos + c], np.float32)
+            yield "".join("\t" + py_fmt % v for v in row)
             pos += c
     return gen()
 

@@ -106,7 +106,6 @@ def fmt_rows_iter(vals: np.ndarray, counts: np.ndarray, fmt: int):
     lib = _load()
     if lib is None or not hasattr(lib, "dtpu_fmt_rows"):
         return None
-    vals = np.ascontiguousarray(vals, np.float32)
     counts = np.asarray(counts, np.int64)
     if int(counts.sum()) != vals.size:
         raise ValueError("counts do not partition vals")
@@ -123,7 +122,9 @@ def fmt_rows_iter(vals: np.ndarray, counts: np.ndarray, fmt: int):
                 r1 += 1
             off = np.zeros(r1 - r + 1, np.int64)
             np.cumsum(counts[r:r1], out=off[1:])
-            sub = vals[v0:v0 + acc]
+            # convert per batch: `vals` may be an out-of-core memmap of the
+            # whole condensed matrix — never materialize it wholesale
+            sub = np.ascontiguousarray(vals[v0:v0 + acc], np.float32)
             v0 += acc
             out = ctypes.create_string_buffer(max(1, acc * slot))
             seg = np.zeros(r1 - r, np.int64)
