@@ -15,6 +15,9 @@ environment has no network; SURVEY.md sec 0/6).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -30,6 +33,11 @@ ITERS = 30
 def device_rate() -> float:
     import functools
     import jax
+    if os.environ.get("DASHING_TPU_PLATFORM"):
+        # same opt-out as the CLI: the axon PJRT plugin is registered by
+        # sitecustomize before this code runs, so env JAX_PLATFORMS is
+        # too late — the config update is the only reliable override
+        jax.config.update("jax_platforms", os.environ["DASHING_TPU_PLATFORM"])
     import jax.numpy as jnp
     from dashing_tpu.ops.encode import encode_tile
     from dashing_tpu.ops.hll_update import (_ROW, adaptive_cap,
@@ -133,5 +141,38 @@ def main():
     }))
 
 
+def _supervised() -> int:
+    """The tunnel to the TPU has measured multi-minute stalls and raises
+    transient FAILED_PRECONDITION errors (BENCH_NOTES.md); a hung backend
+    call cannot be interrupted in-process, so the measurement runs in a
+    child with a hard timeout and bounded retries — the same
+    fail-loud-after-N policy as the CLI's _sketch_with_retry."""
+    env = dict(os.environ, DASHING_TPU_BENCH_INNER="1")
+    last = ""
+    for attempt in range(4):
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=900)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1}: timed out (tunnel stall?), "
+                  "retrying", file=sys.stderr)
+            continue
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+        last = (r.stderr or "")[-2000:]
+        print(f"bench attempt {attempt + 1}: exit {r.returncode}, retrying",
+              file=sys.stderr)
+        time.sleep(min(60 * (attempt + 1), 180))
+    print(f"bench: all attempts failed; last stderr:\n{last}",
+          file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DASHING_TPU_BENCH_INNER"):
+        main()
+    else:
+        sys.exit(_supervised())
