@@ -343,8 +343,13 @@ def _sharded_ascii_step(mesh, kw_items: tuple, p: int, ucap: int = 64):
         upd = _tile_to_registers(tile, regs, **kw, p=p, ucap=ucap)
         return jax.lax.pmax(upd, "d")
 
+    # check_vma=False on every production shard_map: the varying-mesh-axes
+    # checker rejects pallas_call outputs (no vma on their
+    # ShapeDtypeStructs), and the fused encode/update kernels run
+    # per-shard inside these bodies on TPU meshes
     return jax.jit(shard_map(local, mesh=mesh,
-                             in_specs=(P("d", None), P()), out_specs=P()))
+                             in_specs=(P("d", None), P()), out_specs=P(),
+                             check_vma=False))
 
 
 @functools.lru_cache(maxsize=None)
@@ -360,7 +365,7 @@ def _sharded_packed_step(mesh, k: int, p: int, canon: bool, C: int,
 
     return jax.jit(shard_map(local, mesh=mesh,
                              in_specs=(P("d", None), P("d", None), P()),
-                             out_specs=P()))
+                             out_specs=P(), check_vma=False))
 
 
 @functools.lru_cache(maxsize=None)
@@ -376,7 +381,7 @@ def _sharded_filtered_step(mesh, kw_items: tuple, p: int):
 
     return jax.jit(shard_map(local, mesh=mesh,
                              in_specs=(P("d", None), P("d", None), P()),
-                             out_specs=P()))
+                             out_specs=P(), check_vma=False))
 
 
 def _sketch_mesh():
@@ -461,7 +466,7 @@ def _sharded_batch_step(mesh, packed_mode: bool, static_key: tuple,
     return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=tuple([P("d", None)] * (nin - 1) + [P("d")]),
-        out_specs=P()))
+        out_specs=P(), check_vma=False))
 
 
 def sketch_small_batch_async(chunks: np.ndarray, params: SketchParams,

@@ -190,3 +190,46 @@ def test_cli_panel_mesh_identical(tmp_path, rng, capsys):
     m = open(out_m).read()
     assert open(out_s).read() == m
     assert "p1.fa" in m          # best match is the source genome
+
+
+@pytest.mark.parametrize("family", ["jmle", "mle"])
+def test_sharded_compare_composes_with_pallas_kernels(rng, family):
+    """On real multi-chip TPU the production compare tile runs the fused
+    estimator kernels PER SHARD (pallas_call inside shard_map via
+    _sharded_compare_fn -> triples_from_stats).  No local hardware has >1
+    TPU chip, so pin the composition — tracing AND semantics — on the
+    8-device CPU mesh with interpret-mode kernels: the sharded+kernel
+    output must match the sharded kernels-off path.  jit caches are
+    cleared around the env flips because the flags are read at trace
+    time."""
+    var = ("DASHING_TPU_PALLAS_JMLE" if family == "jmle"
+           else "DASHING_TPU_PALLAS_MLE")
+    p, m = 8, 1 << 8
+    regs_a = rng.integers(2, 14, size=(32, m)).astype(np.int32)
+    regs_b = rng.integers(2, 14, size=(24, m)).astype(np.int32)
+    jestim = est.ERTL_JOINT_MLE if family == "jmle" else est.ERTL_MLE
+    kmax = int(max(regs_a.max(), regs_b.max())) + 1
+    kmin = int(min(regs_a.min(), regs_b.min()))
+    assert pmesh.local_mesh() is not None
+
+    def run():
+        out = pw.compare_tile_async(regs_a, regs_b, p, pw.JI, 1.0 / 21,
+                                    est.ERTL_MLE, jestim, kmax, kmin)
+        return np.asarray(out)
+
+    saved = os.environ.get(var)
+    try:
+        os.environ[var] = "0"
+        jax.clear_caches()
+        want = run()
+        os.environ[var] = "interpret"
+        jax.clear_caches()
+        got = run()
+    finally:
+        if saved is None:
+            os.environ.pop(var, None)
+        else:
+            os.environ[var] = saved
+        jax.clear_caches()
+    assert got.shape == want.shape == (32, 24)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
