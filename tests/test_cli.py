@@ -644,6 +644,125 @@ def test_dist_W_cache_through_device_engine(genomes, tmp_path, capsys):
         np.testing.assert_array_equal(g.regs, w.regs)
 
 
+def _parse_ut_tsv(path):
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("##Names\t")
+    names = lines[0].split("\t")[1:]
+    n = len(names)
+    vals = []
+    for i, line in enumerate(lines[1:]):
+        fields = line.split("\t")
+        assert fields[0] == names[i]
+        assert fields[1:i + 2] == ["-"] * (i + 1)
+        vals.extend(float(v) for v in fields[i + 2:])
+    assert len(vals) == n * (n - 1) // 2
+    return names, np.array(vals, np.float64)
+
+
+def _parse_phylip(path):
+    lines = open(path).read().splitlines()
+    n = int(lines[0])
+    vals = []
+    for i in range(n):
+        fields = lines[1 + i].split("\t")
+        assert len(fields) == n - i  # padded name + upper-tri values
+        vals.extend(float(v) for v in fields[1:])
+    return np.array(vals, np.float64)
+
+
+def _parse_full_tsv(path):
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("#Names")
+    names = ("\t" + lines[0][len("#Names"):]).split("\t")[1:]
+    n = len(names)
+    sq = np.zeros((n, n), np.float64)
+    for i in range(n):
+        fields = lines[1 + i].split("\t")
+        assert fields[0] == names[i]
+        sq[i] = [float(v) for v in fields[1:]]
+    return sq
+
+
+SYMMETRIC_EMISSIONS = {
+    "ji": [],
+    "mash": ["-M"],
+    "sizes": ["-Z"],
+    "full-mash": ["-l"],
+    "sym-ci": ["--symmetric-containment-index"],
+    "sym-cd": ["--symmetric-containment-dist"],
+}
+
+
+@pytest.mark.parametrize("emission", sorted(SYMMETRIC_EMISSIONS))
+def test_emission_format_matrix_symmetric(genomes, tmp_path, capsys,
+                                          emission):
+    """Every symmetric emission type must agree across all four output
+    formats (reference emitters src/sketch_and_cmp.h:786-880: UT_TSV,
+    PHYLIP, FULL_TSV, binary all consume the same result_cmp values)."""
+    eflags = SYMMETRIC_EMISSIONS[emission]
+    base = ["dist", "-k", "21", "-S", "12", "--avoid-sorting"]
+    outs = {fmt: str(tmp_path / f"d{emission}.{fmt}")
+            for fmt in ("tsv", "phylip", "full", "bin")}
+    run_cli(base + eflags + ["-O", outs["tsv"]] + genomes)
+    run_cli(base + eflags + ["-U", "-O", outs["phylip"]] + genomes)
+    run_cli(base + eflags + ["-T", "-O", outs["full"]] + genomes)
+    run_cli(base + eflags + ["-b", "-O", outs["bin"]] + genomes)
+    capsys.readouterr()
+    names, ut = _parse_ut_tsv(outs["tsv"])
+    n, cond = distmat.read_binary(outs["bin"])
+    assert n == len(genomes)
+    # binary float32 is the canonical precision; text is %.6g of float32
+    np.testing.assert_allclose(ut, cond, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(_parse_phylip(outs["phylip"]), cond,
+                               rtol=2e-5, atol=1e-6)
+    sq = _parse_full_tsv(outs["full"])
+    np.testing.assert_array_equal(np.diag(sq), np.zeros(n))
+    np.testing.assert_array_equal(sq, sq.T)
+    np.testing.assert_allclose(sq[np.triu_indices(n, 1)], cond,
+                               rtol=2e-5, atol=1e-6)
+    labels = open(outs["bin"] + ".labels").read().splitlines()
+    assert labels == names == genomes
+
+
+ASYMMETRIC_EMISSIONS = {
+    "ci": ["--containment-index"],
+    "cd": ["--containment-dist"],
+    "full-cd": ["--full-containment-dist"],
+}
+
+
+@pytest.mark.parametrize("emission", sorted(ASYMMETRIC_EMISSIONS))
+def test_emission_format_matrix_asymmetric(genomes, tmp_path, capsys,
+                                           emission):
+    """Asymmetric emissions run rectangular Q x R; TSV and binary must
+    carry the same values, and omitting -Q auto-promotes all references
+    to queries (reference src/distmain.cpp:130-136 note)."""
+    eflags = ASYMMETRIC_EMISSIONS[emission]
+    base = ["dist", "-k", "21", "-S", "12", "--avoid-sorting"]
+    qfile = tmp_path / "q.txt"
+    qfile.write_text(genomes[1] + "\n")
+    t_out = str(tmp_path / f"r{emission}.tsv")
+    b_out = str(tmp_path / f"r{emission}.bin")
+    run_cli(base + eflags + ["-Q", str(qfile), "-O", t_out] + genomes)
+    run_cli(base + eflags + ["-Q", str(qfile), "-b", "-O", b_out] + genomes)
+    capsys.readouterr()
+    raw = np.fromfile(b_out, np.float32).reshape(1, len(genomes))
+    lines = open(t_out).read().splitlines()
+    assert len(lines) == 1 and lines[0].split("\t")[0] == genomes[1]
+    tsv_vals = np.array([float(v) for v in lines[0].split("\t")[1:]])
+    np.testing.assert_allclose(tsv_vals, raw[0], rtol=2e-5, atol=1e-6)
+    # query==ref column: containment of a set in itself
+    self_col = genomes.index(genomes[1])
+    if emission == "ci":
+        assert raw[0, self_col] == pytest.approx(1.0, abs=1e-5)
+    # no -Q: every reference becomes a query -> square rectangular matrix
+    sq_out = str(tmp_path / f"sq{emission}.bin")
+    run_cli(base + eflags + ["-b", "-O", sq_out] + genomes)
+    capsys.readouterr()
+    sq = np.fromfile(sq_out, np.float32).reshape(len(genomes), len(genomes))
+    np.testing.assert_allclose(sq[self_col], raw[0], rtol=1e-6)
+
+
 def test_readfilt_emit_format(tmp_path, rng, capsys):
     """Output records mirror the reference emit() byte layout
     (src/readfilt.cpp:17-33): FASTQ mate 1 '@name comment|CI:%lf|a|b|x|',
