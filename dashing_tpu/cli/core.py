@@ -25,7 +25,7 @@ from ..sketch.khset import KSet
 # src/sketch_and_cmp.h:40-74): one -S log2-bytes knob mapped per structure.
 SKETCH_EXTS = {"hll": ".hll", "khset": ".khs", "bf": ".bf", "rmh": ".rmh",
                "bbmh": ".bmh", "crmh": ".crmh", "superminhash": ".bbs",
-               "hmh": ".hmh", "wide_hll": ".whll"}
+               "hmh": ".hmh", "wide_hll": ".whll", "cbbmh": ".cbmh"}
 
 
 def eprint(*a, **kw):
@@ -111,6 +111,11 @@ def parse_common(opts: CommonOpts, flag: str, val: str) -> bool:
         # the reference declares this flag but ships it commented out
         # (src/dashing.cpp:282); ours works
         "--use-counting-range-minhash": ("sketch_type", "crmh"),
+        # the reference registers COUNTING_BB_MINHASH (enum, .cbmh suffix,
+        # FinalSketch overloads, src/dashing.h:218,231,315,358) but never
+        # dispatches it (src/sketchcorecbbmh.cpp is a commented-out stub);
+        # ours is live
+        "--use-counting-bb-minhash": ("sketch_type", "cbbmh"),
         "--use-bloom-filter": ("sketch_type", "bf"),
         "--use-full-khash-sets": ("sketch_type", "khset"),
         "--use-full-hash-sets": ("sketch_type", "khset"),
@@ -199,6 +204,7 @@ def gather_inpaths(opts: CommonOpts, positional: List[str]) -> List[str]:
 # the matching type flag; we sniff and auto-correct with a warning)
 _MAGIC_TYPES = {b"DTPUHLL1": "hll", b"DTPUBF01": "bf", b"DTPURMH1": "rmh",
                 b"DTPUCRM1": "crmh", b"DTPUBBM1": "bbmh",
+                b"DTPUCBB1": "cbbmh",
                 b"DTPUWHL1": "wide_hll", b"DTPUHMH1": "hmh",
                 b"DTPUSMH1": "superminhash", b"DTPUSMH2": "superminhash"}
 

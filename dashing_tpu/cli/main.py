@@ -50,7 +50,7 @@ DIST_LONG = [
     "use-full-khash-sets", "use-full-hash-sets", "use-hash-sets",
     "hash-sets", "use-full-sets", "full-containment-dist",
     "use-bloom-filter", "use-nthash", "containment-index",
-    "use-counting-range-minhash",
+    "use-counting-range-minhash", "use-counting-bb-minhash",
     "containment-dist", "mash-dist", "symmetric-containment-index",
     "symmetric-containment-dist", "use-cyclic-hash", "wj-cm-sketch-size=",
     "wj-cm-nhashes=", "wj", "nearest-neighbors=", "wj-exact",
@@ -313,7 +313,7 @@ SKETCH_LONG = [
     "suffix=", "wj-cm-sketch-size=", "wj-cm-nhashes=", "use-range-minhash",
     "use-full-khash-sets", "use-bloom-filter", "use-nthash",
     "use-cyclic-hash", "avoid-sorting", "wj", "wj-exact", "use-wide-hll",
-    "use-counting-range-minhash",
+    "use-counting-range-minhash", "use-counting-bb-minhash",
     "use-superminhash", "use-hyperminhash", "defer-hll", "help",
 ]
 

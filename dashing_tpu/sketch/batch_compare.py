@@ -29,7 +29,7 @@ from typing import List, Optional
 import numpy as np
 
 from .setsketches import (BBitMinHash, BloomFilter, BottomK,
-                          CountingBottomK)
+                          CountingBBitMinHash, CountingBottomK)
 from .extra import DensifiedMinHash, HyperMinHash, SuperMinHash
 
 _TILE = 64          # A-side rows per broadcast tile (bounds memory)
@@ -65,6 +65,38 @@ def _bbmh_rect(A: List[BBitMinHash], B: List[BBitMinHash]) -> np.ndarray:
         f = np.divide(eq, nocc, out=np.zeros_like(ji[sl]), where=nocc > 0)
         j = np.maximum(0.0, (f - c) / (1.0 - c))
         ji[sl] = np.where(nocc > 0, j, 0.0)
+    return _ji_to_triple(ji, ca, cb)
+
+
+def _cbbmh_rect(A: List[CountingBBitMinHash], B) -> np.ndarray:
+    """Weighted-Jaccard ratio estimator over bucket minima, mirroring
+    CountingBBitMinHash.histogram_intersection exactly: matched b-bit
+    registers contribute min/max multiplicities; a mismatched bucket
+    contributes only the multiplicity of the side holding the smaller
+    (full, untruncated) minimum — the sampled union element."""
+    ra = np.stack([s._regs_b() for s in A])
+    rb = np.stack([s._regs_b() for s in B])
+    ma = np.stack([s.mins for s in A])
+    mb = np.stack([s.mins for s in B])
+    occa = np.stack([s.mins != s.EMPTY for s in A])
+    occb = np.stack([s.mins != s.EMPTY for s in B])
+    cnta = np.stack([s.counts for s in A]).astype(np.int64)
+    cntb = np.stack([s.counts for s in B]).astype(np.int64)
+    ca, cb = _cards(A), _cards(B)
+    na, nb = ra.shape[0], rb.shape[0]
+    ji = np.zeros((na, nb), np.float64)
+    for i0 in range(0, na, _TILE):
+        sl = slice(i0, i0 + _TILE)
+        eq = ((ra[sl][:, None, :] == rb[None, :, :])
+              & occa[sl][:, None, :] & occb[None, :, :])
+        xa, xb = cnta[sl][:, None, :], cntb[None, :, :]
+        va, vb = ma[sl][:, None, :], mb[None, :, :]
+        num = np.where(eq, np.minimum(xa, xb), 0).sum(-1)
+        argmin_cnt = np.where(va < vb, xa,
+                              np.where(vb < va, xb, np.maximum(xa, xb)))
+        den = np.where(eq, np.maximum(xa, xb), argmin_cnt).sum(-1)
+        ji[sl] = np.divide(num, den, out=np.zeros_like(ji[sl]),
+                           where=den > 0)
     return _ji_to_triple(ji, ca, cb)
 
 
@@ -226,7 +258,8 @@ def _bottomk_rect(A, B, counting: bool) -> np.ndarray:
 
 def supports(sketches) -> bool:
     """Whether batch_triples has an engine for this sketch type."""
-    return type(sketches[0]) in (BBitMinHash, DensifiedMinHash, SuperMinHash,
+    return type(sketches[0]) in (BBitMinHash, CountingBBitMinHash,
+                                 DensifiedMinHash, SuperMinHash,
                                  HyperMinHash, BloomFilter, CountingBottomK,
                                  BottomK)
 
@@ -237,6 +270,8 @@ def batch_triples(A, B) -> Optional[np.ndarray]:
     t = type(A[0])
     if t is BBitMinHash:
         return _bbmh_rect(A, B)
+    if t is CountingBBitMinHash:
+        return _cbbmh_rect(A, B)
     if t is DensifiedMinHash:
         return _densified_rect(A, B)
     if t is SuperMinHash:

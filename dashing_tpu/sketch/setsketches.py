@@ -409,6 +409,137 @@ class BBitMinHash:
         return _read_gz(pf, cls.read_record)
 
 
+class CountingBBitMinHash(BBitMinHash):
+    """mh::CountingBBitMinHasher<uint64_t, uint16_t> (CBBMinHashType,
+    reference src/dashing.h:218).
+
+    The reference registers this type end-to-end — enum COUNTING_BB_MINHASH
+    (src/dashing.h:231), cache suffix `.cbmh` (:358), FinalSketch/SketchEnum
+    overloads (:315,411) and a sketch_core instantiation stub
+    (src/sketchcorecbbmh.cpp) — but ships the stub commented out and no
+    subcommand dispatches it, so it is unreachable from the reference CLI.
+    Ours is live behind `--use-counting-bb-minhash`.
+
+    Semantics: one-permutation b-bit minhash whose buckets additionally
+    carry the multiplicity of the bucket's minimum element, saturating at
+    uint16 (the reference's CountType — "Is counting to 65536 enough for a
+    transcriptome?", src/dashing.h:218).  Similarity is the histogram
+    intersection over bucket minima — matched b-bit registers contribute
+    min/max of the two multiplicities, mismatched ones put both
+    multiplicities in the union — the counting analog of
+    similarity<CRMFinal> (reference src/dashing.h:142-144), which this
+    mirrors exactly as CountingBottomK does for bottom-k.
+    """
+    MAGIC = b"DTPUCBB1"
+    COUNT_MAX = 0xFFFF
+
+    def __init__(self, p: int, b: int = 16, mins: np.ndarray = None,
+                 est_card: float = 0.0, counts: np.ndarray = None):
+        super().__init__(p, b, mins, est_card)
+        self.counts = (np.zeros(1 << self.p, np.uint32) if counts is None
+                       else np.asarray(counts, np.uint32))
+
+    def add_np(self, hashes: np.ndarray):
+        hashes = np.asarray(hashes, np.uint64)
+        if hashes.size == 0:
+            return
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        val = hashes << np.uint64(self.p)
+        # group (bucket, value): runs are contiguous after the lexsort, so
+        # the first run of each bucket is its minimum and the run length is
+        # that minimum's multiplicity — one pass, order-invariant
+        order = np.lexsort((val, idx))
+        si, sv = idx[order], val[order]
+        first = np.ones(si.size, bool)
+        first[1:] = (si[1:] != si[:-1]) | (sv[1:] != sv[:-1])
+        starts = np.flatnonzero(first)
+        run_len = np.diff(np.append(starts, si.size))
+        uidx, uval = si[first], sv[first]
+        bucket_first = np.ones(uidx.size, bool)
+        bucket_first[1:] = uidx[1:] != uidx[:-1]
+        self._merge_minima(uidx[bucket_first], uval[bucket_first],
+                           run_len[bucket_first])
+
+    def _merge_minima(self, bi: np.ndarray, bv: np.ndarray, bc: np.ndarray):
+        """Merge per-bucket (min value, multiplicity) candidates; `bi` must
+        be unique (one candidate per bucket)."""
+        cur = self.mins[bi]
+        less, eqs = bv < cur, bv == cur
+        li, ei = bi[less], bi[eqs]
+        self.mins[li] = bv[less]
+        self.counts[li] = np.minimum(bc[less], self.COUNT_MAX)
+        self.counts[ei] = np.minimum(
+            self.counts[ei].astype(np.int64) + bc[eqs], self.COUNT_MAX
+        ).astype(np.uint32)
+        self._finalized = False
+
+    def __iadd__(self, other: "CountingBBitMinHash") -> "CountingBBitMinHash":
+        less = other.mins < self.mins
+        eqs = (other.mins == self.mins) & (self.mins != self.EMPTY)
+        merged = np.where(less, other.counts, self.counts).astype(np.int64)
+        merged[eqs] = np.minimum(
+            self.counts[eqs].astype(np.int64) + other.counts[eqs],
+            self.COUNT_MAX)
+        self.counts = merged.astype(np.uint32)
+        np.minimum(self.mins, other.mins, out=self.mins)
+        self._finalized = False
+        return self
+
+    def histogram_intersection(self, other: "CountingBBitMinHash") -> float:
+        """Ratio estimator of the multiset weighted Jaccard
+        sum_e min(a_e, b_e) / sum_e max(a_e, b_e).
+
+        Each occupied bucket samples one element of the UNION support (the
+        bucket's combined minimum).  If the b-bit registers match, that
+        element is shared: it contributes min/max of the two
+        multiplicities.  If they differ, the sampled element lives only in
+        the sketch holding the smaller minimum, and only ITS multiplicity
+        enters the union sum (unit multiplicities then reduce exactly to
+        the one-permutation set-Jaccard match fraction)."""
+        occa = self.mins != self.EMPTY
+        occb = other.mins != other.EMPTY
+        eq = (self._regs_b() == other._regs_b()) & occa & occb
+        ca = self.counts.astype(np.int64)
+        cb = other.counts.astype(np.int64)
+        num = int(np.minimum(ca, cb)[eq].sum())
+        # unoccupied buckets hold mins == EMPTY (loses every <) and count 0
+        argmin_cnt = np.where(self.mins < other.mins, ca,
+                              np.where(other.mins < self.mins, cb,
+                                       np.maximum(ca, cb)))
+        den = int(np.where(eq, np.maximum(ca, cb), argmin_cnt).sum())
+        return num / den if den else 0.0
+
+    # similarity<counting final> = histogram intersection, the CRMFinal
+    # precedent (reference src/dashing.h:142-144)
+    def jaccard_index(self, other: "CountingBBitMinHash") -> float:
+        return self.histogram_intersection(other)
+
+    def full_set_comparison(self, other) -> Tuple[float, float, float]:
+        ji = self.histogram_intersection(other)
+        ca, cb = self.report(), other.report()
+        cu = (ca + cb) / (1.0 + ji)
+        shared = ji * cu
+        return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+
+    def write_record(self, fp: IO[bytes]):
+        self.finalize()
+        fp.write(_HDR.pack(self.MAGIC, self.p, self.b))
+        fp.write(struct.pack("<d", self.est_cardinality_))
+        fp.write(self.mins.astype("<u8").tobytes())
+        fp.write(self.counts.astype("<u2").tobytes())
+
+    @classmethod
+    def read_record(cls, fp) -> "CountingBBitMinHash":
+        p, b = _expect_magic(fp, cls.MAGIC)
+        (card,) = struct.unpack("<d", _read_exact(fp, 8, "cbbmh header"))
+        m = 1 << p
+        mins = np.frombuffer(_read_exact(fp, 8 * m, "cbbmh buckets"),
+                             "<u8").astype(np.uint64)
+        cnts = np.frombuffer(_read_exact(fp, 2 * m, "cbbmh counts"),
+                             "<u2").astype(np.uint32)
+        return cls(p, b, mins, card, cnts)
+
+
 # ---------------------------------------------------------------------------
 # Type registry used by the CLI.
 # ---------------------------------------------------------------------------
@@ -426,6 +557,12 @@ def make_typed(sketch_type: str, opts):
     if sketch_type == "bbmh":
         p = S - int(math.floor(math.log2(max(opts.bbnbits // 8, 1))))
         return BBitMinHash(max(p, 4), opts.bbnbits)
+    if sketch_type == "cbbmh":
+        # sized like bbmh: the counting build keeps u64 minima either way,
+        # and the reference's bytesl2_to_arg never covered CBBMH (the type
+        # is registered but undispatched, src/sketchcorecbbmh.cpp)
+        p = S - int(math.floor(math.log2(max(opts.bbnbits // 8, 1))))
+        return CountingBBitMinHash(max(p, 4), opts.bbnbits)
     if sketch_type == "wide_hll":
         return WideHLL(S, opts.estim, opts.jestim)
     if sketch_type == "hmh":
@@ -475,8 +612,8 @@ def read_typed(path: str, sketch_type: str):
         except ValueError:
             return DensifiedMinHash.read(path)
     cls = {"bf": BloomFilter, "rmh": BottomK, "crmh": CountingBottomK,
-           "bbmh": BBitMinHash, "wide_hll": WideHLL,
-           "hmh": HyperMinHash}.get(sketch_type)
+           "bbmh": BBitMinHash, "cbbmh": CountingBBitMinHash,
+           "wide_hll": WideHLL, "hmh": HyperMinHash}.get(sketch_type)
     if cls is None:
         raise SystemExit(f"Sketch {sketch_type} not yet supported.")
     return cls.read(path)

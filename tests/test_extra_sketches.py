@@ -3,7 +3,8 @@ import pytest
 
 from dashing_tpu.sketch.extra import WideHLL, HyperMinHash, DensifiedMinHash
 from dashing_tpu.sketch.setsketches import (BloomFilter, BottomK,
-                                            CountingBottomK, BBitMinHash)
+                                            CountingBottomK, BBitMinHash,
+                                            CountingBBitMinHash)
 from dashing_tpu.cli import main as climain
 
 
@@ -22,6 +23,7 @@ def _overlapping_sets(rng, n=20000, frac=0.5):
     (BloomFilter, dict(nbits_log2=18, nhashes=2), 0.08),
     (BottomK, dict(kk=2048), 0.08),
     (BBitMinHash, dict(p=12, b=16), 0.08),
+    (CountingBBitMinHash, dict(p=12, b=16), 0.08),
     (WideHLL, dict(p=12), 0.08),
     (HyperMinHash, dict(p=12, regwidth=16), 0.10),
     (DensifiedMinHash, dict(p=12, b=16), 0.08),
@@ -41,6 +43,7 @@ def test_jaccard_accuracy(rng, cls, kwargs, tol):
     (BloomFilter, dict(nbits_log2=18, nhashes=2), 0.05),
     (BottomK, dict(kk=2048), 0.08),
     (BBitMinHash, dict(p=12, b=16), 0.10),
+    (CountingBBitMinHash, dict(p=12, b=16), 0.10),
     (WideHLL, dict(p=12), 0.05),
     (HyperMinHash, dict(p=12, regwidth=16), 0.05),
     (DensifiedMinHash, dict(p=12, b=16), 0.10),
@@ -59,6 +62,7 @@ def test_cardinality_accuracy(rng, cls, kwargs, tol):
     (BottomK, dict(kk=256)),
     (CountingBottomK, dict(kk=256)),
     (BBitMinHash, dict(p=8, b=16)),
+    (CountingBBitMinHash, dict(p=8, b=16)),
     (WideHLL, dict(p=8)),
     (HyperMinHash, dict(p=8, regwidth=16)),
     (DensifiedMinHash, dict(p=8, b=16)),
@@ -105,7 +109,8 @@ def test_counting_bottomk_histogram_intersection(rng):
 
 @pytest.mark.parametrize("flag", ["--use-wide-hll", "--use-superminhash",
                                   "--use-hyperminhash", "--use-bloom-filter",
-                                  "--use-range-minhash", "--use-bb-minhash"])
+                                  "--use-range-minhash", "--use-bb-minhash",
+                                  "--use-counting-bb-minhash"])
 def test_cli_type_dispatch(tmp_path, rng, capsys, flag):
     seq = "".join(rng.choice(list("ACGT"), size=3000))
     seq2 = seq[:1500] + "".join(rng.choice(list("ACGT"), size=1500))
@@ -422,3 +427,84 @@ def test_bottomk_candidates_keep_zero_high_word(rng):
     v64[~valid] = 0xFFFFFFFFFFFFFFFF
     want = np.sort(v64[np.argsort(order_hi, kind="stable")[:16]])
     np.testing.assert_array_equal(np.sort(got), want)
+
+
+def test_cbbmh_histogram_intersection_reflects_multiplicity(rng):
+    """Doubled multiset vs single: histogram intersection ~ 0.5 (the
+    CountingBottomK law, applied to bucket minima)."""
+    base = rng.integers(0, 2**62, 4000, dtype=np.uint64)
+    sa, sb = CountingBBitMinHash(10), CountingBBitMinHash(10)
+    sa.addh_np(np.repeat(base, 2))
+    sb.addh_np(base)
+    hi = sa.histogram_intersection(sb)
+    assert abs(hi - 0.5) < 0.05, hi
+    # jaccard_index IS the weighted measure (similarity<counting final>,
+    # reference src/dashing.h:142-144 precedent)
+    assert sa.jaccard_index(sb) == hi
+
+
+def test_cbbmh_order_chunk_and_merge_invariance(rng):
+    """Bucket minima AND their multiplicities must be exactly invariant to
+    insertion order, chunking, and +=-merge vs single-shot build."""
+    vals = rng.integers(0, 2**60, 5000, dtype=np.uint64)
+    vals = np.concatenate([vals, vals[::7], vals[::13]])  # real multiplicities
+    one = CountingBBitMinHash(8)
+    one.addh_np(vals)
+    shuffled = vals.copy()
+    rng.shuffle(shuffled)
+    chunked = CountingBBitMinHash(8)
+    for i0 in range(0, shuffled.size, 997):
+        chunked.addh_np(shuffled[i0:i0 + 997])
+    np.testing.assert_array_equal(one.mins, chunked.mins)
+    np.testing.assert_array_equal(one.counts, chunked.counts)
+    half_a, half_b = CountingBBitMinHash(8), CountingBBitMinHash(8)
+    half_a.addh_np(shuffled[::2])
+    half_b.addh_np(shuffled[1::2])
+    half_a += half_b
+    np.testing.assert_array_equal(one.mins, half_a.mins)
+    np.testing.assert_array_equal(one.counts, half_a.counts)
+
+
+def test_cbbmh_count_saturation():
+    """uint16 CountType saturates at 65535 (reference src/dashing.h:218)
+    instead of wrapping."""
+    sk = CountingBBitMinHash(4)
+    v = np.full(70000, 12345, np.uint64)
+    sk.addh_np(v[:40000])
+    sk.addh_np(v[40000:])
+    assert sk.counts.max() == 65535
+
+
+def test_cbbmh_batch_engine_matches_per_pair(rng):
+    from dashing_tpu.sketch import batch_compare
+    sks = []
+    for i in range(5):
+        sk = CountingBBitMinHash(8)
+        sk.addh_np(rng.integers(0, 2**62, 2000 + 300 * i, dtype=np.uint64))
+        sk.finalize()
+        sks.append(sk)
+    assert batch_compare.supports(sks)
+    rect = batch_compare.batch_triples(sks[:3], sks)
+    for i in range(3):
+        for j in range(len(sks)):
+            want = sks[i].full_set_comparison(sks[j])
+            np.testing.assert_allclose(rect[i, j], want, rtol=1e-12,
+                                       err_msg=f"pair {i},{j}")
+
+
+def test_cbbmh_cache_roundtrip_cli(tmp_path, rng, capsys):
+    """-W writes .cbmh cache files that later runs sniff and reuse."""
+    seq = "".join(rng.choice(list("ACGT"), size=3000))
+    a = tmp_path / "ca.fa"
+    b = tmp_path / "cb.fa"
+    a.write_text(f">a\n{seq}\n")
+    b.write_text(f">b\n{seq[:1500]}"
+                 f"{''.join(rng.choice(list('ACGT'), size=1500))}\n")
+    args = ["dist", "-k", "21", "-S", "12", "--use-counting-bb-minhash",
+            "-W", "--avoid-sorting", str(a), str(b)]
+    assert climain.main(args) == 0
+    first = capsys.readouterr().out
+    import glob
+    assert glob.glob(str(tmp_path / "*.cbmh")), "cache files missing"
+    assert climain.main(args) == 0   # second run loads from cache
+    assert capsys.readouterr().out == first

@@ -116,7 +116,7 @@ def test_sketch_file_wj_hll_matches_host(tmp_path, rng, monkeypatch):
 
 
 @pytest.mark.parametrize("stype", ["hll", "khset", "bf", "rmh", "crmh",
-                                   "bbmh", "superminhash", "hmh",
+                                   "bbmh", "cbbmh", "superminhash", "hmh",
                                    "wide_hll"])
 def test_weighted_every_type_tracks_exact(tmp_path, rng, stype):
     """--wj-exact x EVERY sketch type (VERDICT r3 item 9): at generous -S
