@@ -68,6 +68,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
         lib.dtpu_fmt_rows.restype = ctypes.c_int
+        if hasattr(lib, "dtpu_hk_create"):
+            lib.dtpu_hk_create.argtypes = [ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_uint64, ctypes.c_double]
+            lib.dtpu_hk_create.restype = ctypes.c_void_p
+            lib.dtpu_hk_destroy.argtypes = [ctypes.c_void_p]
+            lib.dtpu_hk_destroy.restype = None
+            lib.dtpu_hk_add.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int64]
+            lib.dtpu_hk_add.restype = None
+            lib.dtpu_hk_query.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32)]
+            lib.dtpu_hk_query.restype = None
         _lib = lib
         return _lib
 

@@ -770,10 +770,17 @@ def _cm_query(counts: jnp.ndarray, h: u64.U64, nh: int, size_log2: int,
 
 
 def _count_filtered_tiles(path: str, params: SketchParams, sp: Spacer):
-    """Two-pass CM filter; yields (tile, admit-mask) per tile."""
+    """Two-pass CM filter; yields (tile, admit-mask) per tile.
+
+    DASHING_TPU_USE_HK=1 swaps the device count-min for the native
+    HeavyKeeper (the runtime analog of the reference's compile-time
+    -DDASHING_USE_HK CountingSketch switch, src/dashing.h:131-136)."""
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
               canon=params.canon, encoding=params.encoding,
               rehash=params.rehash, entropy=params.entropy)
+    if os.environ.get("DASHING_TPU_USE_HK", "") not in ("", "0"):
+        yield from _hk_filtered_tiles(path, params, sp, kw)
+        return
     nh, sz, seed = params.cm_nhashes, params.cm_size_log2, params.cm_seed
     tiles = list(_file_tiles(path, sp))
     counts = jnp.zeros((nh, 1 << sz), jnp.int32)
@@ -785,6 +792,30 @@ def _count_filtered_tiles(path: str, params: SketchParams, sp: Spacer):
     for tile, h, valid in cached:
         est = _cm_query(counts, h, nh, sz, seed)
         yield tile, (est >= params.min_count) & valid
+
+
+def _hk_filtered_tiles(path: str, params: SketchParams, sp: Spacer, kw):
+    """HeavyKeeper two-pass prefilter (sketch/heavykeeper.py).
+
+    HK insertion is inherently stream-sequential (each probabilistic decay
+    decision reads the running slot state), so the structure lives on the
+    host — the same placement the reference gives its CountingSketch —
+    and each tile's hashes cross the link once, reused for the query
+    pass.  Geometry comes from the same -q/-t/-R knobs as the count-min
+    path (the reference constructs either type from cmsize/nhashes,
+    src/dashing.h:471-477)."""
+    from .sketch.heavykeeper import HeavyKeeper
+    hk = HeavyKeeper(params.cm_nhashes, params.cm_size_log2, params.cm_seed)
+    cached = []
+    for tile in _file_tiles(path, sp):
+        h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+        hv = u64.to_np(h)
+        vm = np.asarray(valid)
+        hk.add_np(hv[vm])
+        cached.append((tile, hv, vm))
+    for tile, hv, vm in cached:
+        est = hk.query_np(hv.reshape(-1)).reshape(vm.shape)
+        yield tile, (est >= params.min_count) & vm
 
 
 # ---------------------------------------------------------------------------
