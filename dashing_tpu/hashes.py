@@ -58,6 +58,94 @@ def seeded_wang_hash_np(x: np.ndarray, seed: int) -> np.ndarray:
     return wang_hash_np(np.asarray(x, np.uint64) ^ np.uint64(seed))
 
 
+# ---------------------------------------------------------------------------
+# clhash: carry-less-multiplication hashing (Lemire & Kaser, "Faster 64-bit
+# universal hashing using carry-less multiplications", 2015).
+#
+# The reference links clhash.o into every binary (reference Makefile:55,63)
+# but never calls it from src/ — it is an alternative hasher inside the
+# absent sketch submodule.  Provided here in the same spirit: available in
+# the hash stack, unused by the default pipeline (WangHash remains the
+# observable default).  The x86 original rides PCLMULQDQ; the TPU has no
+# carry-less multiplier, so the 32x32->64 CLMUL is built from 32
+# mask-select/shift/XOR steps on the VPU's uint32 lanes (unrolled, traced
+# once under jit) and the 64x64 product composes four of them — carry-less
+# multiplication splits exactly with XOR, no Karatsuba correction terms.
+# Reduction is modulo the irreducible x^64 + x^4 + x^3 + x + 1.
+# ---------------------------------------------------------------------------
+
+def _clmul32(a, b):
+    """Carry-less 32x32 -> 64-bit product on uint32 lanes -> (hi, lo)."""
+    import jax.numpy as jnp
+    zero = jnp.zeros_like(a)
+    hi, lo = zero, zero
+    for i in range(32):
+        mask = jnp.uint32(0) - ((b >> jnp.uint32(i)) & jnp.uint32(1))
+        lo = lo ^ ((a << jnp.uint32(i)) & mask)
+        if i:
+            hi = hi ^ ((a >> jnp.uint32(32 - i)) & mask)
+    return hi, lo
+
+
+def gf64_mul(a: U64, b: U64) -> U64:
+    """GF(2^64) product modulo x^64 + x^4 + x^3 + x + 1."""
+    aH, aL = a
+    bH, bL = b
+    m0h, m0l = _clmul32(aL, bL)
+    m2h, m2l = _clmul32(aH, bH)
+    mAh, mAl = _clmul32(aH, bL)
+    mBh, mBl = _clmul32(aL, bH)
+    low = (m0h ^ mAl ^ mBl, m0l)
+    high = (m2h, m2l ^ mAh ^ mBh)
+    # high * x^64 == high * (x^4 + x^3 + x + 1); the <<4/<<3/<<1 overflow
+    # (<= 4 bits) folds once more through the same polynomial
+    t = u64.xor(u64.xor(u64.shl(high, 4), u64.shl(high, 3)),
+                u64.xor(u64.shl(high, 1), high))
+    top = ((high[0] >> 28) ^ (high[0] >> 29) ^ (high[0] >> 31))
+    t2 = (top << 4) ^ (top << 3) ^ (top << 1) ^ top
+    low = u64.xor(low, t)
+    return (low[0], low[1] ^ t2)
+
+
+def clhash(x: U64, seed: int = 0) -> U64:
+    """Carry-less universal hash of a 64-bit key: (x ^ K1) * K2 in
+    GF(2^64), keys derived from the seed by WangHash (the single-word
+    case of the CLHASH family)."""
+    k1 = int(wang_hash_np(np.asarray([seed ^ 0x2127599BF4325C37],
+                                     np.uint64))[0])
+    k2 = int(wang_hash_np(np.asarray([seed ^ 0x9FB21C651E98DF25],
+                                     np.uint64))[0]) | 1
+    return gf64_mul(u64.xor(x, u64.const(k1)), u64.full((), k2))
+
+
+def gf64_mul_np(a: np.ndarray, b) -> np.ndarray:
+    """Host numpy reference of gf64_mul (uint64 in/out)."""
+    a = np.asarray(a, np.uint64)
+    b = np.asarray(b, np.uint64)
+    hi = np.zeros_like(a)
+    lo = np.zeros_like(a)
+    with np.errstate(over="ignore"):   # 0 - 1 wraps to all-ones on purpose
+        for i in range(64):
+            mask = np.uint64(0) - ((b >> np.uint64(i)) & np.uint64(1))
+            lo = lo ^ ((a << np.uint64(i)) & mask)
+            if i:
+                hi = hi ^ ((a >> np.uint64(64 - i)) & mask)
+    t = (hi << np.uint64(4)) ^ (hi << np.uint64(3)) \
+        ^ (hi << np.uint64(1)) ^ hi
+    top = (hi >> np.uint64(60)) ^ (hi >> np.uint64(61)) \
+        ^ (hi >> np.uint64(63))
+    lo = lo ^ t
+    return lo ^ ((top << np.uint64(4)) ^ (top << np.uint64(3))
+                 ^ (top << np.uint64(1)) ^ top)
+
+
+def clhash_np(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    k1 = wang_hash_np(np.asarray([seed ^ 0x2127599BF4325C37], np.uint64))[0]
+    k2 = wang_hash_np(np.asarray([seed ^ 0x9FB21C651E98DF25],
+                                 np.uint64))[0] | np.uint64(1)
+    return gf64_mul_np(np.asarray(x, np.uint64) ^ k1, k2)
+
+
 def clz64_np(x: "np.ndarray") -> "np.ndarray":
     """Branchless leading-zero count of nonzero uint64s (log-doubling).
 

@@ -99,3 +99,42 @@ def test_wang_hash_known_values():
     # The mixer must be "random": distinct outputs on consecutive inputs.
     many = u64.to_np(wang_hash(u64.from_np(np.arange(16, dtype=np.uint64))))
     assert len(set(many.tolist())) == 16
+
+
+def test_gf64_mul_device_matches_numpy(rng):
+    from dashing_tpu import hashes, u64
+    a = rng.integers(0, 2**64, 256, dtype=np.uint64)
+    b = rng.integers(0, 2**64, 256, dtype=np.uint64)
+    want = hashes.gf64_mul_np(a, b)
+    got = u64.to_np(hashes.gf64_mul(u64.from_np(a), u64.from_np(b)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gf64_field_laws(rng):
+    """GF(2^64): multiplication by 1 is identity, commutative,
+    distributive over XOR."""
+    from dashing_tpu import hashes
+    a = rng.integers(0, 2**64, 64, dtype=np.uint64)
+    b = rng.integers(0, 2**64, 64, dtype=np.uint64)
+    c = rng.integers(0, 2**64, 64, dtype=np.uint64)
+    one = np.uint64(1)
+    np.testing.assert_array_equal(hashes.gf64_mul_np(a, one), a)
+    np.testing.assert_array_equal(hashes.gf64_mul_np(a, b),
+                                  hashes.gf64_mul_np(b, a))
+    np.testing.assert_array_equal(
+        hashes.gf64_mul_np(a ^ b, c),
+        hashes.gf64_mul_np(a, c) ^ hashes.gf64_mul_np(b, c))
+
+
+def test_clhash_device_matches_numpy_and_disperses(rng):
+    from dashing_tpu import hashes, u64
+    x = np.arange(1 << 13, dtype=np.uint64)   # adversarially sequential
+    want = hashes.clhash_np(x, seed=11)
+    got = u64.to_np(hashes.clhash(u64.from_np(x), seed=11))
+    np.testing.assert_array_equal(got, want)
+    assert np.unique(want).size == x.size     # injective on this input
+    # top-8-bit buckets near-uniform (GF multiply by a dense constant
+    # spreads sequential keys)
+    counts = np.bincount((want >> np.uint64(56)).astype(np.int64),
+                         minlength=256)
+    assert counts.max() < 3 * (x.size / 256)
