@@ -508,3 +508,36 @@ def test_cbbmh_cache_roundtrip_cli(tmp_path, rng, capsys):
     assert glob.glob(str(tmp_path / "*.cbmh")), "cache files missing"
     assert climain.main(args) == 0   # second run loads from cache
     assert capsys.readouterr().out == first
+
+
+def test_cbbmh_matches_sequential_oracle_under_collisions(rng):
+    """Tiny p + heavy duplicates: vectorized group-by must equal the
+    per-element sequential (min, multiplicity) recurrence exactly."""
+    from collections import defaultdict
+    from dashing_tpu.hashes import wang_hash_np
+    for trial in range(50):
+        p = int(rng.integers(1, 5))
+        n = int(rng.integers(0, 60))
+        raw = rng.integers(0, 50, n).astype(np.uint64)
+        sk = CountingBBitMinHash(p)
+        i = 0
+        while i < n:
+            j = i + int(rng.integers(1, 10))
+            sk.addh_np(raw[i:j])
+            i = j
+        h = wang_hash_np(raw)
+        mins, cnts = {}, defaultdict(int)
+        for hv in h:
+            idx = int(hv >> np.uint64(64 - p))
+            val = int((int(hv) << p) & 0xFFFFFFFFFFFFFFFF)
+            if idx not in mins or val < mins[idx]:
+                mins[idx], cnts[idx] = val, 1
+            elif val == mins[idx]:
+                cnts[idx] += 1
+        for b in range(1 << p):
+            if b in mins:
+                assert int(sk.mins[b]) == mins[b], (trial, b)
+                assert int(sk.counts[b]) == cnts[b], (trial, b)
+            else:
+                assert int(sk.mins[b]) == 0xFFFFFFFFFFFFFFFF
+                assert sk.counts[b] == 0
