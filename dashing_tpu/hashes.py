@@ -88,7 +88,12 @@ def _clmul32(a, b):
 
 
 def gf64_mul(a: U64, b: U64) -> U64:
-    """GF(2^64) product modulo x^64 + x^4 + x^3 + x + 1."""
+    """GF(2^64) product modulo x^64 + x^4 + x^3 + x + 1.
+
+    Jitted (decorated below): the 4x32 unrolled CLMUL is hundreds of
+    traced ops, and an eager call over the TPU tunnel would pay one
+    round-trip per op (repo rule: everything reachable from outside jit
+    must be jitted).  Nested use under an enclosing jit inlines."""
     aH, aL = a
     bH, bL = b
     m0h, m0l = _clmul32(aL, bL)
@@ -107,15 +112,30 @@ def gf64_mul(a: U64, b: U64) -> U64:
     return (low[0], low[1] ^ t2)
 
 
+def _jit_gf64_mul():
+    import jax
+    return jax.jit(gf64_mul)
+
+
+gf64_mul = _jit_gf64_mul()
+
+
 def clhash(x: U64, seed: int = 0) -> U64:
     """Carry-less universal hash of a 64-bit key: (x ^ K1) * K2 in
     GF(2^64), keys derived from the seed by WangHash (the single-word
-    case of the CLHASH family)."""
-    k1 = int(wang_hash_np(np.asarray([seed ^ 0x2127599BF4325C37],
-                                     np.uint64))[0])
-    k2 = int(wang_hash_np(np.asarray([seed ^ 0x9FB21C651E98DF25],
-                                     np.uint64))[0]) | 1
-    return gf64_mul(u64.xor(x, u64.const(k1)), u64.full((), k2))
+    case of the CLHASH family).  One jitted dispatch per call."""
+    import functools
+    import jax
+
+    @functools.lru_cache(maxsize=64)
+    def compiled(s):
+        k1 = int(wang_hash_np(np.asarray([s ^ 0x2127599BF4325C37],
+                                         np.uint64))[0])
+        k2 = int(wang_hash_np(np.asarray([s ^ 0x9FB21C651E98DF25],
+                                         np.uint64))[0]) | 1
+        return jax.jit(lambda v: gf64_mul(u64.xor(v, u64.const(k1)),
+                                          u64.full((), k2)))
+    return compiled(int(seed))(x)
 
 
 def gf64_mul_np(a: np.ndarray, b) -> np.ndarray:

@@ -30,20 +30,37 @@ class HeavyKeeper:
     min-count abundance prefilter wants."""
 
     def __init__(self, nrows: int, size_log2: int, seed: int = 1337,
-                 decay_base: float = 1.08):
-        self.nrows = int(nrows)
-        self.size_log2 = int(size_log2)
+                 decay_base: float = 1.08, force_python: bool = False):
+        # bound the table: 2^27 total slots (~1 GB at 8 B/slot) — the
+        # native create() zero-fills its table eagerly, so an absurd -t
+        # would otherwise spend minutes writing tens of GB (or OOM);
+        # the reference's default geometry is 2^20 x 4
+        self.nrows = min(max(int(nrows), 1), 64)
+        self.size_log2 = min(max(int(size_log2), 1), 30)
+        while self.nrows << self.size_log2 > (1 << 27) and self.size_log2 > 1:
+            self.size_log2 -= 1
+        if (self.nrows, self.size_log2) != (int(nrows), int(size_log2)):
+            import sys
+            print(f"note: HeavyKeeper geometry clamped to nrows="
+                  f"{self.nrows}, size_log2={self.size_log2}",
+                  file=sys.stderr)
         self.seed = np.uint64(seed)
         self.base = float(decay_base)
-        lib = _native._load()
-        self._lib = lib if lib is not None and hasattr(lib, "dtpu_hk_create") \
-            else None
+        self._lib = None
         self._handle = None
-        if self._lib is not None:
-            self._handle = self._lib.dtpu_hk_create(
-                self.nrows, self.size_log2, int(self.seed), self.base)
-            if not self._handle:
-                self._lib = None
+        if not force_python:
+            lib = _native._load()
+            if lib is not None and hasattr(lib, "dtpu_hk_create"):
+                handle = lib.dtpu_hk_create(
+                    self.nrows, self.size_log2, int(self.seed), self.base)
+                if handle:
+                    self._lib, self._handle = lib, handle
+            if self._lib is None:
+                import sys
+                print(f"note: native HeavyKeeper unavailable or geometry "
+                      f"rejected (nrows={self.nrows}, "
+                      f"size_log2={self.size_log2}); using the slow "
+                      f"pure-Python fallback", file=sys.stderr)
         if self._lib is None:
             m = 1 << self.size_log2
             self._fps = np.zeros((self.nrows, m), np.uint16)
@@ -62,20 +79,23 @@ class HeavyKeeper:
         from ..hashes import wang_hash_np
         return wang_hash_np(np.asarray([k], np.uint64))[0]
 
-    def _row_idx(self, key: np.uint64, row: int) -> int:
+    def _batch_idx(self, keys: np.ndarray) -> np.ndarray:
+        """(nrows, n) bucket indices; per-key independent, so batched."""
         from ..hashes import wang_hash_np
-        # python-int arithmetic: uint64 wraparound is intentional
-        s = np.uint64((int(self.seed) + row * 0x9E3779B97F4A7C15)
-                      & 0xFFFFFFFFFFFFFFFF)
-        h = wang_hash_np(np.asarray([key ^ s], np.uint64))[0]
-        return int(h & np.uint64((1 << self.size_log2) - 1))
+        mask = np.uint64((1 << self.size_log2) - 1)
+        rows = []
+        for r in range(self.nrows):
+            # python-int arithmetic: uint64 wraparound is intentional
+            s = np.uint64((int(self.seed) + r * 0x9E3779B97F4A7C15)
+                          & 0xFFFFFFFFFFFFFFFF)
+            rows.append((wang_hash_np(keys ^ s) & mask).astype(np.int64))
+        return np.stack(rows)
 
-    def _fp(self, key: np.uint64) -> int:
+    def _batch_fp(self, keys: np.ndarray) -> np.ndarray:
         from ..hashes import wang_hash_np
         s = np.uint64((int(self.seed) * 0xA24BAED4963EE407 + 1)
                       & 0xFFFFFFFFFFFFFFFF)
-        return int(wang_hash_np(np.asarray([key ^ s], np.uint64))[0]
-                   >> np.uint64(48))
+        return (wang_hash_np(keys ^ s) >> np.uint64(48)).astype(np.uint16)
 
     def _next_u01(self) -> float:
         s = int(self._rng)
@@ -95,10 +115,14 @@ class HeavyKeeper:
                 keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
                 keys.size)
             return
-        for key in keys:
-            fp = self._fp(key)
+        # hashes are per-key independent (batched); only the decay
+        # recurrence needs the sequential walk
+        fps = self._batch_fp(keys)
+        idxs = self._batch_idx(keys)
+        for j in range(keys.size):
+            fp = fps[j]
             for r in range(self.nrows):
-                i = self._row_idx(key, r)
+                i = idxs[r, j]
                 if self._cnts[r, i] == 0:
                     self._fps[r, i], self._cnts[r, i] = fp, 1
                 elif self._fps[r, i] == fp:
@@ -121,14 +145,13 @@ class HeavyKeeper:
                 keys.size,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
             return out
-        for j, key in enumerate(keys):
-            fp = self._fp(key)
-            best = 0
-            for r in range(self.nrows):
-                i = self._row_idx(key, r)
-                if self._fps[r, i] == fp and self._cnts[r, i] > best:
-                    best = int(self._cnts[r, i])
-            out[j] = best
+        # queries have no sequential dependency: fully vectorized
+        fps = self._batch_fp(keys)
+        idxs = self._batch_idx(keys)
+        for r in range(self.nrows):
+            slot_fp = self._fps[r, idxs[r]]
+            slot_c = self._cnts[r, idxs[r]]
+            np.maximum(out, np.where(slot_fp == fps, slot_c, 0), out=out)
         return out
 
     @property

@@ -76,16 +76,24 @@ extern "C" {
 
 void *dtpu_hk_create(int nrows, int size_log2, uint64_t seed,
                      double decay_base) {
-    if (nrows < 1 || size_log2 < 1 || size_log2 > 30 || decay_base <= 1.0)
+    if (nrows < 1 || nrows > 64 || size_log2 < 1 || size_log2 > 30 ||
+        decay_base <= 1.0)
         return nullptr;
-    HK *hk = new HK();
-    hk->nrows = nrows;
-    hk->size_log2 = size_log2;
-    hk->seed = seed;
-    hk->base = decay_base;
-    hk->rng = wang(seed | 1);
-    hk->slots.assign((size_t)nrows << size_log2, Slot{0, 0});
-    return hk;
+    // never let bad_alloc cross the C ABI into ctypes (std::terminate
+    // would kill the interpreter); a failed allocation is just "no native
+    // structure" and the caller falls back
+    try {
+        HK *hk = new HK();
+        hk->nrows = nrows;
+        hk->size_log2 = size_log2;
+        hk->seed = seed;
+        hk->base = decay_base;
+        hk->rng = wang(seed | 1);
+        hk->slots.assign((size_t)nrows << size_log2, Slot{0, 0});
+        return hk;
+    } catch (...) {
+        return nullptr;
+    }
 }
 
 void dtpu_hk_destroy(void *p) { delete (HK *)p; }

@@ -37,13 +37,7 @@ def test_hk_python_fallback_matches_native(rng):
     hk_native = HeavyKeeper(3, 12, seed=99)
     if not hk_native.native:
         pytest.skip("native library unavailable")
-    hk_py = HeavyKeeper(3, 12, seed=99)
-    # force the pure-python path with identical parameters
-    hk_py._lib = None
-    m = 1 << 12
-    hk_py._fps = np.zeros((3, m), np.uint16)
-    hk_py._cnts = np.zeros((3, m), np.uint32)
-    hk_py._rng = np.uint64(HeavyKeeper._wang(np.uint64(99) | np.uint64(1)))
+    hk_py = HeavyKeeper(3, 12, seed=99, force_python=True)
     _, stream = _skewed_stream(rng, heavy_count=50, n_light=300)
     hk_native.add_np(stream)
     hk_py.add_np(stream)
