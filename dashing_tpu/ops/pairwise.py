@@ -26,6 +26,7 @@ serves every emission type.  The indicator inputs are exact in bfloat16
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Dict, Optional
 
 import jax
@@ -128,6 +129,65 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
     return out
 
 
+_MLE_KERNEL_OK: "Optional[bool]" = None
+
+
+def _mle_kernel_probe(interp: bool) -> bool:
+    """One-time self-check of the fused union-cardinality kernel before
+    routing production compares through it: compile + run it on a tiny
+    synthetic case and compare against the XLA inclusion-exclusion path.
+    ANY failure (Mosaic lowering, backend error, numeric drift) logs a
+    note and permanently disables the kernel for this process — the
+    kernel is an optimization, never a correctness dependency.  The tiny
+    compile lands in the persistent XLA cache, so later processes pay
+    nothing."""
+    global _MLE_KERNEL_OK
+    if _MLE_KERNEL_OK is not None:
+        return _MLE_KERNEL_OK
+    try:
+        from .pallas_mle import BB as MBB, pallas_union_triples, pick_geometry
+        p_, kmin_ = 10, 4
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.integers(kmin_, kmin_ + 11,
+                                     size=(8, 1 << p_)).astype(np.int32))
+        b = jnp.asarray(rng.integers(kmin_, kmin_ + 11,
+                                     size=(8, 1 << p_)).astype(np.int32))
+        stats = pair_stats(a, b, kmin_ + 11, False, kmin_)
+        cum = stats["cum_union"]
+        K = cum.shape[-1]
+        ba = pick_geometry(K)
+        if ba is None:
+            _MLE_KERNEL_OK = False
+            return False
+        c_a = est.estimate_windowed(stats["hist_a"], p_, kmin_, est.ERTL_MLE)
+        c_b = est.estimate_windowed(stats["hist_b"], p_, kmin_, est.ERTL_MLE)
+        hist_u = jnp.concatenate(
+            [cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1)
+        c_u = est.estimate_windowed(hist_u, p_, kmin_, est.ERTL_MLE)
+        want_shared = np.asarray(
+            jnp.maximum(0.0, c_a[:, None] + c_b[None, :] - c_u))
+        cumT = jnp.moveaxis(cum, -1, 0)
+        pa, pb = (-8) % ba, (-8) % MBB
+        cumT = jnp.pad(cumT, ((0, 0), (0, pa), (0, pb)))
+        tri = pallas_union_triples(cumT, jnp.pad(c_a, (0, pa)),
+                                   jnp.pad(c_b, (0, pb)), p=p_, kmin=kmin_,
+                                   method=est.ERTL_MLE, ba=ba,
+                                   interpret=interp)
+        got_shared = np.asarray(jnp.moveaxis(tri, 0, -1))[:8, :8, 2]
+        ok = bool(np.allclose(got_shared, want_shared,
+                              rtol=1e-5, atol=1e-3))
+        if not ok:
+            print("note: union-MLE kernel probe mismatched the XLA path; "
+                  "using the XLA estimator", file=sys.stderr)
+        _MLE_KERNEL_OK = ok
+    except Exception as e:   # Mosaic/backend failures must never be fatal
+        print(f"note: union-MLE kernel unavailable "
+              f"({type(e).__name__}: {e}); using the XLA estimator",
+              file=sys.stderr)
+        _MLE_KERNEL_OK = False
+    return _MLE_KERNEL_OK
+
+
 def _pallas_union_triples(stats, c_a, c_b, p: int, kmin: int, estim: int):
     """Route the non-joint triple derivation through the fused
     VMEM-resident union-cardinality kernel (ops/pallas_mle.py); None ->
@@ -144,6 +204,8 @@ def _pallas_union_triples(stats, c_a, c_b, p: int, kmin: int, estim: int):
     interp = flag == "interpret"
     from ..pipeline import _pallas_available
     if not (_pallas_available() or interp):
+        return None
+    if not _mle_kernel_probe(interp):
         return None
     from .pallas_mle import BB as MBB, pallas_union_triples, pick_geometry
     cum = stats["cum_union"]

@@ -261,3 +261,20 @@ def test_pallas_union_mle_diagonal_tile(rng):
     ji_w = want[..., 2] / np.maximum(want.sum(-1), 1e-30)
     ji_g = got[..., 2] / np.maximum(got.sum(-1), 1e-30)
     np.testing.assert_allclose(ji_g, ji_w, atol=2e-6)
+
+
+def test_mle_kernel_probe_self_verifies_and_fails_closed(monkeypatch):
+    """The union-MLE kernel must prove itself (compile + numeric match vs
+    the XLA path) before production compares route through it, and ANY
+    probe failure must permanently fall back to XLA, never crash."""
+    from dashing_tpu.ops import pairwise as pw
+    from dashing_tpu.ops import pallas_mle as pm
+    monkeypatch.setattr(pw, "_MLE_KERNEL_OK", None)
+    assert pw._mle_kernel_probe(True) is True
+    monkeypatch.setattr(pw, "_MLE_KERNEL_OK", None)
+    monkeypatch.setattr(
+        pm, "pallas_union_triples",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("mosaic boom")))
+    assert pw._mle_kernel_probe(True) is False
+    # cached: stays disabled without re-probing
+    assert pw._mle_kernel_probe(True) is False
