@@ -163,9 +163,13 @@ def _supervised() -> int:
                 print(line)
                 return 0
         last = (r.stderr or "")[-2000:]
-        print(f"bench attempt {attempt + 1}: exit {r.returncode}, retrying",
-              file=sys.stderr)
-        time.sleep(min(60 * (attempt + 1), 180))
+        if attempt < 3:   # no sleep/'retrying' after the final attempt
+            print(f"bench attempt {attempt + 1}: exit {r.returncode}, "
+                  "retrying", file=sys.stderr)
+            time.sleep(min(60 * (attempt + 1), 180))
+        else:
+            print(f"bench attempt {attempt + 1}: exit {r.returncode}",
+                  file=sys.stderr)
     print(f"bench: all attempts failed; last stderr:\n{last}",
           file=sys.stderr)
     return 1

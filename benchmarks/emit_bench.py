@@ -15,13 +15,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-# reuse the CLI's persistent XLA compile cache (fresh processes over
-# the tunnel otherwise pay 60-160s per compile)
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.expanduser("~/.cache/dashing_tpu_xla"))
-os.environ.setdefault("DASHING_TPU_PLATFORM", "cpu")
+import _common
+_common.setup(default_platform='cpu')
 
 
 def run(n: int = 4096):

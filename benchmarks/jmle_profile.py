@@ -12,16 +12,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-# reuse the CLI's persistent XLA compile cache (fresh processes over
-# the tunnel otherwise pay 60-160s per compile)
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.expanduser("~/.cache/dashing_tpu_xla"))
+import _common
+_common.setup()
 
-if os.environ.get("DASHING_TPU_PLATFORM"):
-    import jax
-    jax.config.update("jax_platforms", os.environ["DASHING_TPU_PLATFORM"])
 
 
 def main(n: int = 1024, p: int = 14):

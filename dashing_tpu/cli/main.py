@@ -1140,16 +1140,24 @@ def readfilt_main(argv: List[str]) -> int:
         for recs, c, tr in zip(batch, ci, tri):
             if c < frac_cutoff:
                 continue
+            # the reference branches on MATE 1's quality for BOTH records
+            # (src/readfilt.cpp:17-33): a quality-less first mate demotes
+            # the pair to FASTA even when mate 2 carries quality.  (The
+            # inverse corner — FASTQ mate 1, FASTA mate 2 — hits
+            # fprintf("%s", NULL) in the reference; we emit an empty
+            # quality string instead of replicating that UB.)
+            fastq = recs[0][3] is not None
             for mate, (name, comment, seq, qual) in enumerate(recs):
                 nm, cm = name.decode(), comment.decode()
-                if qual is not None:
+                if fastq:
+                    q = qual.decode() if qual is not None else ""
                     if mate == 0:
                         fp.write(f"@{nm} {cm}|CI:{c:.6f}|{tr[0]:.6f}"
                                  f"|{tr[1]:.6f}|{tr[2]:.6f}|\n"
-                                 f"{seq.decode()}\n+\n{qual.decode()}\n")
+                                 f"{seq.decode()}\n+\n{q}\n")
                     else:
                         fp.write(f"@{nm} {cm}|{c:.6f}\n{seq.decode()}"
-                                 f"\n+\n{qual.decode()}\n")
+                                 f"\n+\n{q}\n")
                 else:
                     fp.write(f">{nm} {cm}|{c:.6f}\n{seq.decode()}\n")
         if truncated or len(batch) < CHUNK:

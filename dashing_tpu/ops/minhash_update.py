@@ -91,13 +91,16 @@ def empty_minhash_banks(m: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 @functools.partial(jax.jit, static_argnames=("cap",))
 def bottomk_candidates(h: u64.U64, valid: jnp.ndarray, cap: int
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """The `cap` smallest elements of a chunk BY HIGH WORD -> (hi, lo) u32.
+    """The `cap` smallest ENTRIES of a chunk BY HIGH WORD -> (hi, lo) u32.
 
-    A superset of the chunk's true bottom-cap/2 by full u64 order unless
-    one 32-bit high word repeats cap/2+ times in the chunk (WangHash-
-    uniform: needs a cap/2-way 32-bit collision, beyond-astronomically
-    unlikely); callers pass cap = 2 * kk and merge full values on host.
-    Invalid lanes sort last (forced to all-ones)."""
+    Entries, not distinct values: repeated k-mers (identical hashes)
+    each consume a slot, so this is only a superset of the chunk's true
+    bottom-cap/2 DISTINCT values when duplication is low.  Guarantee the
+    caller can check: every entry whose high word is strictly below the
+    selected maximum high word IS selected (lax.top_k keeps all strict
+    winners; only ties at the cutoff are partial) — see
+    pipeline.sketch_file_bottomk_values for the coverage test + exact
+    fallback.  Invalid lanes sort last (forced to all-ones)."""
     hi, lo = h
     hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF)).reshape(-1)
     lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF)).reshape(-1)

@@ -146,46 +146,61 @@ def _mle_kernel_probe(interp: bool) -> bool:
         return _MLE_KERNEL_OK
     try:
         from .pallas_mle import BB as MBB, pallas_union_triples, pick_geometry
-        p_, kmin_ = 10, 4
-        rng = np.random.default_rng(0)
-        a = jnp.asarray(rng.integers(kmin_, kmin_ + 11,
-                                     size=(8, 1 << p_)).astype(np.int32))
-        b = jnp.asarray(rng.integers(kmin_, kmin_ + 11,
-                                     size=(8, 1 << p_)).astype(np.int32))
-        stats = pair_stats(a, b, kmin_ + 11, False, kmin_)
-        cum = stats["cum_union"]
-        K = cum.shape[-1]
-        ba = pick_geometry(K)
-        if ba is None:
-            _MLE_KERNEL_OK = False
-            return False
-        c_a = est.estimate_windowed(stats["hist_a"], p_, kmin_, est.ERTL_MLE)
-        c_b = est.estimate_windowed(stats["hist_b"], p_, kmin_, est.ERTL_MLE)
-        hist_u = jnp.concatenate(
-            [cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1)
-        c_u = est.estimate_windowed(hist_u, p_, kmin_, est.ERTL_MLE)
-        want_shared = np.asarray(
-            jnp.maximum(0.0, c_a[:, None] + c_b[None, :] - c_u))
-        cumT = jnp.moveaxis(cum, -1, 0)
-        pa, pb = (-8) % ba, (-8) % MBB
-        cumT = jnp.pad(cumT, ((0, 0), (0, pa), (0, pb)))
-        tri = pallas_union_triples(cumT, jnp.pad(c_a, (0, pa)),
-                                   jnp.pad(c_b, (0, pb)), p=p_, kmin=kmin_,
-                                   method=est.ERTL_MLE, ba=ba,
-                                   interpret=interp)
-        got_shared = np.asarray(jnp.moveaxis(tri, 0, -1))[:8, :8, 2]
-        ok = bool(np.allclose(got_shared, want_shared,
-                              rtol=1e-5, atol=1e-3))
-        if not ok:
-            print("note: union-MLE kernel probe mismatched the XLA path; "
-                  "using the XLA estimator", file=sys.stderr)
-        _MLE_KERNEL_OK = ok
+        # the first kernel-path call may arrive DURING tracing of an
+        # enclosing jit/shard_map (mesh compare paths); JAX trace state is
+        # thread-local, so a fresh thread evaluates the probe eagerly on
+        # concrete values (ensure_compile_time_eval instead turns the
+        # pallas_call operands into captured-constant tracers and fails)
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+            return ex.submit(_mle_kernel_probe_eval, interp, MBB,
+                             pallas_union_triples, pick_geometry).result()
     except Exception as e:   # Mosaic/backend failures must never be fatal
         print(f"note: union-MLE kernel unavailable "
               f"({type(e).__name__}: {e}); using the XLA estimator",
               file=sys.stderr)
         _MLE_KERNEL_OK = False
     return _MLE_KERNEL_OK
+
+
+def _mle_kernel_probe_eval(interp, MBB, pallas_union_triples,
+                           pick_geometry) -> bool:
+    """Probe body; caller holds ensure_compile_time_eval + the
+    exception guard."""
+    global _MLE_KERNEL_OK
+    p_, kmin_ = 10, 4
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(kmin_, kmin_ + 11,
+                                 size=(8, 1 << p_)).astype(np.int32))
+    b = jnp.asarray(rng.integers(kmin_, kmin_ + 11,
+                                 size=(8, 1 << p_)).astype(np.int32))
+    stats = pair_stats(a, b, kmin_ + 11, False, kmin_)
+    cum = stats["cum_union"]
+    ba = pick_geometry(cum.shape[-1])
+    if ba is None:
+        _MLE_KERNEL_OK = False
+        return False
+    c_a = est.estimate_windowed(stats["hist_a"], p_, kmin_, est.ERTL_MLE)
+    c_b = est.estimate_windowed(stats["hist_b"], p_, kmin_, est.ERTL_MLE)
+    hist_u = jnp.concatenate(
+        [cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1)
+    c_u = est.estimate_windowed(hist_u, p_, kmin_, est.ERTL_MLE)
+    want_shared = np.asarray(
+        jnp.maximum(0.0, c_a[:, None] + c_b[None, :] - c_u))
+    cumT = jnp.moveaxis(cum, -1, 0)
+    pa, pb = (-8) % ba, (-8) % MBB
+    cumT = jnp.pad(cumT, ((0, 0), (0, pa), (0, pb)))
+    tri = pallas_union_triples(cumT, jnp.pad(c_a, (0, pa)),
+                               jnp.pad(c_b, (0, pb)), p=p_, kmin=kmin_,
+                               method=est.ERTL_MLE, ba=ba,
+                               interpret=interp)
+    got_shared = np.asarray(jnp.moveaxis(tri, 0, -1))[:8, :8, 2]
+    ok = bool(np.allclose(got_shared, want_shared, rtol=1e-5, atol=1e-3))
+    if not ok:
+        print("note: union-MLE kernel probe mismatched the XLA path; "
+              "using the XLA estimator", file=sys.stderr)
+    _MLE_KERNEL_OK = ok
+    return ok
 
 
 def _pallas_union_triples(stats, c_a, c_b, p: int, kmin: int, estim: int):
@@ -498,7 +513,11 @@ def _auto_kmax(regs: np.ndarray, q: int) -> int:
 
 
 def _auto_kmin(regs: np.ndarray) -> int:
-    return int(regs.min(initial=0))
+    # initial=255, NOT 0: np.min(initial=x) is min(x, data) and registers
+    # are non-negative, so initial=0 pinned every window to kmin=0 and
+    # silently disabled the kmin half of the per-tile windows (review
+    # finding; warm banks sit at min register ~log2(n/m) - 3)
+    return int(regs.min(initial=255))
 
 
 # Bucketed window widths: each distinct (kmin, kmax) pair is a separate jit
@@ -534,7 +553,7 @@ def _tile_window(tmin: int, tmax1: int, q: int):
 
 def _block_minmax(regs: np.ndarray, n: int, tile: int):
     """Per-row-block register (min, max+1-clamped) for per-tile windows."""
-    return {i0: (int(regs[i0:i0 + tile].min(initial=0)),
+    return {i0: (int(regs[i0:i0 + tile].min(initial=255)),
                  int(regs[i0:i0 + tile].max(initial=0)) + 1)
             for i0 in range(0, n, tile)}
 

@@ -671,14 +671,21 @@ _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 def sketch_file_bottomk_values(path: str, params: SketchParams, kk: int
                                ) -> Optional[np.ndarray]:
-    """kk smallest distinct WangHash values of a path, device-reduced.
+    """kk smallest DISTINCT WangHash values of a path, device-reduced.
 
-    Per chunk, lax.top_k keeps the 2*kk smallest-by-high-word candidates
-    (a superset of the chunk's true bottom-kk unless one 32-bit prefix
-    repeats kk+ times — a kk-way hash collision); the host merges exact
-    u64 values.  The all-ones sentinel padding invalid lanes is filtered;
-    a genuine all-ones hash value (P = 2^-64 per element) would be
-    dropped — the documented-negligible caveat of this path."""
+    Per chunk, lax.top_k keeps the 2*kk smallest-by-high-word ENTRIES;
+    repeated k-mers consume slots, so the selection alone is duplicate-
+    blind (a high-coverage read set could collapse 2*kk slots onto a
+    handful of distinct values and silently miss true bottom-kk members).
+    Coverage check per chunk: every entry whose high word is strictly
+    below the selection cutoff H is guaranteed selected, so if >= kk
+    distinct candidates sit below H (or the whole chunk fit in the
+    slots), the true bottom-kk distinct values are all present; otherwise
+    the chunk's full hash set is pulled and deduped exactly — slower but
+    exact on pathological duplication.  The all-ones sentinel padding
+    invalid lanes is filtered; a genuine all-ones hash value (P = 2^-64
+    per element) would be dropped — the documented-negligible caveat of
+    this path."""
     if params.use_counting_filter and params.min_count > 1:
         return None
     from .ops.minhash_update import bottomk_candidates, candidates_to_np
@@ -692,7 +699,14 @@ def sketch_file_bottomk_values(path: str, params: SketchParams, kk: int
         chi, clo = bottomk_candidates(h, valid, 2 * kk)
         cand = candidates_to_np(chi, clo)
         cand = cand[cand != _U64_MAX]
-        vals = np.union1d(vals, cand)[:kk]
+        distinct = np.unique(cand)
+        n_valid = int(np.asarray(jnp.sum(valid)))
+        if distinct.size and n_valid > cand.size:
+            cutoff = np.uint64(cand.max()) >> np.uint64(32)
+            n_below = int((distinct >> np.uint64(32) < cutoff).sum())
+            if n_below < kk:
+                distinct = np.unique(u64.to_np(h)[np.asarray(valid)])
+        vals = np.union1d(vals, distinct)[:kk]
     return vals
 
 

@@ -800,3 +800,27 @@ def test_readfilt_emit_format(tmp_path, rng, capsys):
     assert len(lines) == 2
     assert re.fullmatch(r">fr a note\|\d+\.\d{6}", lines[0]), lines[0]
     assert lines[1] == ref[500:650]
+
+
+def test_readfilt_mate1_quality_governs_pair_format(tmp_path, rng, capsys):
+    """Reference emit() branches on MATE 1's quality for both records
+    (src/readfilt.cpp:17-33): a FASTA first mate demotes a FASTQ second
+    mate to FASTA output."""
+    ref = "".join(rng.choice(list("ACGT"), size=5000))
+    fa = tmp_path / "ref2.fa"
+    fa.write_text(f">r\n{ref}\n")
+    run_cli(["sketch", "-k", "15", "-S", "12", str(fa)])
+    hll_path = str(fa) + ".w.15.spacing.12.hll"
+    r1 = tmp_path / "m1.fa"        # FASTA mate 1
+    r2 = tmp_path / "m2.fq"        # FASTQ mate 2
+    r1.write_text(f">m1 c1\n{ref[100:200]}\n")
+    r2.write_text(f"@m2 c2\n{ref[300:400]}\n+\n{'I' * 100}\n")
+    capsys.readouterr()
+    run_cli(["readfilt", "-k", "15", "-s", hll_path, "-f", "0.3",
+             str(r1), str(r2)])
+    lines = capsys.readouterr().out.splitlines()
+    assert len(lines) == 4                      # 2 FASTA records, no quality
+    assert lines[0].startswith(">m1 c1|")
+    assert lines[1] == ref[100:200]
+    assert lines[2].startswith(">m2 c2|")
+    assert lines[3] == ref[300:400]

@@ -541,3 +541,22 @@ def test_cbbmh_matches_sequential_oracle_under_collisions(rng):
             else:
                 assert int(sk.mins[b]) == 0xFFFFFFFFFFFFFFFF
                 assert sk.counts[b] == 0
+
+
+def test_device_bottomk_exact_under_heavy_duplication(tmp_path, rng):
+    """High-coverage input (every k-mer ~60x): repeated hashes consume
+    top_k slots, so the candidate selection alone would miss distinct
+    bottom-kk members; the coverage check must detect it and fall back to
+    the exact chunk dedup (review finding: duplicate-blind candidates)."""
+    from dashing_tpu import pipeline as pl
+    from dashing_tpu.sketch.setsketches import BottomK
+    read = "".join(rng.choice(list("ACGT"), size=400))
+    path = tmp_path / "cov.fa"
+    path.write_text("".join(f">r{i}\n{read}\n" for i in range(60)))
+    params = pl.SketchParams(k=21)
+    kk = 128   # 380 distinct k-mers x60 copies; 2*kk slots hold ~4 values
+    vals = pl.sketch_file_bottomk_values(str(path), params, kk)
+    host = BottomK(kk)
+    host.addh_np(pl.file_raw_kmers(str(path), params))
+    host.finalize()
+    np.testing.assert_array_equal(vals, host.values)

@@ -284,3 +284,35 @@ def test_per_tile_windows_match_full_window(rng, jestim):
             np.testing.assert_allclose(cond[idx], want, rtol=1e-5,
                                        atol=1e-6, err_msg=str((i, j)))
             idx += 1
+
+
+def test_tile_window_kmin_is_live(rng):
+    """Review finding: np.min(initial=0) pinned every per-tile window to
+    kmin=0 (min(0, data) == 0 for non-negative registers), silently
+    disabling the kmin half of the round-3 window optimization.  The
+    block minima must be the TRUE minima, and windowed outputs must match
+    full-window outputs to float tolerance."""
+    from dashing_tpu.sketch.hll import HLL
+    from dashing_tpu.sketch import estimators as est
+    regs = rng.integers(5, 17, size=(8, 1 << 10)).astype(np.uint8)
+    assert pw._auto_kmin(regs) == int(regs.min()) >= 5
+    mm = pw._block_minmax(regs, 8, 4)
+    for i0, (lo, hi1) in mm.items():
+        blk = regs[i0:i0 + 4]
+        assert lo == int(blk.min()) and hi1 == int(blk.max()) + 1
+    sketches = [HLL(10, regs=r) for r in regs]
+    got = np.asarray(pw.all_pairs_condensed(
+        sketches, pw.JI, 21, est.ERTL_MLE, est.ERTL_JOINT_MLE))
+    try:
+        orig_kmin, orig_bm = pw._auto_kmin, pw._block_minmax
+        pw._auto_kmin = lambda r: 0
+        pw._block_minmax = lambda r, n, t: {
+            i0: (0, int(r[i0:i0 + t].max(initial=0)) + 1)
+            for i0 in range(0, n, t)}
+        want = np.asarray(pw.all_pairs_condensed(
+            sketches, pw.JI, 21, est.ERTL_MLE, est.ERTL_JOINT_MLE))
+    finally:
+        pw._auto_kmin, pw._block_minmax = orig_kmin, orig_bm
+    # widening only adds empty bins; differences are reduction-order float
+    # noise, bounded well below any emitted precision (%.6g)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
