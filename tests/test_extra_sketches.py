@@ -189,18 +189,20 @@ def test_hmh_regwidth_64_clamped(rng):
     assert 0.8 * 5000 < card < 1.25 * 5000
 
 
-def test_truncated_sketch_files_rejected(tmp_path, rng):
+@pytest.mark.parametrize("which", ["whll", "cbmh"])
+def test_truncated_sketch_files_rejected(tmp_path, rng, which):
     import gzip
     from dashing_tpu.sketch.extra import WideHLL
-    w = WideHLL(8)
+    cls = WideHLL if which == "whll" else CountingBBitMinHash
+    w = cls(8)
     w.addh_np(rng.integers(0, 2 ** 63, 100, dtype=np.uint64))
-    path = str(tmp_path / "w.whll")
+    path = str(tmp_path / f"w.{which}")
     w.write(path)
     blob = gzip.open(path, "rb").read()
     with gzip.open(path, "wb") as fp:
         fp.write(blob[:len(blob) // 2])
     with pytest.raises(EOFError, match="truncated"):
-        WideHLL.read(path)
+        cls.read(path)
 
 
 def test_jukes_cantor_corrected_counts():
