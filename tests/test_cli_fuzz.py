@@ -115,3 +115,45 @@ def test_fuzz_invalid_combo_fails_cleanly(fuzz_genomes, tmp_path, name):
             args.append(f)
     with pytest.raises(SystemExit):
         climain.main(args)
+
+
+TYPE_FLAGS = [None, "--use-bb-minhash", "--use-bloom-filter",
+              "--use-range-minhash", "--use-counting-range-minhash",
+              "--use-counting-bb-minhash", "--use-full-khash-sets",
+              "--use-wide-hll", "--use-superminhash", "--use-hyperminhash"]
+
+
+@pytest.mark.parametrize("tflag", TYPE_FLAGS,
+                         ids=[f or "hll" for f in TYPE_FLAGS])
+def test_presketched_roundtrip_every_type(fuzz_genomes, tmp_path, capsys,
+                                          tflag):
+    """sketch -W then dist -H must reproduce the direct dist output for
+    EVERY sketch type: pins the write -> cache-name -> sniff -> read ->
+    compare surface end to end."""
+    genomes, _ = fuzz_genomes
+    tf = [tflag] if tflag else []
+    base = ["-k", "21", "-S", "12", "--avoid-sorting"] + tf
+    assert climain.main(["dist"] + base + genomes) == 0
+    direct = capsys.readouterr().out
+    assert climain.main(["sketch"] + base + genomes) == 0
+    capsys.readouterr()
+    from dashing_tpu.cli import core
+    from dashing_tpu.io import cache
+    o = core.CommonOpts()
+    o.k, o.sketch_size = 21, 12
+    stype = "hll"
+    if tflag:
+        core.parse_common(o, tflag, None)
+        stype = o.sketch_type
+    sks = [cache.make_fname(g, sketch_p=12, wsz=0, k=21, csz=0,
+                            ext=core.SKETCH_EXTS[stype]) for g in genomes]
+    for s in sks:
+        assert os.path.exists(s), s
+    assert climain.main(["dist", "-H"] + base + sks) == 0
+    presk = capsys.readouterr().out
+    # same comparison values; names differ (sketch paths vs fasta paths)
+    dvals = [l.split("\t")[2:] for l in direct.splitlines()
+             if "\t-" in l]
+    pvals = [l.split("\t")[2:] for l in presk.splitlines()
+             if "\t-" in l]
+    assert dvals == pvals and dvals, (direct, presk)
