@@ -38,6 +38,23 @@ def device_rate() -> float:
         # sitecustomize before this code runs, so env JAX_PLATFORMS is
         # too late — the config update is the only reliable override
         jax.config.update("jax_platforms", os.environ["DASHING_TPU_PLATFORM"])
+    # the CLI's persistent compile cache (same resolution as cli/main.py):
+    # without it every supervised child re-pays 60-160 s of TPU compiles
+    # inside its 900 s timeout
+    cache_dir = os.environ.get(
+        "DASHING_TPU_CACHE_DIR",
+        os.path.join(os.environ.get("XDG_CACHE_HOME",
+                                    os.path.join(os.path.expanduser("~"),
+                                                 ".cache")),
+                     "dashing_tpu_xla"))
+    if cache_dir:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
     import jax.numpy as jnp
     from dashing_tpu.ops.encode import encode_tile
     from dashing_tpu.ops.hll_update import (_ROW, adaptive_cap,

@@ -24,7 +24,12 @@ def setup(default_platform: str = ""):
                                                  ".cache")),
                      "dashing_tpu_xla"))
     if cache_dir:
-        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+        if "DASHING_TPU_CACHE_DIR" in os.environ:
+            # an explicit override must WIN over a stray ambient
+            # JAX_COMPILATION_CACHE_DIR (the CLI's config.update does)
+            os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+        else:
+            os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
         try:
             os.makedirs(cache_dir, exist_ok=True)
         except OSError:

@@ -17,7 +17,6 @@ import numpy as np
 import _common
 _common.setup()
 
-# honor the CLI's platform override (estimator sweeps run fine on CPU)
 
 
 def main(n: int = 1024, p: int = 14, joint: bool = False):

@@ -16,7 +16,6 @@ import numpy as np
 import _common
 _common.setup()
 
-# honor the CLI's platform override (estimator sweeps run fine on CPU)
 
 
 def main(trials: int = 20):

@@ -17,7 +17,6 @@ import numpy as np
 import _common
 _common.setup()
 
-# honor the CLI's platform override (estimator sweeps run fine on CPU)
 
 
 def main(n_reads: int = 16384, read_len: int = 150, p: int = 14, k: int = 21):

@@ -90,8 +90,9 @@ def empty_minhash_banks(m: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 @functools.partial(jax.jit, static_argnames=("cap",))
 def bottomk_candidates(h: u64.U64, valid: jnp.ndarray, cap: int
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """The `cap` smallest ENTRIES of a chunk BY HIGH WORD -> (hi, lo) u32.
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The `cap` smallest ENTRIES of a chunk BY HIGH WORD ->
+    (hi, lo, n_valid).
 
     Entries, not distinct values: repeated k-mers (identical hashes)
     each consume a slot, so this is only a superset of the chunk's true
@@ -111,7 +112,9 @@ def bottomk_candidates(h: u64.U64, valid: jnp.ndarray, cap: int
     # possible bottom-k candidate — LAST and silently drop it)
     neg = ~_as_ordered_i32(hi)
     _, pos = jax.lax.top_k(neg, k)
-    return hi[pos], lo[pos]
+    # the valid-entry count rides along so the caller's duplicate-coverage
+    # check costs no extra dispatch (everything pulls in ONE device_get)
+    return hi[pos], lo[pos], jnp.sum(valid)
 
 
 def candidates_to_np(hi: jnp.ndarray, lo: jnp.ndarray) -> np.ndarray:

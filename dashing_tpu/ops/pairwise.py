@@ -129,81 +129,88 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
     return out
 
 
-_MLE_KERNEL_OK: "Optional[bool]" = None
+# Per-variant self-verification state for the fused union-MLE kernel:
+# (estim, p, kmin, K) -> bool.  Every static-parameter combination the
+# production engine requests is probed once (compile + run on a tiny
+# synthetic bank THROUGH the real routing function, compare against the
+# XLA inclusion-exclusion path) before production compares route through
+# it, so an estimator- or geometry-specific Mosaic failure can never
+# crash a run — it just falls back to XLA for that variant.
+_MLE_KERNEL_STATE: Dict[tuple, bool] = {}
 
 
-def _mle_kernel_probe(interp: bool) -> bool:
-    """One-time self-check of the fused union-cardinality kernel before
-    routing production compares through it: compile + run it on a tiny
-    synthetic case and compare against the XLA inclusion-exclusion path.
-    ANY failure (Mosaic lowering, backend error, numeric drift) logs a
-    note and permanently disables the kernel for this process — the
-    kernel is an optimization, never a correctness dependency.  The tiny
-    compile lands in the persistent XLA cache, so later processes pay
-    nothing."""
-    global _MLE_KERNEL_OK
-    if _MLE_KERNEL_OK is not None:
-        return _MLE_KERNEL_OK
-    try:
-        from .pallas_mle import BB as MBB, pallas_union_triples, pick_geometry
-        # the first kernel-path call may arrive DURING tracing of an
-        # enclosing jit/shard_map (mesh compare paths); JAX trace state is
-        # thread-local, so a fresh thread evaluates the probe eagerly on
-        # concrete values (ensure_compile_time_eval instead turns the
-        # pallas_call operands into captured-constant tracers and fails)
-        import concurrent.futures
-        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-            return ex.submit(_mle_kernel_probe_eval, interp, MBB,
-                             pallas_union_triples, pick_geometry).result()
-    except Exception as e:   # Mosaic/backend failures must never be fatal
-        print(f"note: union-MLE kernel unavailable "
-              f"({type(e).__name__}: {e}); using the XLA estimator",
-              file=sys.stderr)
-        _MLE_KERNEL_OK = False
-    return _MLE_KERNEL_OK
+def _mle_kernel_probe(estim: int, p: int, kmin: int, K: int,
+                      interp: bool) -> bool:
+    key = (estim, p, kmin, K)
+    if key in _MLE_KERNEL_STATE:
+        return _MLE_KERNEL_STATE[key]
+    # the first kernel-path call may arrive DURING tracing of an enclosing
+    # jit/shard_map (mesh compare paths); JAX trace state is thread-local,
+    # so a fresh thread evaluates the probe eagerly on concrete values
+    # (ensure_compile_time_eval instead turns the pallas_call operands
+    # into captured-constant tracers and fails)
+    import concurrent.futures
+    for attempt in range(3):   # transient tunnel errors get bounded retry
+        try:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+                ok = ex.submit(_mle_kernel_probe_eval, estim, p, kmin, K,
+                               interp).result()
+            if not ok:
+                print(f"note: union-MLE kernel probe mismatched the XLA "
+                      f"path for variant {key}; using the XLA estimator",
+                      file=sys.stderr)
+            _MLE_KERNEL_STATE[key] = ok
+            return ok
+        except jax.errors.JaxRuntimeError as e:
+            if attempt == 2:
+                print(f"note: union-MLE kernel probe hit persistent "
+                      f"backend errors ({e}); using the XLA estimator "
+                      f"for variant {key}", file=sys.stderr)
+                _MLE_KERNEL_STATE[key] = False
+                return False
+            import time
+            time.sleep(2.0 * (attempt + 1))
+        except Exception as e:   # Mosaic lowering etc. must never be fatal
+            print(f"note: union-MLE kernel unavailable for variant {key} "
+                  f"({type(e).__name__}: {e}); using the XLA estimator",
+                  file=sys.stderr)
+            _MLE_KERNEL_STATE[key] = False
+            return False
+    return False
 
 
-def _mle_kernel_probe_eval(interp, MBB, pallas_union_triples,
-                           pick_geometry) -> bool:
-    """Probe body; caller holds ensure_compile_time_eval + the
-    exception guard."""
-    global _MLE_KERNEL_OK
-    p_, kmin_ = 10, 4
+def _mle_kernel_probe_eval(estim: int, p: int, kmin: int, K: int,
+                           interp: bool) -> bool:
+    """Probe body, run in a fresh thread (no ambient trace): tiny bank at
+    the EXACT static parameters production requested, routed through
+    _pallas_union_triples itself (_probing=True skips the gate)."""
+    kmax = kmin + K - 1
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(kmin_, kmin_ + 11,
-                                 size=(8, 1 << p_)).astype(np.int32))
-    b = jnp.asarray(rng.integers(kmin_, kmin_ + 11,
-                                 size=(8, 1 << p_)).astype(np.int32))
-    stats = pair_stats(a, b, kmin_ + 11, False, kmin_)
+    hi = max(kmin + 1, kmax)
+    a = jnp.asarray(rng.integers(kmin, hi, size=(8, 1 << p))
+                    .astype(np.int32))
+    b = jnp.asarray(rng.integers(kmin, hi, size=(8, 1 << p))
+                    .astype(np.int32))
+    stats = pair_stats(a, b, kmax, False, kmin)
     cum = stats["cum_union"]
-    ba = pick_geometry(cum.shape[-1])
-    if ba is None:
-        _MLE_KERNEL_OK = False
-        return False
-    c_a = est.estimate_windowed(stats["hist_a"], p_, kmin_, est.ERTL_MLE)
-    c_b = est.estimate_windowed(stats["hist_b"], p_, kmin_, est.ERTL_MLE)
+    c_a = est.estimate_windowed(stats["hist_a"], p, kmin, estim)
+    c_b = est.estimate_windowed(stats["hist_b"], p, kmin, estim)
     hist_u = jnp.concatenate(
         [cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1)
-    c_u = est.estimate_windowed(hist_u, p_, kmin_, est.ERTL_MLE)
+    c_u = est.estimate_windowed(hist_u, p, kmin, estim)
     want_shared = np.asarray(
         jnp.maximum(0.0, c_a[:, None] + c_b[None, :] - c_u))
-    cumT = jnp.moveaxis(cum, -1, 0)
-    pa, pb = (-8) % ba, (-8) % MBB
-    cumT = jnp.pad(cumT, ((0, 0), (0, pa), (0, pb)))
-    tri = pallas_union_triples(cumT, jnp.pad(c_a, (0, pa)),
-                               jnp.pad(c_b, (0, pb)), p=p_, kmin=kmin_,
-                               method=est.ERTL_MLE, ba=ba,
-                               interpret=interp)
-    got_shared = np.asarray(jnp.moveaxis(tri, 0, -1))[:8, :8, 2]
-    ok = bool(np.allclose(got_shared, want_shared, rtol=1e-5, atol=1e-3))
-    if not ok:
-        print("note: union-MLE kernel probe mismatched the XLA path; "
-              "using the XLA estimator", file=sys.stderr)
-    _MLE_KERNEL_OK = ok
-    return ok
+    tri = _pallas_union_triples(stats, c_a, c_b, p, kmin, estim,
+                                _probing=True, _interp=interp)
+    if tri is None:
+        return False
+    got_shared = np.asarray(tri)[..., 2]
+    return bool(np.allclose(got_shared, want_shared, rtol=1e-4, atol=1.0))
 
 
-def _pallas_union_triples(stats, c_a, c_b, p: int, kmin: int, estim: int):
+def _pallas_union_triples(stats, c_a, c_b, p: int, kmin: int,
+                          estim: int, _probing: bool = False,
+                          _interp: bool = False):
     """Route the non-joint triple derivation through the fused
     VMEM-resident union-cardinality kernel (ops/pallas_mle.py); None ->
     XLA fallback.
@@ -213,20 +220,26 @@ def _pallas_union_triples(stats, c_a, c_b, p: int, kmin: int, estim: int):
     (na, nb, K) union histogram in HBM and the default ERTL_MLE Newton
     loop re-reads it every iteration."""
     import os
-    flag = os.environ.get("DASHING_TPU_PALLAS_MLE", "1")
-    if flag == "0":
-        return None
-    interp = flag == "interpret"
-    from ..pipeline import _pallas_available
-    if not (_pallas_available() or interp):
-        return None
-    if not _mle_kernel_probe(interp):
-        return None
+    if _probing:
+        # the probe re-enters through the REAL routing so its layout can
+        # never diverge from production; the env/platform gates were
+        # already passed by the production call that triggered it
+        interp = _interp
+    else:
+        flag = os.environ.get("DASHING_TPU_PALLAS_MLE", "1")
+        if flag == "0":
+            return None
+        interp = flag == "interpret"
+        from ..pipeline import _pallas_available
+        if not (_pallas_available() or interp):
+            return None
     from .pallas_mle import BB as MBB, pallas_union_triples, pick_geometry
     cum = stats["cum_union"]
     na, nb, K = cum.shape
     ba = pick_geometry(K)
     if ba is None:
+        return None
+    if not _probing and not _mle_kernel_probe(estim, p, kmin, K, interp):
         return None
     cumT = jnp.moveaxis(cum, -1, 0)
     pa, pb = (-na) % ba, (-nb) % MBB
@@ -538,7 +551,11 @@ def _tile_window(tmin: int, tmax1: int, q: int):
     top overflow past q+1 folded into a lower kmin), and widening is exact:
     the extra levels hold empty histogram bins that contribute exact zeros
     to every windowed estimator sum."""
-    kmin = max(0, tmin - (tmin & 1))
+    # kmin rounds DOWN to a multiple of 4: now that block minima are live
+    # (not constant 0), each distinct (kmin, kmax) is a separate jit
+    # compile variant — /4 bucketing bounds the variant count at <= 3
+    # levels of extra (exactly-zero) work per tile
+    kmin = max(0, tmin - (tmin & 3))
     K = tmax1 - kmin + 1
     for b in _K_BUCKETS:
         if b >= K:

@@ -696,11 +696,16 @@ def sketch_file_bottomk_values(path: str, params: SketchParams, kk: int
     vals = np.zeros(0, np.uint64)
     for tile in _file_tiles(path, sp):
         h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
-        chi, clo = bottomk_candidates(h, valid, 2 * kk)
-        cand = candidates_to_np(chi, clo)
+        chi, clo, cnt = bottomk_candidates(h, valid, 2 * kk)
+        # ONE device pull for candidates + count (each extra eager pull
+        # costs a tunnel round-trip per chunk)
+        chi_np, clo_np, n_valid = jax.device_get((chi, clo, cnt))
+        cand = ((np.asarray(chi_np, np.uint32).astype(np.uint64)
+                 << np.uint64(32))
+                | np.asarray(clo_np, np.uint32).astype(np.uint64))
         cand = cand[cand != _U64_MAX]
         distinct = np.unique(cand)
-        n_valid = int(np.asarray(jnp.sum(valid)))
+        n_valid = int(n_valid)
         if distinct.size and n_valid > cand.size:
             cutoff = np.uint64(cand.max()) >> np.uint64(32)
             n_below = int((distinct >> np.uint64(32) < cutoff).sum())

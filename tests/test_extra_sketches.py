@@ -417,7 +417,7 @@ def test_bottomk_candidates_keep_zero_high_word(rng):
     lo[17] = 0xDEADBEEF
     valid = np.ones(n, bool)
     valid[18] = False
-    chi, clo = bottomk_candidates((jnp.asarray(hi), jnp.asarray(lo)),
+    chi, clo, _ = bottomk_candidates((jnp.asarray(hi), jnp.asarray(lo)),
                                   jnp.asarray(valid), 16)
     got = candidates_to_np(chi, clo)
     assert got[0] == (0xDEADBEEF), hex(got[0])

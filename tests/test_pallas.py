@@ -264,17 +264,21 @@ def test_pallas_union_mle_diagonal_tile(rng):
 
 
 def test_mle_kernel_probe_self_verifies_and_fails_closed(monkeypatch):
-    """The union-MLE kernel must prove itself (compile + numeric match vs
-    the XLA path) before production compares route through it, and ANY
-    probe failure must permanently fall back to XLA, never crash."""
+    """The union-MLE kernel must prove itself per (estim, p, kmin, K)
+    variant (compile + numeric match vs the XLA path, through the real
+    routing function) before production compares use it, and ANY probe
+    failure must fall back to XLA for that variant, never crash."""
+    from dashing_tpu.sketch import estimators as est
     from dashing_tpu.ops import pairwise as pw
     from dashing_tpu.ops import pallas_mle as pm
-    monkeypatch.setattr(pw, "_MLE_KERNEL_OK", None)
-    assert pw._mle_kernel_probe(True) is True
-    monkeypatch.setattr(pw, "_MLE_KERNEL_OK", None)
+    monkeypatch.setattr(pw, "_MLE_KERNEL_STATE", {})
+    # each estimator is its own kernel code path: probe all three
+    for estim in (est.ERTL_MLE, est.ERTL_IMPROVED, est.ORIGINAL):
+        assert pw._mle_kernel_probe(estim, 10, 4, 12, True) is True
+    monkeypatch.setattr(pw, "_MLE_KERNEL_STATE", {})
     monkeypatch.setattr(
         pm, "pallas_union_triples",
         lambda *a, **k: (_ for _ in ()).throw(RuntimeError("mosaic boom")))
-    assert pw._mle_kernel_probe(True) is False
+    assert pw._mle_kernel_probe(est.ERTL_MLE, 10, 4, 12, True) is False
     # cached: stays disabled without re-probing
-    assert pw._mle_kernel_probe(True) is False
+    assert pw._mle_kernel_probe(est.ERTL_MLE, 10, 4, 12, True) is False
