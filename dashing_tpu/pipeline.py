@@ -688,7 +688,7 @@ def sketch_file_bottomk_values(path: str, params: SketchParams, kk: int
     this path."""
     if params.use_counting_filter and params.min_count > 1:
         return None
-    from .ops.minhash_update import bottomk_candidates, candidates_to_np
+    from .ops.minhash_update import bottomk_candidates
     sp = params.spacer()
     kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
               canon=params.canon, encoding=params.encoding,
