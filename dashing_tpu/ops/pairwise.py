@@ -703,17 +703,19 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
     assert out.shape == (n * (n - 1) // 2,)
 
     def put(i0, j0, block):
-        # scatter block values for pairs (i, j) with global j > i
+        # scatter block values for pairs (i, j) with global j > i — one
+        # vectorized fancy-index store per tile (the per-row loop this
+        # replaces cost ~1024 python iterations per tile, visible once
+        # the device side runs at in-jit rates)
         bi, bj = block.shape
-        for ii in range(bi):
-            gi = i0 + ii
-            js = np.arange(j0, j0 + bj)
-            sel = js > gi
-            if not sel.any():
-                continue
-            js_sel = js[sel]
-            base = (gi * (2 * n - gi - 1)) // 2
-            out[base + js_sel - gi - 1] = block[ii, sel]
+        gi = (i0 + np.arange(bi, dtype=np.int64))[:, None]
+        gj = (j0 + np.arange(bj, dtype=np.int64))[None, :]
+        idx = (gi * (2 * n - gi - 1)) // 2 + gj - gi - 1
+        if j0 >= i0 + bi:         # strictly off-diagonal: all pairs valid
+            out[idx.reshape(-1)] = block.reshape(-1)
+        else:
+            sel = gj > gi
+            out[idx[sel]] = block[sel]
 
     regs_d = _device_regs(regs)
 
