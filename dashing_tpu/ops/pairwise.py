@@ -43,8 +43,11 @@ from ..sketch import estimators as est
 def _dot(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """(na, m) . (nb, m)^T indicator contraction on the MXU.
 
-    int8 inputs with int32 accumulation: exact for 0/1 indicators, and int8
-    runs at 2x the bf16 MACs on v5e-class MXUs."""
+    int8 inputs with int32 accumulation: exact for 0/1 indicators.
+    Measured (benchmarks/stats_dtype_probe.py): int8/int4/bf16/f32 all
+    run at the SAME rate through this toolchain at the (1024, 16384)
+    geometry — the int paths do not unlock extra MAC throughput here, so
+    int8 is kept for exactness + half the operand bytes, not speed."""
     return jax.lax.dot_general(
         x.astype(jnp.int8), y.astype(jnp.int8),
         dimension_numbers=(((1,), (1,)), ((), ())),
