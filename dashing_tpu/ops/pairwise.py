@@ -299,7 +299,8 @@ def _pallas_jmle_triples(stats, p: int, kmin: int):
         c_b = jnp.pad(c_b, (0, pb))
         c_u = jnp.pad(c_u, ((0, pa), (0, pb)))
     tri = pallas_joint_mle(eqT, gtaT, gtbT, haT, hbT, c_a, c_b, c_u,
-                           p=p, kmin=kmin, ba=ba, interpret=interp)
+                           p=p, kmin=kmin, iters=est.jmle_iters(p),
+                           ba=ba, interpret=interp)
     tri = jnp.moveaxis(tri, 0, -1)
     return tri[:na, :nb] if (pa or pb) else tri
 

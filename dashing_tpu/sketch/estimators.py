@@ -468,29 +468,6 @@ def _joint_logl(theta, stats, m: float, q: int, kmin: int = 0,
     return L
 
 
-def _f_d1_d2(h, lam, m: float, q: int, kmin: int = 0, kfirst: bool = False):
-    """(d/dx, d2/dx2) of sum_k h[k] log f(k; lam) w.r.t. x = lam/m —
-    the value-free sibling of _f_val_d1_d2: the Newton loop needs only
-    derivatives, and skipping the value skips ALL log evaluations (the
-    most expensive transcendental in the loop; measured ~25% of -J)."""
-    x = lam / m
-    hm, h0, htop, k, ax, kmax = _k_parts(h, kmin, q, kfirst)
-    zk = jnp.exp2(-k)
-    a = jnp.maximum((x if kfirst else x[..., None]) * zk, 1e-30)
-    w = zk / _expm1_k(a, kfirst)
-    d1 = (hm * (w - zk)).sum(ax)
-    d2 = (hm * (-(w * w + zk * w))).sum(ax)
-    if kmin == 0:
-        d1 = d1 - h0
-    if kmax == q + 1:
-        zq = 2.0 ** -q
-        aq = jnp.maximum(x * zq, 1e-30)
-        wq = zq / _expm1_k(aq, kfirst)
-        d1 = d1 + htop * wq
-        d2 = d2 + htop * (-(wq * wq + zq * wq))
-    return d1, d2
-
-
 def _f_val_d1_d2(h, lam, m: float, q: int, kmin: int = 0):
     """(value, d/dlam, d2/dlam2) of sum_k h[k] log f(k; lam), sharing the
     expm1 evaluations across the three outputs.  Derivatives are w.r.t.
@@ -525,20 +502,178 @@ def _f_val_d1_d2(h, lam, m: float, q: int, kmin: int = 0):
     return val, d1, d2
 
 
+def _compl_chain(x, c_lo: int, c_hi: int, kfirst: bool):
+    """{k: 1 - exp(-x * 2^-k)} for k = c_lo..c_hi from ONE expm1 seed.
+
+    Seeded at the DEEPEST level c_hi (smallest exponent, where expm1 is
+    most accurate) and walked down by the complement square chain
+    c[k-1] = c[k] * (2 - c[k])  (exact:  1 - g^2 = (1-g)(1+g)).
+    The complement form is the numerically stable one: relative error
+    does NOT amplify down the chain while c << 1 (the (2 - c) factor
+    keeps it bounded), exactly where the downstream cancellation-prone
+    terms live, and for large exponents c saturates to 1 exactly.
+    This replaces one transcendental PER LEVEL with one per chain —
+    measured the dominant VPU cost of the joint-MLE Newton iteration."""
+    c = {}
+    a_hi = x * (2.0 ** -c_hi)
+    c[c_hi] = jnp.maximum(-_expm1_k(-a_hi, kfirst), 1e-30)
+    for k in range(c_hi - 1, c_lo - 1, -1):
+        ck = c[k + 1]
+        c[k] = ck * (2.0 - ck)
+    return c
+
+
+def _f_d1_d2(h, lam, m: float, q: int, kmin: int = 0):
+    """(d/dx, d2/dx2) of sum_k h[k] log f(k; lam) w.r.t. x = lam/m —
+    the value-free sibling of _f_val_d1_d2 (K-last layout): the Newton
+    loop needs only derivatives, and skipping the value skips ALL log
+    evaluations (the most expensive transcendental; measured ~25% of
+    -J before the fused kernel)."""
+    x = lam / m
+    hm, h0, htop, k, ax, kmax = _k_parts(h, kmin, q, False)
+    zk = jnp.exp2(-k)
+    a = jnp.maximum(x[..., None] * zk, 1e-30)
+    w = zk / jnp.expm1(a)
+    d1 = (hm * (w - zk)).sum(ax)
+    d2 = (hm * (-(w * w + zk * w))).sum(ax)
+    if kmin == 0:
+        d1 = d1 - h0
+    if kmax == q + 1:
+        zq = 2.0 ** -q
+        aq = jnp.maximum(x * zq, 1e-30)
+        wq = zq / jnp.expm1(aq)
+        d1 = d1 + htop * wq
+        d2 = d2 + htop * (-(wq * wq + zq * wq))
+    return d1, d2
+
+
 def _joint_grad_hess(theta, stats, m: float, q: int, kmin: int = 0,
                      kfirst: bool = False):
     """Analytic (gradient, Hessian) of _joint_logl at theta = log lambda —
     the value-free pass the Newton loop runs (see _joint_val_grad_hess for
     the derivation; this drops every log evaluation, which the derivatives
-    never need: w = z/expm1 and the diagonal T-exponentials suffice)."""
+    never need).
+
+    Two evaluation strategies, SAME math (pinned against each other in
+    f64 by tests/test_hll.py::test_grad_hess_twins_agree):
+
+    - K-last (XLA vmap path): direct per-level exponentials, one
+      (pairs, K)-vectorized op per quantity.  XLA fuses the level axis;
+      the chain form below measured 5x SLOWER here (a K-long serial
+      dependence kills the fusion).
+    - K-first (fused Pallas kernel): complement-chain evaluation
+      (_joint_grad_hess_chain) — the kernel unrolls K anyway, so the
+      serial chain is free and the transcendental count drops from 8
+      per LEVEL per pair per iteration to 3 per pair per iteration;
+      measured 44.0 -> 37.0 ms on the full -J tile (with iters 10->8)."""
+    if kfirst:
+        return _joint_grad_hess_chain(theta, stats, m, q, kmin)
     la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
 
-    gA, hA = _f_d1_d2(stats["gt_a"], la, m, q, kmin, kfirst)  # w = (1,0,0)
-    gB, hB = _f_d1_d2(stats["gt_b"], lb, m, q, kmin, kfirst)  # w = (0,1,0)
-    gAB, hAB = _f_d1_d2(stats["lt_b"], lb + lx, m, q, kmin,
-                        kfirst)                               # (0,1,1)
-    gBA, hBA = _f_d1_d2(stats["lt_a"], la + lx, m, q, kmin,
-                        kfirst)                               # (1,0,1)
+    gA, hA = _f_d1_d2(stats["gt_a"], la, m, q, kmin)          # w = (1,0,0)
+    gB, hB = _f_d1_d2(stats["gt_b"], lb, m, q, kmin)          # w = (0,1,0)
+    gAB, hAB = _f_d1_d2(stats["lt_b"], lb + lx, m, q, kmin)   # (0,1,1)
+    gBA, hBA = _f_d1_d2(stats["lt_a"], la + lx, m, q, kmin)   # (1,0,1)
+    ga = gA + gBA
+    gb = gB + gAB
+    gx = gAB + gBA
+    Haa = hA + hBA
+    Hbb = hB + hAB
+    Hxx = hAB + hBA
+    Hax = hBA
+    Hbx = hAB
+    Hab = jnp.zeros_like(Haa)
+
+    kk, ax = _lvl_consts(stats, kmin, False)
+    zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)
+    zk1f = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), 0.0)
+    labx = (la + lb + lx) / m
+    T1 = jnp.exp(-labx * zk)
+    T4 = jnp.where(kk >= 1, jnp.exp(-labx * zk1f), 0.0)
+    T2 = jnp.where(kk >= 1,
+                   jnp.exp(-((la + lx) * zk1f + lb * zk) / m), 0.0)
+    T3 = jnp.where(kk >= 1,
+                   jnp.exp(-((lb + lx) * zk1f + la * zk) / m), 0.0)
+    P = jnp.maximum(T1 - T2 - T3 + T4, 1e-30)
+    return _joint_gh_tail(la, lb, lx, ga, gb, gx, Haa, Hbb, Hxx,
+                          Hab, Hax, Hbx, zk, zk1f, T1, T2, T3, T4, P,
+                          stats["eq"], ax, m)
+
+
+def _joint_grad_hess_chain(theta, stats, m: float, q: int, kmin: int = 0,
+                           kfirst: bool = True):
+    """K-first (Pallas kernel) evaluation of _joint_grad_hess by
+    complement chains: THREE expm1 per pair per iteration
+    (for u = e^{-la z_k/m}, v = e^{-lb z_k/m}, xh = e^{-lx z_k/m};
+    _compl_chain), not 8 per LEVEL per pair like the direct form.
+    Everything else is algebra on the chains:
+      T1[k] = u v xh ;  T4[k] = T1[k-1] ;
+      T2[k] = u[k-1] xh[k-1] v[k] ;  T3[k] = v[k-1] xh[k-1] u[k]
+      (exact: z_{k-1} = 2 z_k  =>  e^{-c 2 z_k} = (e^{-c z_k})^2)
+    and the equal-level probability in cancellation-FREE form
+      P = T1 - T2 - T3 + T4 = T1 * (cA*cB + T1*cx),
+      cA = 1 - u xh = cu + cx - cu*cx,  cB = cv + cx - cv*cx
+    (T2 = T1*A, T3 = T1*B, T4 = T1*G with A = u xh, B = v xh,
+    G = u v xh = T1 at level k, and the inner 1 - A - B + G expands to
+    cA*cB + G*cx exactly because AB = G*xh).
+    The marginal-likelihood derivative weights come from the same
+    chains: w = z_k / expm1(arg z_k / m) = z_k * (1-c) / c.
+    Agreement with the direct form is pinned by tests (f32 parity +
+    float64 central differences)."""
+    la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
+
+    eq = stats["eq"]
+    K = eq.shape[0] if kfirst else eq.shape[-1]
+    kmax = kmin + K - 1
+    lo, hi = max(kmin, 1), min(kmax, q)
+    c_lo = max(kmin - 1, 0)
+    ax = 0 if kfirst else -1
+    stk = (lambda vs: jnp.stack(vs, 0)) if kfirst else \
+          (lambda vs: jnp.stack(vs, -1))
+    cu = _compl_chain(la / m, c_lo, hi, kfirst)
+    cv = _compl_chain(lb / m, c_lo, hi, kfirst)
+    cx = _compl_chain(lx / m, c_lo, hi, kfirst)
+    u = {k: 1.0 - cu[k] for k in cu}
+    v = {k: 1.0 - cv[k] for k in cv}
+    xh = {k: 1.0 - cx[k] for k in cx}
+
+    def marginal_d1_d2(h, cs, prods):
+        """(d1, d2) of one single-sketch likelihood from chain values:
+        w[k] = z_k * prod(non-complements) / complement(product), the
+        division-safe em = c/(1-c) form of z_k / expm1."""
+        hm, h0, htop, k, axm, _ = _k_parts(h, kmin, q, kfirst)
+        zk = jnp.exp2(-k)
+        ws = []
+        for kl in range(lo, hi + 1):
+            c_prod = cs[0][kl]
+            for c2 in cs[1:]:
+                c_prod = c_prod + c2[kl] - c_prod * c2[kl]
+            num = prods[0][kl]
+            for p2 in prods[1:]:
+                num = num * p2[kl]
+            ws.append(num / c_prod)
+        w = zk * (stk(ws) if ws else jnp.zeros_like(zk))
+        d1 = (hm * (w - zk)).sum(axm)
+        d2 = (hm * (-(w * w + zk * w))).sum(axm)
+        if kmin == 0:
+            d1 = d1 - h0
+        if kmax == q + 1:
+            zq = 2.0 ** -q
+            wq = zq * prods[0][q]
+            for p2 in prods[1:]:
+                wq = wq * p2[q]
+            cq = cs[0][q]
+            for c2 in cs[1:]:
+                cq = cq + c2[q] - cq * c2[q]
+            wq = wq / cq
+            d1 = d1 + htop * wq
+            d2 = d2 + htop * (-(wq * wq + zq * wq))
+        return d1, d2
+
+    gA, hA = marginal_d1_d2(stats["gt_a"], (cu,), (u,))        # w = (1,0,0)
+    gB, hB = marginal_d1_d2(stats["gt_b"], (cv,), (v,))        # w = (0,1,0)
+    gAB, hAB = marginal_d1_d2(stats["lt_b"], (cv, cx), (v, xh))  # (0,1,1)
+    gBA, hBA = marginal_d1_d2(stats["lt_a"], (cu, cx), (u, xh))  # (1,0,1)
     ga = gA + gBA
     gb = gB + gAB
     gx = gAB + gBA
@@ -552,15 +687,57 @@ def _joint_grad_hess(theta, stats, m: float, q: int, kmin: int = 0,
     kk, ax = _lvl_consts(stats, kmin, kfirst)
     zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)
     zk1f = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), 0.0)
-    labx = (la + lb + lx) / m
-    T1 = jnp.exp(-labx * zk)
-    T4 = jnp.where(kk >= 1, jnp.exp(-labx * zk1f), 0.0)
-    T2 = jnp.where(kk >= 1,
-                   jnp.exp(-((la + lx) * zk1f + lb * zk) / m), 0.0)
-    T3 = jnp.where(kk >= 1,
-                   jnp.exp(-((lb + lx) * zk1f + la * zk) / m), 0.0)
-    P = jnp.maximum(T1 - T2 - T3 + T4, 1e-30)
-    w = stats["eq"]
+    t1s, t2s, t3s, t4s, ps = [], [], [], [], []
+    for k in range(kmin, kmax + 1):
+        if k == 0:
+            t1 = u[0] * v[0] * xh[0]
+            zero = jnp.zeros_like(t1)
+            t1s.append(t1)
+            t2s.append(zero)
+            t3s.append(zero)
+            t4s.append(zero)
+            ps.append(t1)                      # P = T1 at level 0
+            continue
+        if k == q + 1:
+            g_q = u[q] * v[q] * xh[q]
+            t1 = jnp.ones_like(g_q)
+            t2 = u[q] * xh[q]
+            t3 = v[q] * xh[q]
+            cA = cu[q] + cx[q] - cu[q] * cx[q]
+            cB = cv[q] + cx[q] - cv[q] * cx[q]
+            t1s.append(t1)
+            t2s.append(t2)
+            t3s.append(t3)
+            t4s.append(g_q)
+            ps.append(cA * cB + g_q * cx[q])
+            continue
+        t1 = u[k] * v[k] * xh[k]
+        ux1 = u[k - 1] * xh[k - 1]
+        vx1 = v[k - 1] * xh[k - 1]
+        cA = cu[k] + cx[k] - cu[k] * cx[k]
+        cB = cv[k] + cx[k] - cv[k] * cx[k]
+        t1s.append(t1)
+        t2s.append(ux1 * v[k])
+        t3s.append(vx1 * u[k])
+        t4s.append(u[k - 1] * vx1)
+        # P = T1 - T2 - T3 + T4 = T1 * (1 - A - B + G) with A = u xh,
+        # B = v xh, G = u v xh at level k (T2 = T1*A, T3 = T1*B,
+        # T4 = T1*G exactly, via z_{k-1} = 2 z_k), and the inner factor
+        # in cancellation-free all-positive form:
+        # 1 - A - B + G = cA*cB + G*cx  (AB = G xh exactly)
+        ps.append(t1 * (cA * cB + t1 * cx[k]))
+    T1, T2, T3, T4 = stk(t1s), stk(t2s), stk(t3s), stk(t4s)
+    P = jnp.maximum(stk(ps), 1e-30)
+    return _joint_gh_tail(la, lb, lx, ga, gb, gx, Haa, Hbb, Hxx,
+                          Hab, Hax, Hbx, zk, zk1f, T1, T2, T3, T4, P,
+                          stats["eq"], ax, m)
+
+
+def _joint_gh_tail(la, lb, lx, ga, gb, gx, Haa, Hbb, Hxx, Hab, Hax, Hbx,
+                   zk, zk1f, T1, T2, T3, T4, P, w, ax, m: float):
+    """Shared tail of both _joint_grad_hess evaluation strategies: the
+    equal-level (diagonal) gradient/Hessian contributions from the T
+    exponentials and P, then the chain rule into theta = log lambda."""
     wpos = w > 0
     Sa = -T1 * zk + T2 * zk1f + T3 * zk - T4 * zk1f
     Sb = -T1 * zk + T2 * zk + T3 * zk1f - T4 * zk1f
@@ -714,8 +891,23 @@ def _solve3_sym(H, g):
     return jnp.stack([x0, x1, x2])
 
 
+def jmle_iters(p: int) -> int:
+    """Blind Newton iteration count for the joint MLE at precision p.
+
+    Measured (benchmarks/jmle_iters_probe.py, 150 cases spanning
+    cardinalities 2e3..6e7 and overlaps 0..0.9, f32 self-truth at
+    iters=30): at p>=14 the trajectory is converged at 8 iterations
+    (max |dJI| 4e-5, ~300x below the estimator's intrinsic error, and
+    iters=10 itself wobbles more than 8 at the f32 noise floor); at
+    p=10 it still moves until 10 (iters=8 leaves 1.3e-3).  Fewer
+    registers -> noisier Hessian -> slower convergence, so the count is
+    p-dependent: 2 fewer iterations is ~12% of the -J compare phase at
+    the production p=14."""
+    return 8 if p >= 13 else 10
+
+
 @partial(jax.jit, static_argnames=("p", "iters", "kmin"))
-def joint_mle(stats, p: int, iters: int = 10, kmin: int = 0,
+def joint_mle(stats, p: int, iters: int = None, kmin: int = 0,
               cards=None) -> jnp.ndarray:
     """Maximize the joint likelihood; returns (|A\\B|, |B\\A|, |A&B|).
 
@@ -742,6 +934,8 @@ def joint_mle(stats, p: int, iters: int = 10, kmin: int = 0,
     """
     m = float(1 << p)
     q = 64 - p
+    if iters is None:
+        iters = jmle_iters(p)
     if cards is None:
         cards = (mle_estimate_windowed(stats["hist_a"], p, kmin),
                  mle_estimate_windowed(stats["hist_b"], p, kmin),

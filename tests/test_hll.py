@@ -261,6 +261,21 @@ def test_joint_grad_hess_match_finite_differences(rng):
         g_num = (float(v1) - float(v0)) / (2 * eps)
         assert abs(float(g[i]) - g_num) < max(0.05 * abs(g_num), 2.0), (i, float(g[i]), g_num)
     assert (np.diag(np.asarray(H)) < 0).all()
+    # the value-FREE chain twin (the strategy the fused KERNEL runs,
+    # complement-chain evaluation) must satisfy the same oracle directly
+    gc, Hc = est._joint_grad_hess_chain(jnp.asarray(th32), stats, m, q,
+                                        kfirst=False)
+    assert np.isfinite(np.asarray(gc)).all()
+    assert np.isfinite(np.asarray(Hc)).all()
+    for i in range(3):
+        e = np.zeros(3, np.float32)
+        e[i] = eps
+        v1, _, _ = est._joint_val_grad_hess(jnp.asarray(th32 + e), stats, m, q)
+        v0, _, _ = est._joint_val_grad_hess(jnp.asarray(th32 - e), stats, m, q)
+        g_num = (float(v1) - float(v0)) / (2 * eps)
+        assert abs(float(gc[i]) - g_num) < max(0.05 * abs(g_num), 2.0), (
+            i, float(gc[i]), g_num)
+    assert (np.diag(np.asarray(Hc)) < 0).all()
 
 
 def test_joint_mle_improves_likelihood(rng):
@@ -319,10 +334,17 @@ def test_filtered_update_cascade_tiers(rng):
 
 
 def test_grad_hess_twins_agree(rng):
-    """The production Newton loop runs the value-FREE _joint_grad_hess /
-    _f_d1_d2 twins; the float64 finite-difference oracle validates the
-    val-bearing twins.  Pin them together bitwise so an edit to the
-    load-bearing analytic Hessian applied to one twin fails loudly."""
+    """The XLA Newton loop runs the value-FREE _joint_grad_hess; the
+    float64 finite-difference oracle validates the val-bearing twin.
+    Pin them together bitwise so an edit to the load-bearing analytic
+    Hessian applied to one twin fails loudly.  The KERNEL path's
+    complement-chain strategy (_joint_grad_hess_chain) computes the
+    same quantities through exact identities (e^{-c 2z} = (e^{-cz})^2,
+    1 - g^2 = (1-g)(1+g)); it is pinned in FLOAT64, where an algebra
+    error shows at >=1e-3 while the reformulation's rounding sits at
+    ~1e-9 (in f32 the two are inseparable at off-optimum theta; f32
+    trajectory noise is covered by the end-to-end accuracy tests)."""
+    import jax
     import jax.numpy as jnp
     from dashing_tpu.sketch import estimators as est
     p = 12
@@ -331,12 +353,26 @@ def test_grad_hess_twins_agree(rng):
     a.addh_np(rng.integers(0, 2**62, 40_000, dtype=np.uint64))
     b = HLL(p)
     b.addh_np(rng.integers(0, 2**62, 25_000, dtype=np.uint64))
-    stats = est.pair_statistics(jnp.asarray(a.regs.astype(np.int32)),
-                                jnp.asarray(b.regs.astype(np.int32)), q)
+    stats32 = est.pair_statistics(jnp.asarray(a.regs.astype(np.int32)),
+                                  jnp.asarray(b.regs.astype(np.int32)), q)
     m = float(1 << p)
     for theta in ([10.0, 9.5, 8.0], [2.0, 12.0, 1.0], [7.7, 7.7, 7.7]):
         th = jnp.asarray(theta, jnp.float32)
-        _, g_val, H_val = est._joint_val_grad_hess(th, stats, m, q)
-        g, H = est._joint_grad_hess(th, stats, m, q)
+        _, g_val, H_val = est._joint_val_grad_hess(th, stats32, m, q)
+        g, H = est._joint_grad_hess(th, stats32, m, q)
         np.testing.assert_array_equal(np.asarray(g), np.asarray(g_val))
         np.testing.assert_array_equal(np.asarray(H), np.asarray(H_val))
+    with jax.enable_x64():
+        stats = {k: jnp.asarray(np.asarray(v), jnp.float64)
+                 for k, v in stats32.items()}
+        for theta in ([10.0, 9.5, 8.0], [2.0, 12.0, 1.0], [7.7, 7.7, 7.7]):
+            th = jnp.asarray(theta, jnp.float64)
+            _, g_val, H_val = est._joint_val_grad_hess(th, stats, m, q)
+            g, H = est._joint_grad_hess_chain(th, stats, m, q,
+                                              kfirst=False)
+            gs = float(np.abs(np.asarray(g_val)).max())
+            hs = float(np.abs(np.asarray(H_val)).max())
+            np.testing.assert_allclose(np.asarray(g), np.asarray(g_val),
+                                       atol=1e-6 * max(gs, 1.0), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(H), np.asarray(H_val),
+                                       atol=1e-6 * max(hs, 1.0), rtol=1e-6)
