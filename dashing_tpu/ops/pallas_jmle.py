@@ -38,10 +38,19 @@ _VMEM_BUDGET = 15 * 1024 * 1024 + 512 * 1024
 
 def _vmem_need(ba: int, K: int) -> int:
     """Working-set estimate: 3 double-buffered f32 in-blocks (K, ba, BB),
-    ~22 live (K, ba, BB) f32 temporaries inside the grad/Hessian pass,
-    plus scalar-plane blocks and cushion (mirrors pallas_stats sizing)."""
+    ~30 live (K, ba, BB) f32 temporaries inside the grad/Hessian pass,
+    plus scalar-plane blocks and cushion (mirrors pallas_stats sizing).
+
+    30, raised from 22: the complement-chain guard (_joint_logl_chain)
+    keeps the three per-level chain stacks plus the log/P stacks live
+    simultaneously — at 22 the K=14, ba=64 geometry AOT-compiled to a
+    15.52M scoped stack against a 15.25M grantable limit and the
+    compile helper 500'd (real-TPU jmle_kernel_check).  The JMLE kernel
+    has no per-variant runtime probe (unlike the union-MLE kernel), so
+    the static estimate must be conservative enough that every
+    pick_geometry outcome actually compiles."""
     blk = K * ba * BB * 4
-    return 3 * 2 * blk + 22 * blk + (3 << 20)
+    return 3 * 2 * blk + 30 * blk + (3 << 20)
 
 
 def pick_geometry(K: int):

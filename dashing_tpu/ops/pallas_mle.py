@@ -36,10 +36,12 @@ _VMEM_BUDGET = 15 * 1024 * 1024 + 512 * 1024
 
 def _vmem_need(ba: int, K: int) -> int:
     """Working set: 1 double-buffered f32 in-block (K, ba, BB), the
-    differenced histogram, ~6 live (K, ba, BB) temporaries inside the
-    Newton derivative pass, plus scalar planes and cushion."""
+    differenced histogram, ~9 live (K, ba, BB) temporaries inside the
+    Newton derivative pass (raised from 6 for the complement-chain
+    stacks of _mle_dlogl12_chain, mirroring the measured jmle kernel
+    underestimate), plus scalar planes and cushion."""
     blk = K * ba * BB * 4
-    return 2 * blk + blk + 6 * blk + (2 << 20)
+    return 2 * blk + blk + 9 * blk + (2 << 20)
 
 
 def pick_geometry(K: int):

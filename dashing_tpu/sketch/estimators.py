@@ -481,9 +481,76 @@ def _lvl_consts(stats, kmin: int, kfirst: bool):
     return jnp.arange(kmin, kmin + K, dtype=jnp.float32), -1
 
 
+def _joint_logl_chain(theta, stats, m: float, q: int, kmin: int = 0):
+    """K-first (Pallas kernel) evaluation of _joint_logl by complement
+    chains — the likelihood guard runs twice per solve and its direct
+    form pays an expm1 AND a log per level per pair per call; the chain
+    keeps the (unavoidable) logs but replaces all exponentials with
+    three expm1 seeds per pair, and evaluates the equal-level
+    probability in the cancellation-free P = T1*(cA*cB + T1*cx) form
+    (see _joint_grad_hess_chain for the identities)."""
+    la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
+    eq = stats["eq"]
+    K = eq.shape[0]
+    kmax = kmin + K - 1
+    lo, hi = max(kmin, 1), min(kmax, q)
+    c_lo = max(kmin - 1, 0)
+    cu = _compl_chain(la / m, c_lo, hi, True)
+    cv = _compl_chain(lb / m, c_lo, hi, True)
+    cx = _compl_chain(lx / m, c_lo, hi, True)
+
+    def comb(cs, l):
+        c = cs[0][l]
+        for c2 in cs[1:]:
+            c = c + c2[l] - c * c2[l]
+        return c
+
+    def log_f_chain(h, x, cs):
+        hm, h0, htop, k, axm, _ = _k_parts(h, kmin, q, True)
+        zk = jnp.exp2(-k)
+        if lo <= hi:
+            lm = jnp.stack([jnp.log(comb(cs, l))
+                            for l in range(lo, hi + 1)], 0)
+            L = (hm * (-(x * zk) + lm)).sum(0)
+        else:
+            L = jnp.zeros_like(h0)
+        if kmin == 0:
+            L = L + h0 * (-x)
+        if kmax == q + 1:
+            L = L + htop * jnp.log(comb(cs, q))
+        return L
+
+    L = log_f_chain(stats["gt_a"], la / m, (cu,))
+    L += log_f_chain(stats["lt_b"], (lb + lx) / m, (cv, cx))
+    L += log_f_chain(stats["gt_b"], lb / m, (cv,))
+    L += log_f_chain(stats["lt_a"], (la + lx) / m, (cu, cx))
+
+    u = {l: 1.0 - cu[l] for l in cu}
+    v = {l: 1.0 - cv[l] for l in cv}
+    xh = {l: 1.0 - cx[l] for l in cx}
+    ps = []
+    for k in range(kmin, kmax + 1):
+        if k == 0:
+            ps.append(u[0] * v[0] * xh[0])
+            continue
+        if k == q + 1:
+            g_q = u[q] * v[q] * xh[q]
+            ps.append(comb((cu, cx), q) * comb((cv, cx), q) + g_q * cx[q])
+            continue
+        t1 = u[k] * v[k] * xh[k]
+        ps.append(t1 * (comb((cu, cx), k) * comb((cv, cx), k)
+                        + t1 * cx[k]))
+    P = jnp.maximum(jnp.stack(ps, 0), 1e-30)
+    w = stats["eq"]
+    L += jnp.where(w > 0, w * jnp.log(P), 0.0).sum(0)
+    return L
+
+
 def _joint_logl(theta, stats, m: float, q: int, kmin: int = 0,
                 kfirst: bool = False):
     """Joint Poisson log-likelihood at theta = (log la, log lb, log lx)."""
+    if kfirst:
+        return _joint_logl_chain(theta, stats, m, q, kmin)
     la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
     L = _log_f(stats["gt_a"], la, m, q, kmin, kfirst)
     L += _log_f(stats["lt_b"], lb + lx, m, q, kmin, kfirst)
