@@ -376,3 +376,35 @@ def test_grad_hess_twins_agree(rng):
                                        atol=1e-6 * max(gs, 1.0), rtol=1e-6)
             np.testing.assert_allclose(np.asarray(H), np.asarray(H_val),
                                        atol=1e-6 * max(hs, 1.0), rtol=1e-6)
+
+
+def test_logl_chain_matches_direct(rng):
+    """The kernel's likelihood-guard chain (_joint_logl_chain, K-first)
+    must match the direct _joint_logl in float64 — same f64-separates-
+    algebra-from-rounding rationale as the grad/Hessian twins pin.
+    The chain assumes pair-shaped theta (as in the kernel), so theta
+    carries explicit (1, 1) batch dims here."""
+    import jax
+    import jax.numpy as jnp
+    from dashing_tpu.sketch import estimators as est
+    p = 12
+    q = 64 - p
+    a = HLL(p)
+    a.addh_np(rng.integers(0, 2**62, 40_000, dtype=np.uint64))
+    b = HLL(p)
+    b.addh_np(rng.integers(0, 2**62, 25_000, dtype=np.uint64))
+    stats32 = est.pair_statistics(jnp.asarray(a.regs.astype(np.int32)),
+                                  jnp.asarray(b.regs.astype(np.int32)), q)
+    m = float(1 << p)
+    with jax.enable_x64():
+        st_last = {k: jnp.asarray(np.asarray(v), jnp.float64)
+                   for k, v in stats32.items()}
+        st_first = {k: v[:, None, None] for k, v in st_last.items()}
+        for theta in ([10.0, 9.5, 8.0], [2.0, 12.0, 1.0],
+                      [7.7, 7.7, 7.7]):
+            th = jnp.asarray(theta, jnp.float64)
+            want = float(est._joint_logl(th, st_last, m, q, 0, False))
+            got = float(np.asarray(est._joint_logl(
+                th[:, None, None], st_first, m, q, 0, True))[0, 0])
+            assert abs(got - want) <= 1e-6 * max(abs(want), 1.0), (
+                theta, got, want)
