@@ -252,16 +252,17 @@ def improved_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
     return _ALPHA_INF * m * m / denom
 
 
-def _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q: int, ax: int = -1,
-                          kfirst: bool = False):
+def _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q: int, ax: int = -1):
+    # K-last (XLA) layout only: the K-first/Pallas path goes through
+    # _mle_dlogl12_chain (mle_estimate_windowed reroutes kfirst=True).
     zk = jnp.exp2(-k)
-    a = jnp.maximum((x if kfirst else x[..., None]) * zk, 1e-30)
-    w = zk / _expm1_k(a, kfirst)
+    a = jnp.maximum(x[..., None] * zk, 1e-30)
+    w = zk / jnp.expm1(a)
     d1 = (cmid * (w - zk)).sum(ax) - c0
     d2 = (cmid * (-(w * w + zk * w))).sum(ax)
     zq = 2.0 ** -q
     aq = jnp.maximum(x * zq, 1e-30)
-    wq = zq / _expm1_k(aq, kfirst)
+    wq = zq / jnp.expm1(aq)
     return d1 + ctop * wq, d2 + ctop * (-(wq * wq + zq * wq))
 
 
@@ -331,8 +332,7 @@ def mle_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
             g, gp = _mle_dlogl12_chain(x, c0, cmid, ctop, k, q,
                                        kmin, kmin + K - 1)
         else:
-            g, gp = _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q, ax,
-                                          kfirst)
+            g, gp = _mle_dlogl12_windowed(x, c0, cmid, ctop, k, q, ax)
         dldu = x * g
         d2 = dldu + x * x * gp
         step = dldu / jnp.minimum(d2, -1e-9)
@@ -449,22 +449,23 @@ def _k_parts(h, kmin: int, q: int, kfirst: bool):
             -1, kmax)
 
 
-def _log_f(k_hist: jnp.ndarray, lam, m: float, q: int, kmin: int = 0,
-           kfirst: bool = False):
+def _log_f(k_hist: jnp.ndarray, lam, m: float, q: int, kmin: int = 0):
     """sum_k hist[k] * log f(k; lam): single-register pmf log-likelihood.
 
     `k_hist` covers levels kmin..kmin+K-1 (kmin=0, K=q+2 is the full
-    histogram); the window form feeds the level-windowed joint MLE."""
+    histogram); the window form feeds the level-windowed joint MLE.
+    K-last (XLA) layout only: the K-first/Pallas likelihood guard goes
+    through _joint_logl_chain."""
     x = lam / m
-    hm, h0, htop, k, ax, kmax = _k_parts(k_hist, kmin, q, kfirst)
-    a = (x if kfirst else x[..., None]) * jnp.exp2(-k)
-    log_mid = -a + jnp.log(-_expm1_k(-jnp.maximum(a, 1e-38), kfirst))
+    hm, h0, htop, k, ax, kmax = _k_parts(k_hist, kmin, q, False)
+    a = x[..., None] * jnp.exp2(-k)
+    log_mid = -a + jnp.log(-jnp.expm1(-jnp.maximum(a, 1e-38)))
     L = (hm * log_mid).sum(ax)
     if kmin == 0:
         L = L + h0 * (-x)
     if kmax == q + 1:
         aq = x * (2.0 ** -q)
-        L = L + htop * jnp.log(-_expm1_k(-jnp.maximum(aq, 1e-38), kfirst))
+        L = L + htop * jnp.log(-jnp.expm1(-jnp.maximum(aq, 1e-38)))
     return L
 
 
@@ -481,14 +482,67 @@ def _lvl_consts(stats, kmin: int, kfirst: bool):
     return jnp.arange(kmin, kmin + K, dtype=jnp.float32), -1
 
 
+def _chain_T_P(u, v, xh, cu, cv, cx, kmin: int, kmax: int, q: int):
+    """Per-level diagonal terms from the complement chains — the SINGLE
+    source of the chain-P algebra, shared by the likelihood guard
+    (_joint_logl_chain, which consumes only `ps`) and the Newton pass
+    (_joint_grad_hess_chain, which also needs T1..T4), so an edit to
+    the load-bearing P construction cannot silently diverge the Newton
+    step from its acceptance guard.  Identities (exact, via
+    z_{k-1} = 2 z_k  =>  e^{-c 2 z_k} = (e^{-c z_k})^2):
+      T1[k] = u v xh ;  T4[k] = T1[k-1] ;
+      T2[k] = u[k-1] xh[k-1] v[k] ;  T3[k] = v[k-1] xh[k-1] u[k]
+    and the equal-level probability in cancellation-FREE form
+      P = T1 - T2 - T3 + T4 = T1 * (cA*cB + T1*cx),
+      cA = 1 - u xh = cu + cx - cu*cx,  cB = cv + cx - cv*cx
+    (T2 = T1*A, T3 = T1*B, T4 = T1*G with A = u xh, B = v xh,
+    G = u v xh = T1 at level k, and the inner 1 - A - B + G expands to
+    cA*cB + G*cx exactly because AB = G*xh).  Returns the per-level
+    lists (t1s, t2s, t3s, t4s, ps); the caller stacks them on its
+    layout's level axis."""
+    t1s, t2s, t3s, t4s, ps = [], [], [], [], []
+    for k in range(kmin, kmax + 1):
+        if k == 0:
+            t1 = u[0] * v[0] * xh[0]
+            zero = jnp.zeros_like(t1)
+            t1s.append(t1)
+            t2s.append(zero)
+            t3s.append(zero)
+            t4s.append(zero)
+            ps.append(t1)                      # P = T1 at level 0
+            continue
+        if k == q + 1:
+            g_q = u[q] * v[q] * xh[q]
+            cA = cu[q] + cx[q] - cu[q] * cx[q]
+            cB = cv[q] + cx[q] - cv[q] * cx[q]
+            t1s.append(jnp.ones_like(g_q))
+            t2s.append(u[q] * xh[q])
+            t3s.append(v[q] * xh[q])
+            t4s.append(g_q)
+            ps.append(cA * cB + g_q * cx[q])
+            continue
+        t1 = u[k] * v[k] * xh[k]
+        ux1 = u[k - 1] * xh[k - 1]
+        vx1 = v[k - 1] * xh[k - 1]
+        cA = cu[k] + cx[k] - cu[k] * cx[k]
+        cB = cv[k] + cx[k] - cv[k] * cx[k]
+        t1s.append(t1)
+        t2s.append(ux1 * v[k])
+        t3s.append(vx1 * u[k])
+        t4s.append(u[k - 1] * vx1)
+        ps.append(t1 * (cA * cB + t1 * cx[k]))
+    return t1s, t2s, t3s, t4s, ps
+
+
 def _joint_logl_chain(theta, stats, m: float, q: int, kmin: int = 0):
     """K-first (Pallas kernel) evaluation of _joint_logl by complement
     chains — the likelihood guard runs twice per solve and its direct
     form pays an expm1 AND a log per level per pair per call; the chain
     keeps the (unavoidable) logs but replaces all exponentials with
     three expm1 seeds per pair, and evaluates the equal-level
-    probability in the cancellation-free P = T1*(cA*cB + T1*cx) form
-    (see _joint_grad_hess_chain for the identities)."""
+    probability via the shared cancellation-free construction in
+    _chain_T_P — the SAME code the Newton pass uses, so guard and step
+    cannot diverge."""
     la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
     eq = stats["eq"]
     K = eq.shape[0]
@@ -528,18 +582,7 @@ def _joint_logl_chain(theta, stats, m: float, q: int, kmin: int = 0):
     u = {l: 1.0 - cu[l] for l in cu}
     v = {l: 1.0 - cv[l] for l in cv}
     xh = {l: 1.0 - cx[l] for l in cx}
-    ps = []
-    for k in range(kmin, kmax + 1):
-        if k == 0:
-            ps.append(u[0] * v[0] * xh[0])
-            continue
-        if k == q + 1:
-            g_q = u[q] * v[q] * xh[q]
-            ps.append(comb((cu, cx), q) * comb((cv, cx), q) + g_q * cx[q])
-            continue
-        t1 = u[k] * v[k] * xh[k]
-        ps.append(t1 * (comb((cu, cx), k) * comb((cv, cx), k)
-                        + t1 * cx[k]))
+    _, _, _, _, ps = _chain_T_P(u, v, xh, cu, cv, cx, kmin, kmax, q)
     P = jnp.maximum(jnp.stack(ps, 0), 1e-30)
     w = stats["eq"]
     L += jnp.where(w > 0, w * jnp.log(P), 0.0).sum(0)
@@ -552,10 +595,10 @@ def _joint_logl(theta, stats, m: float, q: int, kmin: int = 0,
     if kfirst:
         return _joint_logl_chain(theta, stats, m, q, kmin)
     la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
-    L = _log_f(stats["gt_a"], la, m, q, kmin, kfirst)
-    L += _log_f(stats["lt_b"], lb + lx, m, q, kmin, kfirst)
-    L += _log_f(stats["gt_b"], lb, m, q, kmin, kfirst)
-    L += _log_f(stats["lt_a"], la + lx, m, q, kmin, kfirst)
+    L = _log_f(stats["gt_a"], la, m, q, kmin)
+    L += _log_f(stats["lt_b"], lb + lx, m, q, kmin)
+    L += _log_f(stats["gt_b"], lb, m, q, kmin)
+    L += _log_f(stats["lt_a"], la + lx, m, q, kmin)
     # diagonal terms
     kk, ax = _lvl_consts(stats, kmin, kfirst)
     zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)           # z_k, z_{q+1}=0
@@ -713,18 +756,11 @@ def _joint_grad_hess_chain(theta, stats, m: float, q: int, kmin: int = 0,
     complement chains: THREE expm1 per pair per iteration
     (for u = e^{-la z_k/m}, v = e^{-lb z_k/m}, xh = e^{-lx z_k/m};
     _compl_chain), not 8 per LEVEL per pair like the direct form.
-    Everything else is algebra on the chains:
-      T1[k] = u v xh ;  T4[k] = T1[k-1] ;
-      T2[k] = u[k-1] xh[k-1] v[k] ;  T3[k] = v[k-1] xh[k-1] u[k]
-      (exact: z_{k-1} = 2 z_k  =>  e^{-c 2 z_k} = (e^{-c z_k})^2)
-    and the equal-level probability in cancellation-FREE form
-      P = T1 - T2 - T3 + T4 = T1 * (cA*cB + T1*cx),
-      cA = 1 - u xh = cu + cx - cu*cx,  cB = cv + cx - cv*cx
-    (T2 = T1*A, T3 = T1*B, T4 = T1*G with A = u xh, B = v xh,
-    G = u v xh = T1 at level k, and the inner 1 - A - B + G expands to
-    cA*cB + G*cx exactly because AB = G*xh).
-    The marginal-likelihood derivative weights come from the same
-    chains: w = z_k / expm1(arg z_k / m) = z_k * (1-c) / c.
+    Everything else is algebra on the chains: the diagonal T1..T4 and
+    the cancellation-free equal-level P come from the shared
+    _chain_T_P (identities documented there); the marginal-likelihood
+    derivative weights come from the same chains:
+      w = z_k / expm1(arg z_k / m) = z_k * (1-c) / c.
     Agreement with the direct form is pinned by tests (f32 parity +
     float64 central differences)."""
     la, lb, lx = jnp.exp(theta[0]), jnp.exp(theta[1]), jnp.exp(theta[2])
@@ -734,7 +770,6 @@ def _joint_grad_hess_chain(theta, stats, m: float, q: int, kmin: int = 0,
     kmax = kmin + K - 1
     lo, hi = max(kmin, 1), min(kmax, q)
     c_lo = max(kmin - 1, 0)
-    ax = 0 if kfirst else -1
     stk = (lambda vs: jnp.stack(vs, 0)) if kfirst else \
           (lambda vs: jnp.stack(vs, -1))
     cu = _compl_chain(la / m, c_lo, hi, kfirst)
@@ -794,45 +829,8 @@ def _joint_grad_hess_chain(theta, stats, m: float, q: int, kmin: int = 0,
     kk, ax = _lvl_consts(stats, kmin, kfirst)
     zk = jnp.where(kk <= q, jnp.exp2(-kk), 0.0)
     zk1f = jnp.where(kk >= 1, jnp.exp2(-(kk - 1.0)), 0.0)
-    t1s, t2s, t3s, t4s, ps = [], [], [], [], []
-    for k in range(kmin, kmax + 1):
-        if k == 0:
-            t1 = u[0] * v[0] * xh[0]
-            zero = jnp.zeros_like(t1)
-            t1s.append(t1)
-            t2s.append(zero)
-            t3s.append(zero)
-            t4s.append(zero)
-            ps.append(t1)                      # P = T1 at level 0
-            continue
-        if k == q + 1:
-            g_q = u[q] * v[q] * xh[q]
-            t1 = jnp.ones_like(g_q)
-            t2 = u[q] * xh[q]
-            t3 = v[q] * xh[q]
-            cA = cu[q] + cx[q] - cu[q] * cx[q]
-            cB = cv[q] + cx[q] - cv[q] * cx[q]
-            t1s.append(t1)
-            t2s.append(t2)
-            t3s.append(t3)
-            t4s.append(g_q)
-            ps.append(cA * cB + g_q * cx[q])
-            continue
-        t1 = u[k] * v[k] * xh[k]
-        ux1 = u[k - 1] * xh[k - 1]
-        vx1 = v[k - 1] * xh[k - 1]
-        cA = cu[k] + cx[k] - cu[k] * cx[k]
-        cB = cv[k] + cx[k] - cv[k] * cx[k]
-        t1s.append(t1)
-        t2s.append(ux1 * v[k])
-        t3s.append(vx1 * u[k])
-        t4s.append(u[k - 1] * vx1)
-        # P = T1 - T2 - T3 + T4 = T1 * (1 - A - B + G) with A = u xh,
-        # B = v xh, G = u v xh at level k (T2 = T1*A, T3 = T1*B,
-        # T4 = T1*G exactly, via z_{k-1} = 2 z_k), and the inner factor
-        # in cancellation-free all-positive form:
-        # 1 - A - B + G = cA*cB + G*cx  (AB = G xh exactly)
-        ps.append(t1 * (cA * cB + t1 * cx[k]))
+    t1s, t2s, t3s, t4s, ps = _chain_T_P(u, v, xh, cu, cv, cx,
+                                        kmin, kmax, q)
     T1, T2, T3, T4 = stk(t1s), stk(t2s), stk(t3s), stk(t4s)
     P = jnp.maximum(stk(ps), 1e-30)
     return _joint_gh_tail(la, lb, lx, ga, gb, gx, Haa, Hbb, Hxx,
@@ -1001,16 +999,18 @@ def _solve3_sym(H, g):
 def jmle_iters(p: int) -> int:
     """Blind Newton iteration count for the joint MLE at precision p.
 
-    Measured (benchmarks/jmle_iters_probe.py, 150 cases spanning
+    Measured (benchmarks/jmle_iters_probe.py, 150 cases per p spanning
     cardinalities 2e3..6e7 and overlaps 0..0.9, f32 self-truth at
     iters=30): at p>=14 the trajectory is converged at 8 iterations
     (max |dJI| 4e-5, ~300x below the estimator's intrinsic error, and
-    iters=10 itself wobbles more than 8 at the f32 noise floor); at
-    p=10 it still moves until 10 (iters=8 leaves 1.3e-3).  Fewer
-    registers -> noisier Hessian -> slower convergence, so the count is
-    p-dependent: 2 fewer iterations is ~12% of the -J compare phase at
-    the production p=14."""
-    return 8 if p >= 13 else 10
+    iters=10 itself wobbles more than 8 at the f32 noise floor); p=13
+    and p=12 are also converged at 8 (max |dJI| 1.8e-4 and 1.5e-4 vs
+    intrinsic errors of 1.2e-2 / 1.3e-2 — 67x / 86x below); at p=10 it
+    still moves until 10 (iters=8 leaves 1.3e-3).  Fewer registers ->
+    noisier Hessian -> slower convergence, so the count is p-dependent:
+    2 fewer iterations is ~12% of the -J compare phase at the
+    production p=14."""
+    return 8 if p >= 12 else 10
 
 
 @partial(jax.jit, static_argnames=("p", "iters", "kmin"))
