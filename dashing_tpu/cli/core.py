@@ -639,19 +639,22 @@ def check_compatible(sketches):
 
 
 def compare_condensed(sketches, result_type: int, k: int, estim: int,
-                      jestim: int, out: Optional[np.ndarray] = None
-                      ) -> np.ndarray:
+                      jestim: int, out: Optional[np.ndarray] = None,
+                      row_blocks=None) -> np.ndarray:
     """Symmetric all-pairs condensed vector; MXU engine for HLL-register
     types, batched numpy engines for the minhash/bloom families, per-pair
     loop only as a last resort.  `out` may be a memmap for out-of-core
-    emission."""
+    emission.  `row_blocks` (register families only) restricts to this
+    process's tile-row stripes in the multi-host split."""
     from ..sketch.extra import WideHLL
     check_compatible(sketches)
     if isinstance(sketches[0], (HLL, WideHLL)):
         # WideHLL shares HLL register semantics (uint16 registers hold the
         # same rank values), so the MXU engine applies unchanged
         return pw.all_pairs_condensed(sketches, result_type, k, estim,
-                                      jestim, out=out)
+                                      jestim, out=out,
+                                      row_blocks=row_blocks)
+    assert row_blocks is None, "multi-host stripes are register-family only"
     n = len(sketches)
     ksinv = 1.0 / k
     if out is None:
@@ -685,10 +688,12 @@ def compare_condensed(sketches, result_type: int, k: int, estim: int,
 
 
 def compare_rect(refs, queries, result_type: int, k: int, estim: int,
-                 jestim: int) -> np.ndarray:
+                 jestim: int, ref_blocks=None) -> np.ndarray:
     from ..sketch.extra import WideHLL
     if isinstance(refs[0], (HLL, WideHLL)):
-        return pw.rect_pairs(refs, queries, result_type, k, estim, jestim)
+        return pw.rect_pairs(refs, queries, result_type, k, estim, jestim,
+                             ref_blocks=ref_blocks)
+    assert ref_blocks is None, "multi-host stripes are register-family only"
     ksinv = 1.0 / k
     nq, nr = len(queries), len(refs)
     from ..sketch import batch_compare

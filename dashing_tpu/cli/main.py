@@ -161,27 +161,45 @@ def dist_main(argv: List[str]) -> int:
         if hasattr(sk, "jestim"):
             sk.jestim = o.jestim
 
-    # Multi-host: the sketch phase above sharded+allgathered; comparison
-    # and every output file is rank 0's job (other ranks writing the same
-    # -O/-o paths would race).
+    # Multi-host: the sketch phase above sharded+allgathered.  For the
+    # register families the COMPARE phase is sharded too — every process
+    # computes a strided set of tile-row stripes (SURVEY sec 2.4-P7 /
+    # 5.8, mirroring the reference's parallel_fill stripe writer,
+    # distmat/distmat.h:459-512) — while every output file stays rank 0's
+    # job (other ranks writing the same -O/-o paths would race).
+    # Host-side sketch families keep the compare on rank 0 as well.
     from ..parallel import distributed
-    if not distributed.is_main():
+    from ..sketch.extra import WideHLL
+    shard_compare = (distributed.process_count() > 1 and sketches
+                     and isinstance(sketches[0], (HLL, WideHLL)))
+    if not distributed.is_main() and not shard_compare:
         return 0
 
-    fp_sizes, close_sizes = core.open_output(out_sizes)
-    core.emit_cardinalities(fp_sizes, names, sketches)
-    if close_sizes:
-        fp_sizes.close()
+    if distributed.is_main():
+        fp_sizes, close_sizes = core.open_output(out_sizes)
+        core.emit_cardinalities(fp_sizes, names, sketches)
+        if close_sizes:
+            fp_sizes.close()
 
     if o.number_neighbors > 0:
-        return _nn_emit(sketches, names, o, result_type, emit_fmt, out_dists, nq)
+        return _nn_emit(sketches, names, o, result_type, emit_fmt, out_dists,
+                        nq, shard_compare)
 
     ref_sketches = sketches[:len(sketches) - nq] if nq else sketches
     ref_names = names[:len(names) - nq] if nq else names
 
     if nq:
+        ref_blocks = (distributed.owned_tile_rows(len(ref_sketches),
+                                                  pw.DEFAULT_TILE)
+                      if shard_compare else None)
         mat = core.compare_rect(ref_sketches, sketches[len(sketches) - nq:],
-                                result_type, o.k, o.estim, o.jestim)
+                                result_type, o.k, o.estim, o.jestim,
+                                ref_blocks=ref_blocks)
+        if shard_compare:
+            mat = distributed.combine_columns(mat, len(ref_sketches),
+                                              pw.DEFAULT_TILE)
+            if not distributed.is_main():
+                return 0
         q_names = names[len(names) - nq:]
         if emit_fmt == BINARY:
             fp, close = core.open_output(out_dists, binary=True)
@@ -191,9 +209,7 @@ def dist_main(argv: List[str]) -> int:
             _write_labels(out_dists, names)
         else:
             fp, close = core.open_output(out_dists)
-            vfmt = "\t%e" if use_scientific else "\t%g"
-            for qi, qn in enumerate(q_names):
-                fp.write(qn + "".join(vfmt % v for v in mat[qi]) + "\n")
+            distmat.emit_rect_tsv(fp, q_names, mat, use_scientific)
             if close:
                 fp.close()
         return 0
@@ -204,11 +220,32 @@ def dist_main(argv: List[str]) -> int:
     # distmat/distmat.h:193-243,459-512) instead of buffering in RAM.
     use_mmap = (emit_fmt == BINARY
                 and out_dists not in (None, "-", "/dev/stdout"))
-    mm = distmat.create_binary_mmap(out_dists, n) if use_mmap else None
+    row_blocks = (distributed.owned_tile_rows(n, pw.DEFAULT_TILE)
+                  if shard_compare else None)
+    if use_mmap and shard_compare:
+        # rank-local stripe writes into ONE shared output file: rank 0
+        # lays the file out, a barrier orders that before attaches, and
+        # each rank's owned tile rows map to disjoint condensed ranges
+        if distributed.is_main():
+            mm = distmat.create_binary_mmap(out_dists, n)
+        distributed.barrier("dashing_tpu_distmat_create")
+        if not distributed.is_main():
+            mm = distmat.attach_binary_mmap(out_dists, n)
+    else:
+        mm = distmat.create_binary_mmap(out_dists, n) if use_mmap else None
     with metrics.phase("all-pairs compare", items=n * (n - 1) / 2,
                        unit="pairs"):
         cond = core.compare_condensed(sketches, result_type, o.k, o.estim,
-                                      o.jestim, out=mm)
+                                      o.jestim, out=mm,
+                                      row_blocks=row_blocks)
+    if shard_compare:
+        if use_mmap:
+            mm.flush()
+            distributed.barrier("dashing_tpu_distmat_fill")
+        else:
+            cond = distributed.combine_condensed(cond, n, pw.DEFAULT_TILE)
+        if not distributed.is_main():
+            return 0
     if emit_fmt == BINARY:
         if mm is not None:
             mm.flush()
@@ -252,14 +289,16 @@ def _write_labels(out_dists: Optional[str], names):
 
 
 def _nn_emit(sketches, names, o: CommonOpts, result_type: int, emit_fmt: int,
-             out_dists: Optional[str], nq: int) -> int:
+             out_dists: Optional[str], nq: int,
+             shard_compare: bool = False) -> int:
     """k-NN mode (reference nndist_loop, src/sketch_and_cmp.h:712-783).
     TSV rows 'name\\tid:dist...' or binary (u32 n, u32 k, (f32,u32)[n*k])."""
+    from ..parallel import distributed
     nn = o.number_neighbors
     n = len(sketches)
     nref = n - nq if nq else n
-    npairs = nq if nq else n
     possible = nref if nq else n
+    npairs = nq if nq else n
     if nn > possible:
         eprint(f"Only reporting {possible} rather than {nn} neighbors due to "
                "their being only that many sets.")
@@ -268,12 +307,26 @@ def _nn_emit(sketches, names, o: CommonOpts, result_type: int, emit_fmt: int,
     queries = sketches[nref:] if nq else sketches
     if isinstance(sketches[0], HLL):
         # streaming top-k: O(n_q * (nn + tile)) memory, never the full
-        # matrix (reference's bounded heaps, sketch_and_cmp.h:712-783)
+        # matrix (reference's bounded heaps, sketch_and_cmp.h:712-783).
+        # Multi-host: each process scans only its strided share of
+        # reference tile columns, then one (nq, nn) candidate gather
+        # merges the per-process lists on rank 0.
+        ref_blocks = (distributed.owned_tile_rows(nref, pw.DEFAULT_TILE)
+                      if shard_compare else None)
         vals, order = pw.nn_topk(refs, queries, result_type, o.k, o.estim,
-                                 o.jestim, nn, exclude_self=not nq)
+                                 o.jestim, nn, exclude_self=not nq,
+                                 ref_blocks=ref_blocks)
+        if shard_compare:
+            vals, order = distributed.combine_nn(
+                vals, order, nn, pw.is_similarity(result_type))
+            if not distributed.is_main():
+                return 0
     else:
         # host-side sketch families stream ref-axis tiles through the
         # batched triple engines with the same bounded-memory merge
+        # (WideHLL lands here too: rank 0 computes, other ranks bow out)
+        if shard_compare and not distributed.is_main():
+            return 0
         vals, order = core.host_nn_topk(refs, queries, result_type, o.k,
                                         o.estim, o.jestim, nn,
                                         exclude_self=not nq)
@@ -291,11 +344,7 @@ def _nn_emit(sketches, names, o: CommonOpts, result_type: int, emit_fmt: int,
         fp, close = core.open_output(out_dists)
         fp.write("#File\tNeighbor ID:distance\t...\n")
         qoff = nref if nq else 0
-        for i in range(npairs):
-            row = names[qoff + i]
-            for j in range(nn):
-                row += "\t%d:%g" % (order[i, j], vals[i, j])
-            fp.write(row + "\n")
+        distmat.emit_nn_tsv(fp, names[qoff:qoff + npairs], vals, order)
         if close:
             fp.close()
     return 0
@@ -977,8 +1026,7 @@ def dist_by_seq_main(argv: List[str]) -> int:
         if emit_fmt == BINARY:
             fp.write(np.ascontiguousarray(mat, np.float32).tobytes())
         else:
-            for qi, qn in enumerate(qnames):
-                fp.write(qn + "".join("\t%g" % v for v in mat[qi]) + "\n")
+            distmat.emit_rect_tsv(fp, qnames, mat)
     else:
         if not pw.is_symmetric(result_type):
             raise SystemExit("Can't perform asymmetric comparison without "

@@ -82,6 +82,22 @@ def create_binary_mmap(path: str, n: int) -> np.ndarray:
     return np.memmap(path, np.float32, "r+", offset=HEADER_BYTES, shape=(ne,))
 
 
+def attach_binary_mmap(path: str, n: int) -> np.ndarray:
+    """Attach to a create_binary_mmap file another process already laid
+    out (multi-host stripe writes: rank 0 creates, a barrier orders the
+    create before attaches, then every rank writes only its own disjoint
+    condensed stripes — the reference's parallel_fill stripe discipline,
+    distmat/distmat.h:459-512, lifted across processes)."""
+    import os
+    ne = n * (n - 1) // 2
+    total = HEADER_BYTES + 4 * ne
+    size = os.path.getsize(path)
+    if size != total:
+        raise ValueError(f"{path}: size {size} != expected {total} "
+                         f"for n={n}")
+    return np.memmap(path, np.float32, "r+", offset=HEADER_BYTES, shape=(ne,))
+
+
 def finalize_binary_mmap(path: str):
     """Mark a create_binary_mmap file complete (call after flush)."""
     with open(path, "r+b") as fp:
@@ -175,6 +191,40 @@ def emit_full_tsv(fp, names: Sequence[str], square: np.ndarray,
     segs = _row_segments(sq, counts, 1 if scientific else 0)
     for i, seg in enumerate(segs):
         fp.write(names[i] + seg + "\n")
+
+
+def emit_rect_tsv(fp, row_names: Sequence[str], mat: np.ndarray,
+                  scientific: bool = False):
+    """Rectangular (nq, nr) TSV rows 'name\\t<v>...\\t<v>' through the
+    native formatter (the Q x R / dist_by_seq emission path previously
+    formatted per-value in Python — the exact host-side wall
+    native/emit.cpp was written to remove; byte-identical: '%g' ==
+    '%.6g')."""
+    nq, nr = mat.shape
+    counts = np.full(nq, nr, np.int64)
+    segs = _row_segments(np.ascontiguousarray(mat, np.float32).reshape(-1),
+                         counts, 1 if scientific else 0)
+    for nm, seg in zip(row_names, segs):
+        fp.write(nm + seg + "\n")
+
+
+def emit_nn_tsv(fp, row_names: Sequence[str], vals: np.ndarray,
+                order: np.ndarray):
+    """k-NN TSV rows 'name\\t<id>:<dist>...' (reference nndist_loop TSV,
+    src/sketch_and_cmp.h:747-760).  The '%d:%g' interleave keeps ids in
+    Python but routes the float formatting — the dominant cost — through
+    the native formatter, then post-joins (byte-identical to the previous
+    '\\t%d:%g' loop)."""
+    npairs, nn = vals.shape
+    counts = np.full(npairs, nn, np.int64)
+    segs = _row_segments(np.ascontiguousarray(vals, np.float32).reshape(-1),
+                         counts, 0)
+    for i, seg in enumerate(segs):
+        vstrs = seg.split("\t")[1:]          # seg leads with '\t'
+        row = row_names[i]
+        orow = order[i]
+        fp.write(row + "".join(
+            "\t%d:%s" % (int(orow[j]), vstrs[j]) for j in range(nn)) + "\n")
 
 
 def condensed_to_square(condensed: np.ndarray, n: int, diag: float = 0.0

@@ -82,3 +82,118 @@ def global_register_max(regs: np.ndarray) -> np.ndarray:
     from jax.experimental import multihost_utils
     return np.asarray(
         multihost_utils.process_allgather(jnp.asarray(regs))).max(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Cross-host sharded COMPARE phase (SURVEY sec 2.4-P7 / 5.8: the 2-D
+# sharded distance grid with per-host tile stripes, mirroring the
+# reference's parallel_fill stripe writer, distmat/distmat.h:459-512).
+# The sketch phase allgathers every register bank to every process; the
+# compare phase then splits tile-ROW blocks across processes (strided, so
+# the shrinking upper-triangle rows balance), each process computes its
+# stripes, and the results land either by rank-local mmap stripe writes
+# into a shared output file (binary) or by an allgather of stripe payloads
+# to rank 0 (TSV and friends).
+# ---------------------------------------------------------------------------
+
+
+def barrier(name: str = "dashing_tpu_barrier") -> None:
+    """Cross-process sync point (used around shared-file mmap stripes)."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def allgather_np(arr: np.ndarray) -> np.ndarray:
+    """(P, *arr.shape) stack of every process's same-shaped array."""
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(jnp.asarray(arr)))
+
+
+def owned_tile_rows(n: int, tile: int) -> List[int]:
+    """This process's strided share of tile-row starts range(0, n, tile).
+
+    Strided assignment balances the upper triangle: row block i0 carries
+    ~ (n - i0) columns of work, monotonically shrinking, so round-robin
+    over the sorted starts keeps per-process work within one block of
+    even (the reference gets the same effect from OMP dynamic
+    scheduling over rows, src/sketch_and_cmp.h:704-706)."""
+    return my_shard(list(range(0, n, tile)))
+
+
+def _condensed_row_start(i: int, n: int) -> int:
+    # first condensed index of row i (distmat.h:260-264 packing)
+    return (i * (2 * n - i - 1)) // 2
+
+
+def condensed_stripe(i0: int, n: int, tile: int) -> slice:
+    """Condensed index range owned by tile-row block i0: rows
+    [i0, min(i0+tile, n)) pack contiguously, so a block is one slice —
+    this is what makes rank-local mmap stripe writes disjoint."""
+    hi = min(i0 + tile, n)
+    return slice(_condensed_row_start(i0, n), _condensed_row_start(hi, n))
+
+
+def combine_condensed(local: np.ndarray, n: int, tile: int) -> np.ndarray:
+    """Merge per-process condensed stripes into the full vector.
+
+    Every process calls this with its locally-filled vector (entries
+    outside its owned rows are garbage/zero); ownership is recomputed
+    deterministically on every rank, so the overlay needs no index
+    exchange — just one fixed-shape allgather."""
+    p = process_count()
+    if p == 1:
+        return local
+    gathered = allgather_np(local)
+    out = np.empty_like(local)
+    for rank in range(p):
+        blocks = list(range(0, n, tile))[rank::p]
+        for i0 in blocks:
+            sl = condensed_stripe(i0, n, tile)
+            out[sl] = gathered[rank, sl]
+    return out
+
+
+def combine_columns(local: np.ndarray, nr: int, tile: int) -> np.ndarray:
+    """Merge per-process column stripes of an (nq, nr) rectangle (the
+    -Q query-vs-reference mode: reference tile columns are sharded)."""
+    p = process_count()
+    if p == 1:
+        return local
+    gathered = allgather_np(local)
+    out = np.empty_like(local)
+    for rank in range(p):
+        for i0 in list(range(0, nr, tile))[rank::p]:
+            out[:, i0:i0 + tile] = gathered[rank, :, i0:i0 + tile]
+    return out
+
+
+def combine_nn(vals: np.ndarray, order: np.ndarray, nn: int, sim: bool):
+    """Merge per-process k-NN candidate lists: one (P, nq, nn) gather of
+    (vals, global ref ids), then a host top-nn over the P*nn candidates
+    per query.  Sentinel candidates (id -1, worst value) from processes
+    owning fewer than nn references sort last and survive only when the
+    GLOBAL reference count is below nn.  Tie-break: equal values order by
+    ascending reference index — the same rule as the single-process
+    paths (lax.top_k stability + ascending tile scan), so the merged
+    output is byte-identical to a single-process run."""
+    p = process_count()
+    if p == 1:
+        return vals, order
+    gv = allgather_np(vals.astype(np.float32, copy=False))
+    gi = allgather_np(order.astype(np.int64, copy=False))
+    nq = vals.shape[0]
+    # (nq, P*nn) candidate pools
+    cv = gv.transpose(1, 0, 2).reshape(nq, -1)
+    ci = gi.transpose(1, 0, 2).reshape(nq, -1)
+    worst = np.float32(-np.inf if sim else np.inf)
+    cv = np.where(ci < 0, worst, cv)
+    # primary: value (best first); secondary: ascending ref index; push
+    # sentinels (-1) behind real entries at equal (worst) values
+    sort_idx = np.lexsort((np.where(ci < 0, np.int64(2**62), ci),
+                           -cv if sim else cv), axis=1)[:, :nn]
+    return (np.take_along_axis(cv, sort_idx, 1),
+            np.take_along_axis(ci, sort_idx, 1))

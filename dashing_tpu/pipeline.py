@@ -390,6 +390,97 @@ def _sketch_mesh():
 
 
 # ---------------------------------------------------------------------------
+# pmax batching (SCALING.md falsifier 1 mitigation): with
+# DASHING_TPU_PMAX_EVERY=N > 1, the per-chunk register all-reduce moves
+# OUT of the chunk step — each device accumulates into its own (1, 2^p)
+# bank row and a pmax merges every N chunks (and at stream end / on any
+# fall-back to the unsharded path).  Register max is associative and
+# commutative, so the final registers are bitwise identical for every N
+# (pinned by tests/test_mesh_production.py); the collective count drops
+# from one per chunk to one per N chunks.  Default 1 = merge per chunk
+# (the measured-safe configuration; flip if pmax latency ever dominates
+# on real hardware).
+# ---------------------------------------------------------------------------
+
+
+def _pmax_every() -> int:
+    return max(1, int(os.environ.get("DASHING_TPU_PMAX_EVERY", "1")))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_ascii_step_banks(mesh, kw_items: tuple, p: int, ucap: int = 64):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    kw = dict(kw_items)
+
+    def local(tile, banks):          # banks: (1, m) this device's partial
+        upd = _tile_to_registers(tile, banks[0], **kw, p=p, ucap=ucap)
+        return upd[None]
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("d", None), P("d", None)),
+                             out_specs=P("d", None), check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_packed_step_banks(mesh, k: int, p: int, canon: bool, C: int,
+                               ucap: int = 64):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(packed, vbits, banks):
+        upd = _packed_to_registers(packed, vbits, banks[0], k=k, p=p,
+                                   canon=canon, C=C, ucap=ucap)
+        return upd[None]
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("d", None), P("d", None),
+                                       P("d", None)),
+                             out_specs=P("d", None), check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _banks_pmax(mesh):
+    """All-reduce the per-device bank rows in place: every row becomes the
+    elementwise max, so the banks stay in (D, m) form for the next chunk
+    without a separate broadcast."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(banks):
+        return jax.lax.pmax(banks, "d")
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(P("d", None),),
+                             out_specs=P("d", None), check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _banks_merge(mesh):
+    """(D, m) banks -> replicated merged (m,) registers."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(banks):
+        return jax.lax.pmax(banks[0], "d")
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(P("d", None),),
+                             out_specs=P(), check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _banks_spread(mesh):
+    """Replicated (m,) registers -> (D, m) banks (one copy per device)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(regs):
+        return regs[None]
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(),),
+                             out_specs=P("d", None), check_vma=False))
+
+
+# ---------------------------------------------------------------------------
 # Small-file batching: ONE dispatch sketches B single-chunk files at once
 # into a (B, 2^p) register bank (bucket indices offset by file slot).  At
 # 1k x 200 KB genomes the per-file dispatch+pull round-trips dominated the
@@ -549,30 +640,61 @@ def _sketch_chunk_stream(chunks: Iterable[np.ndarray],
     fused_pallas = _packed_ok(params, sp, p)
     from .ops.hll_update import _ROW, adaptive_cap
     seen = 0
+    # pmax batching state: banks != None means per-device partials are
+    # pending a merge (DASHING_TPU_PMAX_EVERY chunks between collectives)
+    every = _pmax_every() if D > 1 else 1
+    banks = None
+    pending = 0
+
+    def merged():
+        nonlocal regs, banks, pending
+        if banks is not None:
+            regs = _banks_merge(mesh)(banks)
+            banks = None
+        pending = 0
+        return regs
+
     for tile in chunks:
         # shrink the top_k survivor capacity as the registers fill
         # (overflow only costs a full-scatter slab, never correctness)
         ucap = adaptive_cap(_ROW, 1 << p, seen)
         seen += tile.shape[0] * (tile.shape[1] - sp.halo)
         sharded = D > 1 and tile.shape[0] % D == 0
+        use_banks = sharded and every > 1
+        if use_banks and banks is None:
+            banks = _banks_spread(mesh)(regs)
         if fused_pallas and tile.shape[0] % (8 * (D if sharded else 1)) == 0:
             # ship 2-bit packed codes + validity bits (~0.37 B/base)
             packed, vbits = _pack_tile_host(tile)
-            if sharded:
+            if use_banks:
+                banks = _sharded_packed_step_banks(
+                    mesh, sp.k, p, params.canon, tile.shape[1], ucap)(
+                        packed, vbits, banks)
+            elif sharded:
                 regs = _sharded_packed_step(
                     mesh, sp.k, p, params.canon, tile.shape[1], ucap)(
                         packed, vbits, regs)
             else:
                 regs = _packed_to_registers(
-                    jnp.asarray(packed), jnp.asarray(vbits), regs,
+                    jnp.asarray(packed), jnp.asarray(vbits), merged(),
                     k=sp.k, p=p, canon=params.canon, C=tile.shape[1],
                     ucap=ucap)
+        elif use_banks:
+            banks = _sharded_ascii_step_banks(mesh, kw_key, p, ucap)(
+                tile, banks)
         elif sharded:
             regs = _sharded_ascii_step(mesh, kw_key, p, ucap)(tile, regs)
         else:
-            regs = _tile_to_registers(jnp.asarray(tile), regs, **kw,
+            regs = _tile_to_registers(jnp.asarray(tile), merged(), **kw,
                                       p=p, ucap=ucap)
-    return regs
+        if use_banks:
+            pending += 1
+            if pending >= every:
+                # in-place all-reduce keeps the banks form for the next
+                # chunk (no extra broadcast)
+                banks = _banks_pmax(mesh)(banks)
+                pending = 0
+    return merged()
 
 
 @functools.partial(jax.jit, static_argnames=("p",))

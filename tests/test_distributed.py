@@ -23,7 +23,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_pair(args, tmp_path, timeout=240):
+def _run_pair(args, tmp_path, timeout=240, extra_env=None):
     """Run the CLI twice (process 0/1) under jax.distributed; returns the
     completed processes in rank order.  Child output goes to temp files
     (PIPEs could deadlock if one rank floods its buffer while the other
@@ -42,6 +42,7 @@ def _run_pair(args, tmp_path, timeout=240):
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(rank),
         )
+        env.update(extra_env or {})
         env.pop("XLA_FLAGS", None)
         of = open(tmp_path / f"rank{rank}.out", "w+")
         ef = open(tmp_path / f"rank{rank}.err", "w+")
@@ -66,10 +67,11 @@ def _run_pair(args, tmp_path, timeout=240):
     return outs
 
 
-def _run_single(args, tmp_path, timeout=240):
+def _run_single(args, tmp_path, timeout=240, extra_env=None):
     env = dict(os.environ)
     env.update(PYTHONPATH=REPO, DASHING_TPU_PLATFORM="cpu",
                DASHING_TPU_NO_PALLAS="1")
+    env.update(extra_env or {})
     env.pop("XLA_FLAGS", None)
     r = subprocess.run([sys.executable, "-m", "dashing_tpu.cli"] + args,
                        capture_output=True, cwd=str(tmp_path), env=env,
@@ -142,6 +144,88 @@ def test_union_two_process_matches_single(genomes):
     a = gzip.open(str(tmp / "single.hll"), "rb").read()
     b = gzip.open(str(tmp / "pair.hll"), "rb").read()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Cross-host SHARDED COMPARE phase (SURVEY sec 2.4-P7 / 5.8): tile-row
+# stripes split across processes, landed by rank-local mmap stripe writes
+# (binary) or a stripe gather to rank 0 (TSV).  TILE=2 makes the 6-genome
+# runs split real work: blocks {0, 4} vs {2} — both ranks compute tiles.
+# ---------------------------------------------------------------------------
+
+TILE_ENV = {"DASHING_TPU_COMPARE_TILE": "2"}
+
+
+@pytest.fixture(scope="module")
+def genomes6(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dist2p6")
+    rng = np.random.default_rng(23)
+    names = []
+    for i in range(6):
+        s = "".join(rng.choice(list("ACGT"), size=3000))
+        (tmp / f"s{i}.fa").write_text(f">s{i}\n{s}\n")
+        names.append(f"s{i}.fa")
+    return tmp, names
+
+
+def _clean(s):  # gloo prints a connection banner to stdout
+    return "\n".join(l for l in s.splitlines() if not l.startswith("[Gloo]"))
+
+
+def test_dist_sharded_tsv_matches_single(genomes6):
+    tmp, names = genomes6
+    args = ["dist", "-k", "17", "-S", "12", "--avoid-sorting"] + names
+    single = _run_single(args, tmp, extra_env=TILE_ENV)
+    outs = _run_pair(args, tmp, extra_env=TILE_ENV)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    assert _clean(outs[0][1]) == _clean(single)
+    assert "##Names" not in outs[1][1]
+
+
+def test_dist_sharded_binary_stripe_writes(genomes6):
+    tmp, names = genomes6
+    base = ["dist", "-k", "17", "-S", "12", "--avoid-sorting", "-b"]
+    _run_single(base + ["-O", "one.bin"] + names, tmp, extra_env=TILE_ENV)
+    outs = _run_pair(base + ["-O", "two.bin"] + names, tmp,
+                     extra_env=TILE_ENV)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    a = (tmp / "one.bin").read_bytes()
+    b = (tmp / "two.bin").read_bytes()
+    assert a == b                      # finalized magic + stripes identical
+    assert ((tmp / "one.bin.labels").read_bytes()
+            == (tmp / "two.bin.labels").read_bytes())
+
+
+def test_dist_sharded_rect_matches_single(genomes6):
+    tmp, names = genomes6
+    qf = tmp / "queries.txt"
+    qf.write_text("\n".join(names[:2]) + "\n")
+    args = (["dist", "-k", "17", "-S", "12", "--avoid-sorting",
+             "-Q", "queries.txt"] + names)
+    single = _run_single(args, tmp, extra_env=TILE_ENV)
+    outs = _run_pair(args, tmp, extra_env=TILE_ENV)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    assert _clean(outs[0][1]) == _clean(single)
+
+
+def test_dist_sharded_nn_matches_single(genomes6):
+    tmp, names = genomes6
+    args = (["dist", "-k", "17", "-S", "12", "--avoid-sorting",
+             "--nearest-neighbors", "2"] + names)
+    single = _run_single(args, tmp, extra_env=TILE_ENV)
+    outs = _run_pair(args, tmp, extra_env=TILE_ENV)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    assert _clean(outs[0][1]) == _clean(single)
+
+
+def test_dist_sharded_phylip_matches_single(genomes6):
+    tmp, names = genomes6
+    args = (["dist", "-k", "17", "-S", "12", "--avoid-sorting", "-U",
+             "-J"] + names)      # PHYLIP x joint-MLE through the stripes
+    single = _run_single(args, tmp, extra_env=TILE_ENV)
+    outs = _run_pair(args, tmp, extra_env=TILE_ENV)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    assert _clean(outs[0][1]) == _clean(single)
 
 
 def test_card_two_process_matches_single(genomes):

@@ -55,6 +55,66 @@ def test_sharded_sketch_bitwise_identical(tmp_path, rng):
         assert (sharded == single).all(), n
 
 
+@pytest.mark.parametrize("every", [4, 16])
+def test_pmax_batching_bitwise_identical(tmp_path, rng, monkeypatch, every):
+    """DASHING_TPU_PMAX_EVERY=N hoists the register all-reduce out of the
+    chunk loop, merging per-device banks every N chunks (SCALING.md
+    falsifier-1 mitigation).  max is associative+commutative, so the
+    registers must be BITWISE identical to the per-chunk-merge default
+    for every N — including streams whose chunk count is not a multiple
+    of N and streams that fall back to the unsharded tail path."""
+    params = pipeline.SketchParams(k=21)
+    # 700k bases -> multiple sharded chunks + a ragged tail; 3k -> the
+    # single-chunk unsharded fallback interleaves with banked state
+    for n in (700_000, 3_000):
+        path = _write_genome(tmp_path, rng, f"pe{every}_{n}.fa", n)
+        base = pipeline.sketch_file_hll(path, params, 12)
+        monkeypatch.setenv("DASHING_TPU_PMAX_EVERY", str(every))
+        batched = pipeline.sketch_file_hll(path, params, 12)
+        monkeypatch.delenv("DASHING_TPU_PMAX_EVERY")
+        assert (np.asarray(base) == np.asarray(batched)).all(), (every, n)
+
+
+def test_pmax_batching_reduces_collectives(tmp_path, rng, monkeypatch):
+    """The whole point: N=4 must cut merge-collective dispatches ~4x
+    (counted at the python call sites; each _banks_pmax/_banks_merge call
+    is one all-reduce where the default pays one per chunk)."""
+    params = pipeline.SketchParams(k=21)
+    # 9 synthetic (64, C) tiles fed straight to the chunk stream: rows
+    # divisible by 8*D, so every tile takes the sharded fused path
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    tiles = [rng.choice(bases, size=(64, 2048 + 20)) for _ in range(9)]
+    counts = {"merge": 0, "chunks": 0}
+    orig_pmax, orig_merge = pipeline._banks_pmax, pipeline._banks_merge
+    orig_banks_step = pipeline._sharded_packed_step_banks
+
+    def count_calls(orig, key):
+        def outer(*a, **kw):
+            fn = orig(*a, **kw)
+
+            def wrapped(*args):
+                counts[key] += 1
+                return fn(*args)
+            return wrapped
+        return outer
+
+    monkeypatch.setattr(pipeline, "_banks_pmax",
+                        count_calls(orig_pmax, "merge"))
+    monkeypatch.setattr(pipeline, "_banks_merge",
+                        count_calls(orig_merge, "merge"))
+    monkeypatch.setattr(pipeline, "_sharded_packed_step_banks",
+                        count_calls(orig_banks_step, "chunks"))
+    monkeypatch.setattr(pipeline, "_sharded_ascii_step_banks",
+                        count_calls(pipeline._sharded_ascii_step_banks,
+                                    "chunks"))
+    monkeypatch.setenv("DASHING_TPU_PMAX_EVERY", "4")
+    pipeline._sketch_chunk_stream(tiles, params, 12)
+    assert counts["chunks"] == 9
+    # one all-reduce per 4 chunks + the final drain merge = 3, where the
+    # per-chunk default would have paid 9
+    assert counts["merge"] <= 3
+
+
 def test_sharded_sketch_is_actually_sharded(tmp_path, rng, monkeypatch):
     """The sharded chunk step must see tile rows split over 'd'."""
     calls = {}

@@ -282,3 +282,41 @@ def test_mle_kernel_probe_self_verifies_and_fails_closed(monkeypatch):
     assert pw._mle_kernel_probe(est.ERTL_MLE, 10, 4, 12, True) is False
     # cached: stays disabled without re-probing
     assert pw._mle_kernel_probe(est.ERTL_MLE, 10, 4, 12, True) is False
+
+
+def test_jmle_kernel_probe_self_verifies_and_fails_closed(monkeypatch):
+    """The joint-MLE kernel gets the same fail-closed discipline as its
+    union-MLE sibling (VERDICT r3 weakness 2): per-(p, kmin, K) probe
+    through the real routing vs the XLA vmap path; a kernel that crashes
+    OR compiles-but-miscomputes pins the variant to XLA, never crashes
+    production, and the verdict is cached."""
+    from dashing_tpu.ops import pairwise as pw
+    from dashing_tpu.ops import pallas_jmle as pj
+
+    monkeypatch.setattr(pw, "_JMLE_KERNEL_STATE", {})
+    assert pw._jmle_kernel_probe(10, 4, 12, True) is True
+
+    # crash case
+    monkeypatch.setattr(pw, "_JMLE_KERNEL_STATE", {})
+    monkeypatch.setattr(
+        pj, "pallas_joint_mle",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("mosaic boom")))
+    assert pw._jmle_kernel_probe(10, 4, 12, True) is False
+    assert pw._jmle_kernel_probe(10, 4, 12, True) is False  # cached
+
+    # compiles-but-miscomputes case: right shape/dtype, garbage values
+    def garbage(eqT, *a, **k):
+        import jax.numpy as jnp
+        return jnp.full((3, eqT.shape[1], eqT.shape[2]), 1e12, jnp.float32)
+
+    monkeypatch.setattr(pw, "_JMLE_KERNEL_STATE", {})
+    monkeypatch.setattr(pj, "pallas_joint_mle", garbage)
+    assert pw._jmle_kernel_probe(10, 4, 12, True) is False
+    # and the production router falls back (returns None -> XLA path)
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.integers(4, 15, size=(8, 1 << 10)).astype(np.int32))
+    stats = pw.pair_stats(a, a, 15, True, 4)
+    monkeypatch.setenv("DASHING_TPU_PALLAS_JMLE", "interpret")
+    assert pw._pallas_jmle_triples(stats, 10, 4) is None
