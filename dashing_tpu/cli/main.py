@@ -705,12 +705,38 @@ def union_main(argv: List[str]) -> int:
     return 0
 
 
+def _view_dump(sk, fp) -> None:
+    """Human-readable dump for any sketch family: native printf when the
+    type has one (HLL/WideHLL register dumps, the reference surface —
+    src/dashing.cpp:559-563), a generic parameter + array listing for the
+    rest (the reference view is hll-only; every rebuild type is
+    viewable)."""
+    if hasattr(sk, "printf"):
+        sk.printf(fp)
+        return
+    fp.write(type(sk).__name__)
+    for name, val in sorted(vars(sk).items()):
+        if name.startswith("_"):
+            continue
+        if isinstance(val, (int, float, bool, str)):
+            fp.write(f" {name}={val}")
+    fp.write("\n")
+    for name, val in sorted(vars(sk).items()):
+        if name.startswith("_") or not isinstance(val, np.ndarray):
+            continue
+        flat = val.reshape(-1)
+        fp.write(f"{name} n={flat.size} dtype={flat.dtype}\n")
+        for i in range(0, flat.size, 16):
+            row = " ".join(str(v) for v in flat[i:i + 16])
+            fp.write(f"{i}\t{row}\n")
+
+
 def view_main(argv: List[str]) -> int:
     if not argv:
-        raise SystemExit("Usage: view f1.hll [f2.hll ...]. "
-                         "Only HLLs currently supported.")
+        raise SystemExit("Usage: view f1.hll [f2.bf ...] "
+                         "(type auto-detected from the file magic)")
     for path in argv:
-        HLL.read(path).printf(sys.stdout)
+        _view_dump(core.read_sketch_auto(path, "hll"), sys.stdout)
     return 0
 
 
@@ -727,7 +753,15 @@ def fold_main(argv: List[str]) -> int:
             return 1
     if positional:
         inp = positional[0]
-    h = HLL.read(inp)
+    # register-precision fold is defined for the HLL-register family
+    # (hll + wide_hll); other families fail with a type message instead
+    # of a bad-magic traceback.  Streams (/dev/stdin) skip the sniff —
+    # it would consume the magic bytes — and parse as plain hll.
+    h = (core.read_sketch_auto(inp, "hll") if os.path.isfile(inp)
+         else HLL.read(inp))
+    if not hasattr(h, "compress"):
+        raise SystemExit(f"fold: {type(h).__name__} sketches have no "
+                         "precision fold (only hll/wide_hll registers do)")
     if destp <= 0:
         destp = h.p - 1
     h.compress(destp).write(out if out != "-" else "/dev/stdout")

@@ -105,6 +105,34 @@ class WideHLL:
         np.maximum(self.regs, other.regs, out=self.regs)
         return self
 
+    def compress(self, new_p: int) -> "WideHLL":
+        """Fold to a smaller precision — identical register math to
+        HLL.compress (the registers share HLL rank semantics; the
+        reference's fold is hll-only, src/dashing.cpp:564-590, so this is
+        a rebuild extension for the wide type)."""
+        if new_p >= self.p:
+            raise ValueError("compress requires new_p < p")
+        regs = self.regs.astype(np.int32)
+        p = self.p
+        while p > new_p:
+            lo, hi = regs[0::2], regs[1::2]
+            lo_adj = np.where(lo > 0, lo + 1, 0)
+            hi_adj = (hi > 0).astype(np.int32)
+            regs = np.maximum(lo_adj, hi_adj)
+            p -= 1
+        return WideHLL(new_p, self.estim, self.jestim,
+                       regs.astype(np.uint16))
+
+    def printf(self, fp=None):
+        """Human-readable register dump (`view` over a .whll)."""
+        import sys
+        fp = fp or sys.stdout
+        fp.write(f"WideHLL p={self.p} m={1 << self.p} estim={self.estim} "
+                 f"jestim={self.jestim}\n")
+        for i in range(0, 1 << self.p, 32):
+            row = " ".join(str(int(v)) for v in self.regs[i:i + 32])
+            fp.write(f"{i}\t{row}\n")
+
     def write_record(self, fp: IO[bytes]):
         fp.write(_HDR.pack(self.MAGIC, self.p, (self.estim << 8) | self.jestim))
         fp.write(self.regs.astype("<u2").tobytes())
