@@ -75,7 +75,9 @@ def run_nn(npairs: int = 65536, nn: int = 16):
     for label, force_py in (("native", False), ("python", True)):
         if force_py:
             saved = native.fmt_rows_iter
+            saved_nn = native.fmt_nn_rows_iter
             native.fmt_rows_iter = lambda *a, **k: None
+            native.fmt_nn_rows_iter = lambda *a, **k: None
         try:
             buf = io.StringIO()
             t0 = time.perf_counter()
@@ -84,6 +86,7 @@ def run_nn(npairs: int = 65536, nn: int = 16):
         finally:
             if force_py:
                 native.fmt_rows_iter = saved
+                native.fmt_nn_rows_iter = saved_nn
         print(f"emit_nn_tsv [{label:6s}] {npairs}x{nn}: "
               f"{vals.size / dt / 1e6:6.2f} M vals/s  ({dt:.2f}s)")
 

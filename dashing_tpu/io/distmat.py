@@ -211,20 +211,26 @@ def emit_rect_tsv(fp, row_names: Sequence[str], mat: np.ndarray,
 def emit_nn_tsv(fp, row_names: Sequence[str], vals: np.ndarray,
                 order: np.ndarray):
     """k-NN TSV rows 'name\\t<id>:<dist>...' (reference nndist_loop TSV,
-    src/sketch_and_cmp.h:747-760).  The '%d:%g' interleave keeps ids in
-    Python but routes the float formatting — the dominant cost — through
-    the native formatter, then post-joins (byte-identical to the previous
-    '\\t%d:%g' loop)."""
+    src/sketch_and_cmp.h:747-760).  Fully-native '%d:%g' interleave
+    (dtpu_fmt_nn_rows) when the library is present; the Python fallback
+    routes the float formatting through _row_segments and post-joins the
+    ids (byte-identical on both paths)."""
+    from . import native
     npairs, nn = vals.shape
+    vals32 = np.ascontiguousarray(vals, np.float32)
+    ids64 = np.ascontiguousarray(order, np.int64)
+    it = native.fmt_nn_rows_iter(vals32, ids64, 0)
+    if it is not None:
+        for nm, seg in zip(row_names, it):
+            fp.write(nm + seg + "\n")
+        return
     counts = np.full(npairs, nn, np.int64)
-    segs = _row_segments(np.ascontiguousarray(vals, np.float32).reshape(-1),
-                         counts, 0)
+    segs = _row_segments(vals32.reshape(-1), counts, 0)
     for i, seg in enumerate(segs):
         vstrs = seg.split("\t")[1:]          # seg leads with '\t'
-        row = row_names[i]
-        orow = order[i]
-        fp.write(row + "".join(
-            "\t%d:%s" % (int(orow[j]), vstrs[j]) for j in range(nn)) + "\n")
+        fp.write(row_names[i] + "".join(
+            "\t%d:%s" % (int(ids64[i, j]), vstrs[j])
+            for j in range(nn)) + "\n")
 
 
 def condensed_to_square(condensed: np.ndarray, n: int, diag: float = 0.0

@@ -68,6 +68,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
         lib.dtpu_fmt_rows.restype = ctypes.c_int
+        if hasattr(lib, "dtpu_fmt_nn_rows"):
+            lib.dtpu_fmt_nn_rows.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.dtpu_fmt_nn_rows.restype = ctypes.c_int
         if hasattr(lib, "dtpu_hk_create"):
             lib.dtpu_hk_create.argtypes = [ctypes.c_int, ctypes.c_int,
                                            ctypes.c_uint64, ctypes.c_double]
@@ -152,6 +160,40 @@ def fmt_rows_iter(vals: np.ndarray, counts: np.ndarray, fmt: int):
             mv = memoryview(out)
             for i in range(r1 - r):
                 a = int(off[i]) * slot
+                yield bytes(mv[a:a + int(seg[i])]).decode("ascii")
+            r = r1
+    return gen()
+
+
+def fmt_nn_rows_iter(vals: np.ndarray, ids: np.ndarray, fmt: int = 0):
+    """Format k-NN rows natively; yields one '\\t<id>:<v>...' str segment
+    per row.  vals (nrows, nn) float32, ids (nrows, nn) int64.  Returns
+    None when unavailable — callers fall back to the Python loop."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dtpu_fmt_nn_rows"):
+        return None
+    nrows, nn = vals.shape
+    slot = 78 if fmt == 2 else 40
+    batch_rows = max(1, (64 << 20) // (slot * max(nn, 1)))
+
+    def gen():
+        r = 0
+        while r < nrows:
+            r1 = min(nrows, r + batch_rows)
+            sub_v = np.ascontiguousarray(vals[r:r1], np.float32)
+            sub_i = np.ascontiguousarray(ids[r:r1], np.int64)
+            out = ctypes.create_string_buffer(max(1, (r1 - r) * nn * slot))
+            seg = np.zeros(r1 - r, np.int64)
+            rc = lib.dtpu_fmt_nn_rows(
+                sub_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                sub_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                r1 - r, nn, fmt, slot, out,
+                seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            if rc != 0:
+                raise RuntimeError("dtpu_fmt_nn_rows failed")
+            mv = memoryview(out)
+            for i in range(r1 - r):
+                a = i * nn * slot
                 yield bytes(mv[a:a + int(seg[i])]).decode("ascii")
             r = r1
     return gen()

@@ -66,6 +66,22 @@ void fmt_rows_range(const float* vals, const int64_t* row_off, int fmt,
     }
 }
 
+void fmt_nn_range(const float* vals, const int64_t* ids, int64_t nn,
+                  int fmt, int64_t slot, char* out, int64_t* seg_len,
+                  int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+        char* base = out + r * nn * slot;
+        char* p = base;
+        for (int64_t j = r * nn; j < (r + 1) * nn; ++j) {
+            *p++ = '\t';
+            p = std::to_chars(p, p + 21, ids[j]).ptr;
+            *p++ = ':';
+            p += fmt_one(p, static_cast<double>(vals[j]), fmt);
+        }
+        seg_len[r] = static_cast<int64_t>(p - base);
+    }
+}
+
 }  // namespace
 
 extern "C" int dtpu_fmt_rows(const float* vals, const int64_t* row_off,
@@ -95,6 +111,39 @@ extern "C" int dtpu_fmt_rows(const float* vals, const int64_t* row_off,
         while (r1 < nrows && (row_off[r1] < target || r1 == r0)) ++r1;
         if (t == nt - 1) r1 = nrows;
         ts.emplace_back(fmt_rows_range, vals, row_off, fmt, slot, out,
+                        seg_len, r0, r1);
+        r0 = r1;
+    }
+    for (auto& th : ts) th.join();
+    return 0;
+}
+
+// k-NN TSV rows: each value emits as '\t' + <id>(%d) + ':' + <val>(fmt)
+// (reference nndist_loop's "\t%u:%f"-family rows, src/sketch_and_cmp.h:
+// 747-760; the rebuild prints ids as signed so the -1 pad sentinel stays
+// visible).  Uniform nn values per row; slot must cover 1 + 20 (int64)
+// + 1 + the value width.
+extern "C" int dtpu_fmt_nn_rows(const float* vals, const int64_t* ids,
+                                int64_t nrows, int64_t nn, int fmt,
+                                int64_t slot, char* out, int64_t* seg_len) {
+    if (!vals || !ids || !out || !seg_len || nrows < 0 || nn <= 0 ||
+        slot < (fmt == 2 ? 78 : 40))
+        return -1;
+    int64_t total = nrows * nn;
+    unsigned hw = std::thread::hardware_concurrency();
+    int nt = hw ? static_cast<int>(hw) : 1;
+    if (nt > nrows) nt = nrows ? static_cast<int>(nrows) : 1;
+    if (nt <= 1 || total < (1 << 16)) {
+        fmt_nn_range(vals, ids, nn, fmt, slot, out, seg_len, 0, nrows);
+        return 0;
+    }
+    std::vector<std::thread> ts;
+    ts.reserve(nt);
+    int64_t r0 = 0;
+    for (int t = 0; t < nt && r0 < nrows; ++t) {
+        int64_t r1 = t == nt - 1 ? nrows : nrows * (t + 1) / nt;
+        if (r1 <= r0) r1 = r0 + 1;
+        ts.emplace_back(fmt_nn_range, vals, ids, nn, fmt, slot, out,
                         seg_len, r0, r1);
         r0 = r1;
     }

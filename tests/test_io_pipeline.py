@@ -208,18 +208,25 @@ def test_rect_and_nn_emitters_match_python_loops(rng, monkeypatch):
             out.append(row + "\n")
         return "".join(out)
 
-    for force_py in (False, True):
-        if force_py:
+    # three tiers: fully native, native floats + python id join (the
+    # nn-specific kernel stubbed), fully python
+    for tier in ("native", "no-nn-kernel", "python"):
+        if tier == "no-nn-kernel":
+            monkeypatch.setattr(dnative, "fmt_nn_rows_iter",
+                                lambda *a, **k: None)
+        elif tier == "python":
             monkeypatch.setattr(dnative, "fmt_rows_iter",
+                                lambda *a, **k: None)
+            monkeypatch.setattr(dnative, "fmt_nn_rows_iter",
                                 lambda *a, **k: None)
         for scientific in (False, True):
             buf = io.StringIO()
             distmat.emit_rect_tsv(buf, qnames, mat, scientific)
             assert buf.getvalue() == legacy_rect(scientific), (
-                force_py, scientific)
+                tier, scientific)
         buf = io.StringIO()
         distmat.emit_nn_tsv(buf, qnames, vals, order)
-        assert buf.getvalue() == legacy_nn(), force_py
+        assert buf.getvalue() == legacy_nn(), tier
 
 
 def test_flatten_roundtrip(tmp_path, rng):
