@@ -743,19 +743,23 @@ def _windowed(tiles, writeback, window: int = _TILE_WINDOW, redo=None):
     a hiccup no longer loses a whole matrix after the sketch phase
     (SURVEY.md sec 5.3).  Bounded attempts, fail-loud after the last.
 
-    Pull coalescing (DASHING_TPU_COALESCE_PULLS, default on): finished
+    Pull coalescing (DASHING_TPU_COALESCE_PULLS=1, default OFF): finished
     same-shape tiles are stacked into ONE device buffer and pulled with a
-    single transfer per window instead of one per tile — each 4 MB pull
-    over the tunnel costs a variable 40-160 ms that swamped ~44 ms of
-    tile compute (BENCH_NOTES 'Tiled production -J incl. transfers'), so
-    cutting the pull count ~window-fold attacks the dominant production
-    wall.  The flush point is held at 2*window in-flight tiles so the
-    device keeps computing the next window while the previous one lands."""
+    single transfer per window instead of one per tile; the flush point
+    is held at 2*window in-flight tiles so the device keeps computing the
+    next window while the previous one lands.  Measured (round 4,
+    in-process alternating A/B at n=4096 -J, 4 reps each): NO improvement
+    over this tunnel — median 0.46 M pairs/s coalesced vs 0.51
+    uncoalesced, same-minute pairs within weather noise — because the
+    link is BANDWIDTH-bound (~40-160 MB/s), not per-pull-latency-bound:
+    one 16 MB stacked pull costs what four 4 MB pulls cost, plus a stack
+    dispatch.  Kept off by default and behind the flag for transports
+    where per-pull latency dominates instead."""
     import time as _time
     from collections import deque
     import jax
 
-    coalesce = os.environ.get("DASHING_TPU_COALESCE_PULLS", "1") != "0"
+    coalesce = os.environ.get("DASHING_TPU_COALESCE_PULLS", "0") != "0"
 
     def to_np(d):
         # elementwise for tuples: np.asarray on the tuple itself would
