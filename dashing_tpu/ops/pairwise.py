@@ -306,14 +306,33 @@ def _jmle_kernel_probe_eval(p: int, kmin: int, K: int, interp: bool) -> bool:
     """Probe body, run in a fresh thread: tiny bank at the EXACT static
     parameters production requested, routed through _pallas_jmle_triples
     itself (_probing=True skips the gate), compared against the XLA vmap
-    joint-MLE fallback on the same statistics."""
+    joint-MLE fallback on the same statistics.
+
+    The banks must be REALISTIC: geometric register profiles (what real
+    HLLs have) with one shared register array maxed into every row so
+    ALL pairs overlap.  Uniform-level or independent banks push the MLE
+    into flat/ill-conditioned regions where the fixed-iteration Newton
+    has not converged and the two evaluation orders legitimately return
+    different points (observed 38%-of-union component drift with |dJI|
+    2.7e-11 — both answers equally good, probe useless).  The comparison
+    is union-NORMALIZED per component — every emitted measure is a ratio
+    of triple components, so errors relative to the union size are what
+    production can see; a miscompiled kernel produces wholesale garbage,
+    not 1e-3-of-union noise."""
     kmax = kmin + K - 1
     rng = np.random.default_rng(0)
-    hi = max(kmin + 1, kmax)
-    a = jnp.asarray(rng.integers(kmin, hi, size=(8, 1 << p))
-                    .astype(np.int32))
-    b = jnp.asarray(rng.integers(kmin, hi, size=(8, 1 << p))
-                    .astype(np.int32))
+    m = 1 << p
+
+    def geo_regs(rows):
+        # realistic geometric register profile confined to the window:
+        # rank ~ kmin + Geom(1/2), clipped so kmax >= max_reg + 1 holds
+        # like production's _auto_kmax guarantees
+        g = rng.geometric(0.5, size=(rows, m)) - 1 + kmin
+        return np.clip(g, kmin, max(kmin, kmax - 1))
+
+    sh = geo_regs(1)                      # common mass -> every pair overlaps
+    a = jnp.asarray(np.maximum(geo_regs(8), sh).astype(np.int32))
+    b = jnp.asarray(np.maximum(geo_regs(8), sh).astype(np.int32))
     stats = pair_stats(a, b, kmax, True, kmin)
     want = np.asarray(_xla_jmle_triples(stats, p, kmin))
     tri = _pallas_jmle_triples(stats, p, kmin, _probing=True,
@@ -321,11 +340,8 @@ def _jmle_kernel_probe_eval(p: int, kmin: int, K: int, interp: bool) -> bool:
     if tri is None:
         return False
     got = np.asarray(tri)
-    # both sides run the same fixed-iteration Newton on the same windowed
-    # statistics; kernel evaluation order (complement chains) admits only
-    # rounding-level drift, far below this tolerance — a miscompiled
-    # kernel produces wholesale garbage, not 1e-3-relative noise
-    return bool(np.allclose(got, want, rtol=1e-3, atol=1.0))
+    union = np.maximum(want.sum(-1, keepdims=True), 1.0)
+    return bool((np.abs(got - want) / union < 1e-3).all())
 
 
 def _pallas_jmle_triples(stats, p: int, kmin: int, _probing: bool = False,
