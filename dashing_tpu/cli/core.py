@@ -27,6 +27,13 @@ SKETCH_EXTS = {"hll": ".hll", "khset": ".khs", "bf": ".bf", "rmh": ".rmh",
                "bbmh": ".bmh", "crmh": ".crmh", "superminhash": ".bbs",
                "hmh": ".hmh", "wide_hll": ".whll", "cbbmh": ".cbmh"}
 
+# block width of the host-side (batched numpy) compare engines; the
+# multi-host stripe split for these families keys on the same value, so
+# every process of a distributed run must see the same setting
+# (env-tunable mostly so tests can split real work with tiny inputs)
+HOST_COMPARE_TILE = int(os.environ.get("DASHING_TPU_HOST_COMPARE_TILE",
+                                       "512"))
+
 
 def eprint(*a, **kw):
     print(*a, file=sys.stderr, **kw)
@@ -654,35 +661,43 @@ def compare_condensed(sketches, result_type: int, k: int, estim: int,
         return pw.all_pairs_condensed(sketches, result_type, k, estim,
                                       jestim, out=out,
                                       row_blocks=row_blocks)
-    assert row_blocks is None, "multi-host stripes are register-family only"
     n = len(sketches)
     ksinv = 1.0 / k
     if out is None:
-        out = np.empty(n * (n - 1) // 2, np.float32)
+        out = ((np.zeros if row_blocks is not None else np.empty)
+               (n * (n - 1) // 2, np.float32))
     from ..sketch import batch_compare
     if batch_compare.supports(sketches):
         # row-blocked upper triangle: a full (n, n, 3) rectangle doubled
-        # the comparisons and transiently held 24*n^2 bytes
-        tris = np.empty((n * (n - 1) // 2, 3), np.float64)
-        T = 512
-        pos = 0
-        for i0 in range(0, n, T):
+        # the comparisons and transiently held 24*n^2 bytes.  A block's
+        # rows pack CONTIGUOUSLY in the condensed vector, so each block
+        # lands with one device measure call and one slice store — and
+        # `row_blocks` (the multi-host split, HOST_COMPARE_TILE-wide)
+        # computes only this process's stripes.
+        T = HOST_COMPARE_TILE
+        blocks = (range(0, n, T) if row_blocks is None
+                  else sorted(row_blocks))
+        for i0 in blocks:
             rect = batch_compare.batch_triples(sketches[i0:i0 + T],
                                                sketches[i0:])
-            for ii in range(rect.shape[0]):
-                row = rect[ii, ii + 1:]
-                tris[pos:pos + row.shape[0]] = row
-                pos += row.shape[0]
-        assert pos == tris.shape[0]
-    else:
-        # batch ALL pair triples into one device call: a per-pair
-        # measure_from_triples dispatch costs ~6-9 ms over the tunnel
-        tris = np.empty((n * (n - 1) // 2, 3), np.float64)
-        pos = 0
-        for i in range(n):
-            for j in range(i + 1, n):
-                tris[pos] = sketches[i].full_set_comparison(sketches[j])
-                pos += 1
+            rows = [rect[ii, ii + 1:] for ii in range(rect.shape[0])]
+            tri_blk = np.concatenate(rows, axis=0)
+            if tri_blk.shape[0] == 0:
+                continue              # final single-row block has no pairs
+            start = (i0 * (2 * n - i0 - 1)) // 2
+            out[start:start + tri_blk.shape[0]] = host_measure(
+                tri_blk, result_type, ksinv)
+        return out
+    assert row_blocks is None, \
+        "multi-host stripes need a batched or register-family engine"
+    # batch ALL pair triples into one device call: a per-pair
+    # measure_from_triples dispatch costs ~6-9 ms over the tunnel
+    tris = np.empty((n * (n - 1) // 2, 3), np.float64)
+    pos = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            tris[pos] = sketches[i].full_set_comparison(sketches[j])
+            pos += 1
     out[:] = host_measure(tris, result_type, ksinv)
     return out
 
@@ -693,10 +708,23 @@ def compare_rect(refs, queries, result_type: int, k: int, estim: int,
     if isinstance(refs[0], (HLL, WideHLL)):
         return pw.rect_pairs(refs, queries, result_type, k, estim, jestim,
                              ref_blocks=ref_blocks)
-    assert ref_blocks is None, "multi-host stripes are register-family only"
     ksinv = 1.0 / k
     nq, nr = len(queries), len(refs)
     from ..sketch import batch_compare
+    if ref_blocks is not None:
+        # multi-host column stripes for the batched host engines: each
+        # owned HOST_COMPARE_TILE-wide reference block fills its columns
+        assert batch_compare.supports(refs), \
+            "multi-host stripes need a batched engine"
+        out = np.zeros((nq, nr), np.float32)
+        for i0 in sorted(ref_blocks):
+            sub = refs[i0:i0 + HOST_COMPARE_TILE]
+            tris = batch_compare.batch_triples(sub, queries).transpose(
+                1, 0, 2)
+            out[:, i0:i0 + len(sub)] = np.asarray(
+                host_measure(tris.reshape(-1, 3), result_type, ksinv),
+                np.float32).reshape(nq, len(sub))
+        return out
     # triple orientation matches partdist_loop: lhs = reference
     # (result_cmp(hlls[j], hq), reference src/dashing.h:678-681)
     rect = batch_compare.batch_triples(refs, queries)
@@ -715,7 +743,8 @@ def compare_rect(refs, queries, result_type: int, k: int, estim: int,
 
 
 def host_nn_topk(refs, queries, result_type: int, k: int, estim: int,
-                 jestim: int, nn: int, exclude_self: bool, tile: int = 512):
+                 jestim: int, nn: int, exclude_self: bool,
+                 tile: int = HOST_COMPARE_TILE, ref_blocks=None):
     """Streaming k-NN for host-side sketch types (minhash/bloom/khset):
     ref-axis tiles through the batched triple engines + a stable host
     top-k merge — O(n_q * (nn + tile)) memory, never the full matrix
@@ -732,7 +761,9 @@ def host_nn_topk(refs, queries, result_type: int, k: int, estim: int,
     worst = -np.inf if sim else np.inf
     best_v = np.full((nq, 0), worst, np.float32)
     best_i = np.zeros((nq, 0), np.int64)
-    for j0 in range(0, nr, tile):
+    ref_starts = (range(0, nr, tile) if ref_blocks is None
+                  else sorted(ref_blocks))
+    for j0 in ref_starts:
         block = compare_rect(refs[j0:j0 + tile], queries, result_type, k,
                              estim, jestim)
         rt = block.shape[1]
@@ -748,6 +779,12 @@ def host_nn_topk(refs, queries, result_type: int, k: int, estim: int,
                            kind="stable")[:, :nn]
         best_v = np.take_along_axis(cat_v, order, 1)
         best_i = np.take_along_axis(cat_i, order, 1)
+    if best_v.shape[1] < nn:
+        # a ref_blocks shard can own fewer than nn refs (or none): pad to
+        # a fixed (nq, nn) with sentinels for the cross-process gather
+        padw = nn - best_v.shape[1]
+        best_v = np.pad(best_v, ((0, 0), (0, padw)), constant_values=worst)
+        best_i = np.pad(best_i, ((0, 0), (0, padw)), constant_values=-1)
     return best_v, best_i
 
 

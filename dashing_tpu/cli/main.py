@@ -161,17 +161,22 @@ def dist_main(argv: List[str]) -> int:
         if hasattr(sk, "jestim"):
             sk.jestim = o.jestim
 
-    # Multi-host: the sketch phase above sharded+allgathered.  For the
-    # register families the COMPARE phase is sharded too — every process
-    # computes a strided set of tile-row stripes (SURVEY sec 2.4-P7 /
-    # 5.8, mirroring the reference's parallel_fill stripe writer,
-    # distmat/distmat.h:459-512) — while every output file stays rank 0's
-    # job (other ranks writing the same -O/-o paths would race).
-    # Host-side sketch families keep the compare on rank 0 as well.
+    # Multi-host: the sketch phase above sharded+allgathered.  The
+    # COMPARE phase is sharded too — every process computes a strided
+    # set of tile-row stripes (SURVEY sec 2.4-P7 / 5.8, mirroring the
+    # reference's parallel_fill stripe writer, distmat/distmat.h:459-512)
+    # — while every output file stays rank 0's job (other ranks writing
+    # the same -O/-o paths would race).  Register families stripe the
+    # device engine (DEFAULT_TILE rows); the batched host engines
+    # (minhash/bloom/...) stripe their own HOST_COMPARE_TILE blocks;
+    # only the per-pair fallback (khset) keeps the compare on rank 0.
     from ..parallel import distributed
+    from ..sketch import batch_compare
     from ..sketch.extra import WideHLL
-    shard_compare = (distributed.process_count() > 1 and sketches
-                     and isinstance(sketches[0], (HLL, WideHLL)))
+    reg_family = bool(sketches) and isinstance(sketches[0], (HLL, WideHLL))
+    shard_compare = (distributed.process_count() > 1 and bool(sketches)
+                     and (reg_family or batch_compare.supports(sketches)))
+    shard_tile = pw.DEFAULT_TILE if reg_family else core.HOST_COMPARE_TILE
     if not distributed.is_main() and not shard_compare:
         return 0
 
@@ -190,14 +195,14 @@ def dist_main(argv: List[str]) -> int:
 
     if nq:
         ref_blocks = (distributed.owned_tile_rows(len(ref_sketches),
-                                                  pw.DEFAULT_TILE)
+                                                  shard_tile)
                       if shard_compare else None)
         mat = core.compare_rect(ref_sketches, sketches[len(sketches) - nq:],
                                 result_type, o.k, o.estim, o.jestim,
                                 ref_blocks=ref_blocks)
         if shard_compare:
             mat = distributed.combine_columns(mat, len(ref_sketches),
-                                              pw.DEFAULT_TILE)
+                                              shard_tile)
             if not distributed.is_main():
                 return 0
         q_names = names[len(names) - nq:]
@@ -220,7 +225,7 @@ def dist_main(argv: List[str]) -> int:
     # distmat/distmat.h:193-243,459-512) instead of buffering in RAM.
     use_mmap = (emit_fmt == BINARY
                 and out_dists not in (None, "-", "/dev/stdout"))
-    row_blocks = (distributed.owned_tile_rows(n, pw.DEFAULT_TILE)
+    row_blocks = (distributed.owned_tile_rows(n, shard_tile)
                   if shard_compare else None)
     if use_mmap and shard_compare:
         # rank-local stripe writes into ONE shared output file: rank 0
@@ -243,7 +248,7 @@ def dist_main(argv: List[str]) -> int:
             mm.flush()
             distributed.barrier("dashing_tpu_distmat_fill")
         else:
-            cond = distributed.combine_condensed(cond, n, pw.DEFAULT_TILE)
+            cond = distributed.combine_condensed(cond, n, shard_tile)
         if not distributed.is_main():
             return 0
     if emit_fmt == BINARY:
@@ -324,12 +329,23 @@ def _nn_emit(sketches, names, o: CommonOpts, result_type: int, emit_fmt: int,
     else:
         # host-side sketch families stream ref-axis tiles through the
         # batched triple engines with the same bounded-memory merge
-        # (WideHLL lands here too: rank 0 computes, other ranks bow out)
-        if shard_compare and not distributed.is_main():
-            return 0
+        # (WideHLL lands here too).  Multi-host: each process scans its
+        # strided share of HOST_COMPARE_TILE ref blocks, then the same
+        # candidate gather as the device path merges on rank 0 —
+        # host_nn_topk's per-block compare_rect works for every family,
+        # so any sharded run can split here.
+        ref_blocks = (distributed.owned_tile_rows(nref,
+                                                  core.HOST_COMPARE_TILE)
+                      if shard_compare else None)
         vals, order = core.host_nn_topk(refs, queries, result_type, o.k,
                                         o.estim, o.jestim, nn,
-                                        exclude_self=not nq)
+                                        exclude_self=not nq,
+                                        ref_blocks=ref_blocks)
+        if shard_compare:
+            vals, order = distributed.combine_nn(
+                vals, order, nn, pw.is_similarity(result_type))
+            if not distributed.is_main():
+                return 0
     if emit_fmt == BINARY:
         fp, close = core.open_output(out_dists, binary=True)
         fp.write(np.uint32(npairs).tobytes())   # rows actually written

@@ -153,7 +153,8 @@ def test_union_two_process_matches_single(genomes):
 # runs split real work: blocks {0, 4} vs {2} — both ranks compute tiles.
 # ---------------------------------------------------------------------------
 
-TILE_ENV = {"DASHING_TPU_COMPARE_TILE": "2"}
+TILE_ENV = {"DASHING_TPU_COMPARE_TILE": "2",
+            "DASHING_TPU_HOST_COMPARE_TILE": "2"}
 
 
 @pytest.fixture(scope="module")
@@ -226,6 +227,30 @@ def test_dist_sharded_phylip_matches_single(genomes6):
     outs = _run_pair(args, tmp, extra_env=TILE_ENV)
     assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
     assert _clean(outs[0][1]) == _clean(single)
+
+
+@pytest.mark.parametrize("mode", [[], ["-b", "-O", "host.bin"],
+                                  ["--nearest-neighbors", "2"]])
+def test_dist_sharded_host_family_matches_single(genomes6, mode):
+    """The batched HOST engines (b-bit minhash here) shard the compare
+    phase too: HOST_COMPARE_TILE row stripes with the same gather/mmap
+    landing as the register families."""
+    tmp, names = genomes6
+    env = dict(TILE_ENV)
+    args = (["dist", "-k", "17", "-S", "12", "--avoid-sorting", "-8"]
+            + mode + names)
+    if "-O" in mode:
+        single_args = [a if a != "host.bin" else "host1.bin" for a in args]
+        _run_single(single_args, tmp, extra_env=env)
+        outs = _run_pair(args, tmp, extra_env=env)
+        assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+        assert ((tmp / "host.bin").read_bytes()
+                == (tmp / "host1.bin").read_bytes())
+    else:
+        single = _run_single(args, tmp, extra_env=env)
+        outs = _run_pair(args, tmp, extra_env=env)
+        assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+        assert _clean(outs[0][1]) == _clean(single)
 
 
 def test_card_two_process_matches_single(genomes):
