@@ -826,6 +826,80 @@ def flatten_main(argv: List[str]) -> int:
 # shells out to itself per k, reference src/mkdistmain.cpp:106-114).
 # ===========================================================================
 
+def _mkdist_presketch(rest: List[str], ks: List[int]):
+    """Fused multi-k sketch pre-seed for mkdist.
+
+    Sketches every input at every missing k via
+    pipeline.sketch_file_hll_multik (one parse + one device upload per
+    chunk for ALL ks) and writes the results into the sketch cache the
+    subsequent per-k dist passes read.  Returns (extra_dist_args,
+    cleanup_fn); (None, None) when the configuration is not fusable —
+    the per-k loop then behaves exactly as before.  Eligibility is the
+    plain-HLL bonsai path only: the seam-duplication trick is exact for
+    register max, not for counting structures, and k>32 uses the rolling
+    encoders with different tiling."""
+    import dataclasses
+    import shutil
+    import tempfile
+    from ..parallel import distributed
+    if distributed.process_count() > 1:
+        return None, None          # per-k dist passes handle sharding
+    o = CommonOpts()
+    try:
+        optlist, positional = _getopts(list(rest), DIST_SHORT_OPTS,
+                                       DIST_LONG)
+    except SystemExit:
+        return None, None
+    for flag, val in optlist:
+        if core.parse_common(o, flag, val):
+            continue
+        if flag in ("-Q", "--query-paths"):
+            return None, None      # query set would need seeding too
+    if (o.sketch_type != "hll" or o.weighted_jaccard
+            or o.use_counting_filter or o.presketched or o.sketch_by_fname
+            or o.encoding != "bonsai" or o.entropy_min):
+        return None, None
+    if not ks or not all(4 <= k <= 32 for k in ks):
+        return None, None
+    inpaths = core.gather_inpaths(o, positional)
+    if not inpaths:
+        return None, None
+    extra: List[str] = []
+    cleanup = None
+    if not o.cache_sketch:
+        # the user did not ask for -W: seed a private cache dir and
+        # thread it through the per-k dist calls, then remove it
+        tmpdir = tempfile.mkdtemp(prefix="dashing_tpu_mkdist_")
+        o.prefix = tmpdir
+        o.cache_sketch = True
+        extra = ["-W", "-P", tmpdir]
+        cleanup = lambda: shutil.rmtree(tmpdir, ignore_errors=True)
+    p = core.hll_p_from_S(o.sketch_size)
+    try:
+        for path in inpaths:
+            todo = []
+            for k in ks:
+                o_k = dataclasses.replace(o, k=k)
+                fname = core._cache_fname(path, o_k)
+                if os.path.isfile(fname):
+                    continue       # an existing user cache entry wins
+                todo.append((core.sketch_params(o_k), fname))
+            if not todo:
+                continue
+            regs_list = pipeline.sketch_file_hll_multik(
+                path, [t[0] for t in todo], p)
+            for (_, fname), regs in zip(todo, regs_list):
+                core.atomic_write_sketch(HLL(p, o.estim, o.jestim, regs),
+                                         fname)
+    except Exception as exc:       # pre-seed is an optimization only
+        eprint(f"note: fused multi-k presketch failed ({exc}); "
+               "falling back to per-k sketching")
+        if cleanup:
+            cleanup()
+        return None, None
+    return extra, cleanup
+
+
 def mkdist_main(argv: List[str]) -> int:
     multik = None
     jukes_cantor = False
@@ -860,18 +934,27 @@ def mkdist_main(argv: List[str]) -> int:
     fpaths = []
     # per-k passes re-read every input: cache the joined bytes across ks
     pipeline.set_join_cache(True)
+    # fused multi-k sketching: ONE parse + ONE device upload serves every
+    # k (exact for HLL registers); pre-seeds the sketch cache the per-k
+    # dist passes then hit.  extra = cache flags to thread through; None
+    # when the configuration is not fusable (non-HLL type, filters, ...)
+    extra, cleanup = _mkdist_presketch(rest, ks)
     for k in ks:
         outp = f"_{outpref}_{k}"
-        args = ["-b", "-O", outp, "-k", str(k)] + rest
+        args = ["-b", "-O", outp, "-k", str(k)] + (extra or []) + rest
         if jukes_cantor and "--sizes" not in args and "-Z" not in args:
             # JC needs intersection SIZES and a stable genome order
             args = ["--sizes", "--avoid-sorting"] + args
         rc = dist_main(args)
         if rc != 0:
             pipeline.set_join_cache(False)
+            if cleanup:
+                cleanup()
             return rc
         fpaths.append(outp)
     pipeline.set_join_cache(False)
+    if cleanup:
+        cleanup()
     eprint("Finished distance matrix calculations. Now flattening")
     rc = distmat.flatten_all(fpaths, outpref + ".bin", ks)
     if rc != 0 or not jukes_cantor:

@@ -13,7 +13,7 @@ import dataclasses
 import functools
 import os
 from collections import OrderedDict
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -322,6 +322,54 @@ def sketch_file_hll(path: str, params: SketchParams, p: int) -> np.ndarray:
     """Sketch one logical path into 2^p uint8 HLL registers (device fold)."""
     regs = sketch_file_hll_async(path, params, p)
     return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)
+
+
+def sketch_file_hll_multik(path: str, params_list: Sequence[SketchParams],
+                           p: int) -> List[np.ndarray]:
+    """Sketch one path at SEVERAL k values from ONE parse + ONE device
+    upload per chunk (the mkdist --multik engine; the reference re-runs
+    the whole tool per k, src/mkdistmain.cpp:106-114, and even our
+    in-process per-k loop re-uploaded every tile per k — on a
+    bandwidth-bound link the upload is the sketch phase's scarce
+    resource, so K k-values for the price of one upload is a ~K-fold
+    cut of it).
+
+    Tiles are cut with the LARGEST k's halo; for smaller k the extra
+    overlap duplicates a few windows at tile seams, which is exact for
+    HLL registers (scatter-max is idempotent) — this function is
+    therefore HLL-only by design.  Returns uint8 register arrays in
+    params_list order, bitwise identical to per-k sketch_file_hll runs.
+    """
+    sps = [pa.spacer() for pa in params_list]
+    sp_big = max(sps, key=lambda s: s.halo)
+    regs = [jnp.zeros(1 << p, jnp.int32) for _ in params_list]
+    from .ops.hll_update import _ROW, adaptive_cap
+    seen = [0] * len(params_list)
+    packed_ok = [_packed_ok(pa, sp, p) for pa, sp in zip(params_list, sps)]
+    for tile in _file_tiles(path, sp_big):
+        rows8 = tile.shape[0] % 8 == 0
+        dev_packed = None
+        dev_ascii = None
+        for i, (pa, sp) in enumerate(zip(params_list, sps)):
+            ucap = adaptive_cap(_ROW, 1 << p, seen[i])
+            seen[i] += tile.shape[0] * (tile.shape[1] - sp.halo)
+            if packed_ok[i] and rows8:
+                if dev_packed is None:
+                    pk, vb = _pack_tile_host(tile)
+                    dev_packed = (jnp.asarray(pk), jnp.asarray(vb))
+                regs[i] = _packed_to_registers(
+                    dev_packed[0], dev_packed[1], regs[i], k=sp.k, p=p,
+                    canon=pa.canon, C=tile.shape[1], ucap=ucap)
+            else:
+                if dev_ascii is None:
+                    dev_ascii = jnp.asarray(tile)
+                kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions),
+                          span=sp.c, canon=pa.canon, encoding=pa.encoding,
+                          rehash=pa.rehash, entropy=pa.entropy)
+                regs[i] = _tile_to_registers(dev_ascii, regs[i], **kw,
+                                             p=p, ucap=ucap)
+    return [np.clip(np.asarray(jax.device_get(r)), 0, 255).astype(np.uint8)
+            for r in regs]
 
 
 # ---------------------------------------------------------------------------

@@ -7,6 +7,7 @@ import sys
 import numpy as np
 import pytest
 
+from dashing_tpu import pipeline
 from dashing_tpu.cli import main as climain
 from dashing_tpu.io import distmat
 from dashing_tpu.sketch.hll import HLL
@@ -199,6 +200,47 @@ def test_mkdist_multik(genomes, tmp_path, capsys, monkeypatch):
     nsets, ks, data = distmat.read_flattened("mk.bin")
     assert nsets == 3 and list(ks) == [15, 17]
     assert data.shape == (3, 2)
+
+
+def test_mkdist_fused_presketch_bitwise_and_engaged(genomes, tmp_path,
+                                                    capsys, monkeypatch):
+    """The fused multi-k engine (one parse + one upload per chunk for all
+    ks) must ENGAGE for the plain-HLL config and produce byte-identical
+    flattened output to a run with fusion disabled."""
+    calls = {"n": 0}
+    orig = pipeline.sketch_file_hll_multik
+
+    def spy(path, params_list, p):
+        calls["n"] += 1
+        return orig(path, params_list, p)
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(pipeline, "sketch_file_hll_multik", spy)
+    run_cli(["mkdist", "--multik", "fz,15,21,2", "-S", "11",
+             "--avoid-sorting"] + genomes)
+    capsys.readouterr()
+    assert calls["n"] == len(genomes)      # engaged once per input
+    # disable fusion (spy raising -> graceful fallback to per-k loop)
+    monkeypatch.setattr(pipeline, "sketch_file_hll_multik",
+                        lambda *a: (_ for _ in ()).throw(RuntimeError("x")))
+    run_cli(["mkdist", "--multik", "uf,15,21,2", "-S", "11",
+             "--avoid-sorting"] + genomes)
+    capsys.readouterr()
+    assert (tmp_path / "fz.bin").read_bytes() == \
+        (tmp_path / "uf.bin").read_bytes()
+
+
+def test_sketch_multik_matches_per_k(genomes, tmp_path):
+    """pipeline.sketch_file_hll_multik registers == per-k
+    sketch_file_hll, bitwise, including the seam-duplication cases
+    (different halos force different tile boundaries)."""
+    import numpy as np
+    for path in genomes[:2]:
+        params = [pipeline.SketchParams(k=k) for k in (13, 19, 31)]
+        fused = pipeline.sketch_file_hll_multik(path, params, 11)
+        for pa, regs in zip(params, fused):
+            single = pipeline.sketch_file_hll(path, pa, 11)
+            assert np.array_equal(regs, single), pa.k
 
 
 def test_khset_exact_backend(genomes, capsys):
