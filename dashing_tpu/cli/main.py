@@ -842,6 +842,8 @@ def _mkdist_presketch(rest: List[str], ks: List[int]):
     import shutil
     import tempfile
     from ..parallel import distributed
+    if os.environ.get("DASHING_TPU_NO_MULTIK_FUSE", "") not in ("", "0"):
+        return None, None          # explicit opt-out (A/B + escape hatch)
     if distributed.process_count() > 1:
         return None, None          # per-k dist passes handle sharding
     o = CommonOpts()
