@@ -748,6 +748,11 @@ def _view_dump(sk, fp) -> None:
 
 
 def view_main(argv: List[str]) -> int:
+    # single-writer tool: under jax.distributed only rank 0 runs it
+    # (no sharded phase here; extra ranks would duplicate the output)
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     if not argv:
         raise SystemExit("Usage: view f1.hll [f2.bf ...] "
                          "(type auto-detected from the file magic)")
@@ -757,6 +762,11 @@ def view_main(argv: List[str]) -> int:
 
 
 def fold_main(argv: List[str]) -> int:
+    # single-writer tool: under jax.distributed only rank 0 runs it
+    # (no sharded phase here; extra ranks would duplicate the output)
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     out, inp, destp = "/dev/stdout", "/dev/stdin", -1
     optlist, positional = _getopts(argv, "p:o:h?", ["help"])
     for flag, val in optlist:
@@ -785,6 +795,11 @@ def fold_main(argv: List[str]) -> int:
 
 
 def printmat_main(argv: List[str]) -> int:
+    # single-writer tool: under jax.distributed only rank 0 runs it
+    # (no sharded phase here; extra ranks would duplicate the output)
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     use_scientific = False
     outpath = ""
     optlist, positional = _getopts(argv, "o:sh?", ["help"])
@@ -807,6 +822,11 @@ def printmat_main(argv: List[str]) -> int:
 
 
 def flatten_main(argv: List[str]) -> int:
+    # single-writer tool: under jax.distributed only rank 0 runs it
+    # (no sharded phase here; extra ranks would duplicate the output)
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     optlist, positional = _getopts(argv, "o:k:h?", ["help"])
     out = "flattened.bin"
     ks: List[int] = []
@@ -982,6 +1002,11 @@ def sketch_by_seq_main(argv: List[str]) -> int:
     """One sketch per FASTA/FASTQ record, streamed into a single gz output
     plus a .names sidecar with '#k=<k>:' header (reference
     src/sketch_and_cmp.h:540-602)."""
+    # single-writer tool: under jax.distributed only rank 0 runs it
+    # (no sharded phase here; extra ranks would duplicate the output)
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     o = CommonOpts()
     o.mincount = 1
     outpath = "/dev/stdout"
@@ -1070,6 +1095,11 @@ def _sketch_one_seq(seq: bytes, o: CommonOpts, sp, kw, p: int):
 def dist_by_seq_main(argv: List[str]) -> int:
     """Compare pre-made per-sequence sketches (reference
     src/distbyseq.cpp:53-130)."""
+    # single-writer tool: under jax.distributed only rank 0 runs it
+    # (no sharded phase here; extra ranks would duplicate the output)
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     o = CommonOpts()
     outpath = "/dev/stdout"
     namefile = ""
@@ -1188,6 +1218,11 @@ def dist_by_seq_main(argv: List[str]) -> int:
 # ===========================================================================
 
 def panel_main(argv: List[str]) -> int:
+    # single-writer tool: under jax.distributed only rank 0 runs it
+    # (no sharded phase here; extra ranks would duplicate the output)
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     o = CommonOpts()
     outpath = "/dev/stdout"
     filesinfile = False
@@ -1253,6 +1288,11 @@ def panel_main(argv: List[str]) -> int:
 # ===========================================================================
 
 def readfilt_main(argv: List[str]) -> int:
+    # single-writer tool: under jax.distributed only rank 0 runs it
+    # (no sharded phase here; extra ranks would duplicate the output)
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     o = CommonOpts()
     o.k = 21
     hllpath = ""
