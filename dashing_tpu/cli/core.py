@@ -682,11 +682,22 @@ def compare_condensed(sketches, result_type: int, k: int, estim: int,
                                                sketches[i0:])
             rows = [rect[ii, ii + 1:] for ii in range(rect.shape[0])]
             tri_blk = np.concatenate(rows, axis=0)
-            if tri_blk.shape[0] == 0:
+            npairs = tri_blk.shape[0]
+            if npairs == 0:
                 continue              # final single-row block has no pairs
+            # pad to a power of two: every block's pair count is distinct,
+            # and measure_from_triples is jit — unpadded, each block would
+            # trace+compile its own variant (60-160 s each on the TPU
+            # backend); pow2 bucketing bounds the variants to ~log2(n^2)
+            cap = 1
+            while cap < npairs:
+                cap *= 2
+            if cap != npairs:
+                tri_blk = np.concatenate(
+                    [tri_blk, np.zeros((cap - npairs, 3), tri_blk.dtype)])
             start = (i0 * (2 * n - i0 - 1)) // 2
-            out[start:start + tri_blk.shape[0]] = host_measure(
-                tri_blk, result_type, ksinv)
+            out[start:start + npairs] = host_measure(
+                tri_blk, result_type, ksinv)[:npairs]
         return out
     assert row_blocks is None, \
         "multi-host stripes need a batched or register-family engine"
@@ -779,13 +790,7 @@ def host_nn_topk(refs, queries, result_type: int, k: int, estim: int,
                            kind="stable")[:, :nn]
         best_v = np.take_along_axis(cat_v, order, 1)
         best_i = np.take_along_axis(cat_i, order, 1)
-    if best_v.shape[1] < nn:
-        # a ref_blocks shard can own fewer than nn refs (or none): pad to
-        # a fixed (nq, nn) with sentinels for the cross-process gather
-        padw = nn - best_v.shape[1]
-        best_v = np.pad(best_v, ((0, 0), (0, padw)), constant_values=worst)
-        best_i = np.pad(best_i, ((0, 0), (0, padw)), constant_values=-1)
-    return best_v, best_i
+    return pw.pad_nn_candidates(best_v, best_i, nn, worst)
 
 
 def host_measure(tri: np.ndarray, result_type: int, ksinv: float) -> np.ndarray:

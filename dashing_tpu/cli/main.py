@@ -230,12 +230,27 @@ def dist_main(argv: List[str]) -> int:
     if use_mmap and shard_compare:
         # rank-local stripe writes into ONE shared output file: rank 0
         # lays the file out, a barrier orders that before attaches, and
-        # each rank's owned tile rows map to disjoint condensed ranges
+        # each rank's owned tile rows map to disjoint condensed ranges.
+        # Pre-flight: every rank must SEE the created file (the stripes
+        # assume a shared filesystem); if any cannot, fall back to the
+        # stripe-gather path instead of crashing rank!=0 in attach and
+        # deadlocking rank 0 at the fill barrier.
         if distributed.is_main():
             mm = distmat.create_binary_mmap(out_dists, n)
         distributed.barrier("dashing_tpu_distmat_create")
-        if not distributed.is_main():
-            mm = distmat.attach_binary_mmap(out_dists, n)
+        visible = os.path.exists(out_dists)
+        all_visible = bool(distributed.allgather_np(
+            np.asarray([visible])).all())
+        if all_visible:
+            if not distributed.is_main():
+                mm = distmat.attach_binary_mmap(out_dists, n)
+        else:
+            if distributed.is_main():
+                eprint(f"note: {out_dists} is not on a filesystem shared "
+                       "by all ranks; using a stripe gather to rank 0 "
+                       "instead of shared mmap writes")
+            mm = None
+            use_mmap = False
     else:
         mm = distmat.create_binary_mmap(out_dists, n) if use_mmap else None
     with metrics.phase("all-pairs compare", items=n * (n - 1) / 2,
@@ -877,7 +892,7 @@ def _mkdist_presketch(rest: List[str], ks: List[int]):
             continue
         if flag in ("-Q", "--query-paths"):
             return None, None      # query set would need seeding too
-    if (o.sketch_type != "hll" or o.weighted_jaccard
+    if (o.sketch_type != "hll" or o.weighted_jaccard or o.exact_weighted
             or o.use_counting_filter or o.presketched or o.sketch_by_fname
             or o.encoding != "bonsai" or o.entropy_min):
         return None, None
@@ -963,7 +978,10 @@ def mkdist_main(argv: List[str]) -> int:
     extra, cleanup = _mkdist_presketch(rest, ks)
     for k in ks:
         outp = f"_{outpref}_{k}"
-        args = ["-b", "-O", outp, "-k", str(k)] + (extra or []) + rest
+        # extra AFTER rest: the presketch's cache flags must win a
+        # last-wins parse even when the user passed their own -P
+        # (the seeded tmpdir is where the sketches actually are)
+        args = ["-b", "-O", outp, "-k", str(k)] + rest + (extra or [])
         if jukes_cantor and "--sizes" not in args and "-Z" not in args:
             # JC needs intersection SIZES and a stable genome order
             args = ["--sizes", "--avoid-sorting"] + args
@@ -977,6 +995,13 @@ def mkdist_main(argv: List[str]) -> int:
     pipeline.set_join_cache(False)
     if cleanup:
         cleanup()
+    # multi-host: the per-k dist passes sharded their compare stripes and
+    # every non-main rank returned 0 from each; flattening (and the JC
+    # writer below) is single-writer work — extra ranks racing open('wb')
+    # on the same outputs would corrupt them
+    from ..parallel import distributed
+    if not distributed.is_main():
+        return 0
     eprint("Finished distance matrix calculations. Now flattening")
     rc = distmat.flatten_all(fpaths, outpref + ".bin", ks)
     if rc != 0 or not jukes_cantor:

@@ -143,44 +143,53 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
 _MLE_KERNEL_STATE: Dict[tuple, bool] = {}
 
 
-def _mle_kernel_probe(estim: int, p: int, kmin: int, K: int,
-                      interp: bool) -> bool:
-    key = (estim, p, kmin, K)
-    if key in _MLE_KERNEL_STATE:
-        return _MLE_KERNEL_STATE[key]
-    # the first kernel-path call may arrive DURING tracing of an enclosing
-    # jit/shard_map (mesh compare paths); JAX trace state is thread-local,
-    # so a fresh thread evaluates the probe eagerly on concrete values
-    # (ensure_compile_time_eval instead turns the pallas_call operands
-    # into captured-constant tracers and fails)
+def _probe_driver(state: Dict[tuple, bool], key: tuple, eval_fn,
+                  label: str) -> bool:
+    """Shared fail-closed probe protocol for the fused kernels: run the
+    eval in a fresh thread (the first kernel-path call may arrive DURING
+    tracing of an enclosing jit/shard_map; JAX trace state is
+    thread-local, so a fresh thread evaluates eagerly on concrete values
+    — ensure_compile_time_eval instead turns the pallas_call operands
+    into captured-constant tracers and fails), retry transient backend
+    errors with bounded backoff, and cache a permanent per-variant
+    verdict: ANY failure pins the variant to the XLA path."""
+    if key in state:
+        return state[key]
     import concurrent.futures
     for attempt in range(3):   # transient tunnel errors get bounded retry
         try:
             with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-                ok = ex.submit(_mle_kernel_probe_eval, estim, p, kmin, K,
-                               interp).result()
+                ok = ex.submit(eval_fn).result()
             if not ok:
-                print(f"note: union-MLE kernel probe mismatched the XLA "
+                print(f"note: {label} kernel probe mismatched the XLA "
                       f"path for variant {key}; using the XLA estimator",
                       file=sys.stderr)
-            _MLE_KERNEL_STATE[key] = ok
+            state[key] = ok
             return ok
         except jax.errors.JaxRuntimeError as e:
             if attempt == 2:
-                print(f"note: union-MLE kernel probe hit persistent "
+                print(f"note: {label} kernel probe hit persistent "
                       f"backend errors ({e}); using the XLA estimator "
                       f"for variant {key}", file=sys.stderr)
-                _MLE_KERNEL_STATE[key] = False
+                state[key] = False
                 return False
             import time
             time.sleep(2.0 * (attempt + 1))
         except Exception as e:   # Mosaic lowering etc. must never be fatal
-            print(f"note: union-MLE kernel unavailable for variant {key} "
+            print(f"note: {label} kernel unavailable for variant {key} "
                   f"({type(e).__name__}: {e}); using the XLA estimator",
                   file=sys.stderr)
-            _MLE_KERNEL_STATE[key] = False
+            state[key] = False
             return False
     return False
+
+
+def _mle_kernel_probe(estim: int, p: int, kmin: int, K: int,
+                      interp: bool) -> bool:
+    return _probe_driver(
+        _MLE_KERNEL_STATE, (estim, p, kmin, K),
+        lambda: _mle_kernel_probe_eval(estim, p, kmin, K, interp),
+        "union-MLE")
 
 
 def _mle_kernel_probe_eval(estim: int, p: int, kmin: int, K: int,
@@ -196,14 +205,20 @@ def _mle_kernel_probe_eval(estim: int, p: int, kmin: int, K: int,
     b = jnp.asarray(rng.integers(kmin, hi, size=(8, 1 << p))
                     .astype(np.int32))
     stats = pair_stats(a, b, kmax, False, kmin)
-    cum = stats["cum_union"]
-    c_a = est.estimate_windowed(stats["hist_a"], p, kmin, estim)
-    c_b = est.estimate_windowed(stats["hist_b"], p, kmin, estim)
-    hist_u = jnp.concatenate(
-        [cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1)
-    c_u = est.estimate_windowed(hist_u, p, kmin, estim)
-    want_shared = np.asarray(
-        jnp.maximum(0.0, c_a[:, None] + c_b[None, :] - c_u))
+
+    # jit the reference path (see _jmle_kernel_probe_eval): the cards
+    # feed the kernel call below, so return them too
+    def _ref(s):
+        cum = s["cum_union"]
+        ca = est.estimate_windowed(s["hist_a"], p, kmin, estim)
+        cb = est.estimate_windowed(s["hist_b"], p, kmin, estim)
+        hist_u = jnp.concatenate(
+            [cum[..., :1], cum[..., 1:] - cum[..., :-1]], axis=-1)
+        cu = est.estimate_windowed(hist_u, p, kmin, estim)
+        return ca, cb, jnp.maximum(0.0, ca[:, None] + cb[None, :] - cu)
+
+    c_a, c_b, want_shared = jax.jit(_ref)(stats)
+    want_shared = np.asarray(want_shared)
     tri = _pallas_union_triples(stats, c_a, c_b, p, kmin, estim,
                                 _probing=True, _interp=interp)
     if tri is None:
@@ -268,38 +283,10 @@ _JMLE_KERNEL_STATE: Dict[tuple, bool] = {}
 
 
 def _jmle_kernel_probe(p: int, kmin: int, K: int, interp: bool) -> bool:
-    key = (p, kmin, K)
-    if key in _JMLE_KERNEL_STATE:
-        return _JMLE_KERNEL_STATE[key]
-    # fresh thread: no ambient trace (see _mle_kernel_probe)
-    import concurrent.futures
-    for attempt in range(3):   # transient tunnel errors get bounded retry
-        try:
-            with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-                ok = ex.submit(_jmle_kernel_probe_eval, p, kmin, K,
-                               interp).result()
-            if not ok:
-                print(f"note: joint-MLE kernel probe mismatched the XLA "
-                      f"path for variant {key}; using the XLA estimator",
-                      file=sys.stderr)
-            _JMLE_KERNEL_STATE[key] = ok
-            return ok
-        except jax.errors.JaxRuntimeError as e:
-            if attempt == 2:
-                print(f"note: joint-MLE kernel probe hit persistent "
-                      f"backend errors ({e}); using the XLA estimator "
-                      f"for variant {key}", file=sys.stderr)
-                _JMLE_KERNEL_STATE[key] = False
-                return False
-            import time
-            time.sleep(2.0 * (attempt + 1))
-        except Exception as e:   # Mosaic lowering etc. must never be fatal
-            print(f"note: joint-MLE kernel unavailable for variant {key} "
-                  f"({type(e).__name__}: {e}); using the XLA estimator",
-                  file=sys.stderr)
-            _JMLE_KERNEL_STATE[key] = False
-            return False
-    return False
+    return _probe_driver(
+        _JMLE_KERNEL_STATE, (p, kmin, K),
+        lambda: _jmle_kernel_probe_eval(p, kmin, K, interp),
+        "joint-MLE")
 
 
 def _jmle_kernel_probe_eval(p: int, kmin: int, K: int, interp: bool) -> bool:
@@ -334,7 +321,10 @@ def _jmle_kernel_probe_eval(p: int, kmin: int, K: int, interp: bool) -> bool:
     a = jnp.asarray(np.maximum(geo_regs(8), sh).astype(np.int32))
     b = jnp.asarray(np.maximum(geo_regs(8), sh).astype(np.int32))
     stats = pair_stats(a, b, kmax, True, kmin)
-    want = np.asarray(_xla_jmle_triples(stats, p, kmin))
+    # jit the reference path: un-jitted, the vmapped Newton solve runs
+    # op-by-op — hundreds of per-op tunnel round-trips on the TPU backend
+    want = np.asarray(jax.jit(
+        lambda s: _xla_jmle_triples(s, p, kmin))(stats))
     tri = _pallas_jmle_triples(stats, p, kmin, _probing=True,
                                _interp=interp)
     if tri is None:
@@ -1104,10 +1094,17 @@ def nn_topk(ref_sketches, query_sketches, result_type: int, k: int,
     _windowed(tiles(), land, redo=lambda key: one(*key))
     if pending[0] is not None:
         merge()
+    return pad_nn_candidates(best_v, best_i, nn, worst)
+
+
+def pad_nn_candidates(best_v: np.ndarray, best_i: np.ndarray, nn: int,
+                      worst):
+    """Pad a k-NN candidate list to a fixed (nq, nn) with (worst, -1)
+    sentinels — a ref_blocks shard can own fewer than nn references (or
+    none), and the cross-process gather in distributed.combine_nn needs
+    ONE shape on every rank.  The sentinel contract (-1 id, worst-sorting
+    value) is shared with combine_nn's merge; change them together."""
     if best_v.shape[1] < nn:
-        # fewer owned candidates than nn (a ref_blocks shard can own zero
-        # tiles): pad to a fixed (nq, nn) so cross-process gathers have
-        # one shape on every rank
         padw = nn - best_v.shape[1]
         best_v = np.pad(best_v, ((0, 0), (0, padw)), constant_values=worst)
         best_i = np.pad(best_i, ((0, 0), (0, padw)), constant_values=-1)
