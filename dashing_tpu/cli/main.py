@@ -1119,12 +1119,10 @@ def _sketch_one_seq(seq: bytes, o: CommonOpts, sp, kw, p: int):
 
 def dist_by_seq_main(argv: List[str]) -> int:
     """Compare pre-made per-sequence sketches (reference
-    src/distbyseq.cpp:53-130)."""
-    # single-writer tool: under jax.distributed only rank 0 runs it
-    # (no sharded phase here; extra ranks would duplicate the output)
+    src/distbyseq.cpp:53-130).  Multi-host: every rank reads the (one)
+    sketch stream, the compare phase stripes like dist's, and rank 0
+    emits."""
     from ..parallel import distributed
-    if not distributed.is_main():
-        return 0
     o = CommonOpts()
     outpath = "/dev/stdout"
     namefile = ""
@@ -1208,11 +1206,28 @@ def dist_by_seq_main(argv: List[str]) -> int:
             sk.estim = o.estim
         if hasattr(sk, "jestim"):
             sk.jestim = o.jestim
-    fp, close = core.open_output(outpath, binary=(emit_fmt == BINARY))
+    # same stripe split as dist's compare phase (per-seq collections can
+    # be very large — the compare is the dominant cost here too)
+    from ..sketch import batch_compare
+    from ..sketch.extra import WideHLL
+    reg_family = bool(sketches) and isinstance(sketches[0], (HLL, WideHLL))
+    shard_compare = (distributed.process_count() > 1 and bool(sketches)
+                     and (reg_family or batch_compare.supports(sketches)))
+    shard_tile = pw.DEFAULT_TILE if reg_family else core.HOST_COMPARE_TILE
+    if not distributed.is_main() and not shard_compare:
+        return 0
     nq = 0
     if otherpath:
+        ref_blocks = (distributed.owned_tile_rows(len(sketches), shard_tile)
+                      if shard_compare else None)
         mat = core.compare_rect(sketches, qsketches, result_type, k,
-                                o.estim, o.jestim)
+                                o.estim, o.jestim, ref_blocks=ref_blocks)
+        if shard_compare:
+            mat = distributed.combine_columns(mat, len(sketches),
+                                              shard_tile)
+            if not distributed.is_main():
+                return 0
+        fp, close = core.open_output(outpath, binary=(emit_fmt == BINARY))
         if emit_fmt == BINARY:
             fp.write(np.ascontiguousarray(mat, np.float32).tobytes())
         else:
@@ -1221,8 +1236,16 @@ def dist_by_seq_main(argv: List[str]) -> int:
         if not pw.is_symmetric(result_type):
             raise SystemExit("Can't perform asymmetric comparison without "
                              "query paths")
+        row_blocks = (distributed.owned_tile_rows(len(sketches), shard_tile)
+                      if shard_compare else None)
         cond = core.compare_condensed(sketches, result_type, k, o.estim,
-                                      o.jestim)
+                                      o.jestim, row_blocks=row_blocks)
+        if shard_compare:
+            cond = distributed.combine_condensed(cond, len(labels),
+                                                 shard_tile)
+            if not distributed.is_main():
+                return 0
+        fp, close = core.open_output(outpath, binary=(emit_fmt == BINARY))
         if emit_fmt == BINARY:
             distmat.write_binary(fp, cond, len(labels))
         elif emit_fmt == PHYLIP:
@@ -1243,11 +1266,10 @@ def dist_by_seq_main(argv: List[str]) -> int:
 # ===========================================================================
 
 def panel_main(argv: List[str]) -> int:
-    # single-writer tool: under jax.distributed only rank 0 runs it
-    # (no sharded phase here; extra ranks would duplicate the output)
+    # multi-host: the tiled rect-JMLE pass against the DB stripes over
+    # ref blocks per process (sketching the queries is replicated — it
+    # is the small side of a panel screen); rank 0 emits
     from ..parallel import distributed
-    if not distributed.is_main():
-        return 0
     o = CommonOpts()
     outpath = "/dev/stdout"
     filesinfile = False
@@ -1289,7 +1311,15 @@ def panel_main(argv: List[str]) -> int:
         list(enumerate(qpaths)), o,
         lambda i, regs: queries.__setitem__(
             i, HLL(p, o.estim, est.ERTL_JOINT_MLE, regs)))
-    tri = pw.rect_triples(refs, queries, o.estim, est.ERTL_JOINT_MLE)
+    shard = distributed.process_count() > 1
+    ref_blocks = (distributed.owned_tile_rows(len(refs), pw.DEFAULT_TILE)
+                  if shard else None)
+    tri = pw.rect_triples(refs, queries, o.estim, est.ERTL_JOINT_MLE,
+                          ref_blocks=ref_blocks)
+    if shard:
+        tri = distributed.combine_columns(tri, len(refs), pw.DEFAULT_TILE)
+        if not distributed.is_main():
+            return 0
     # orientation: lhs = ref, so t1 = only-QUERY mass
     shared = tri[..., 2]
     cont = np.where(tri[..., 1] + shared > 0,

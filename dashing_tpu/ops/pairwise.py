@@ -944,7 +944,8 @@ def rect_pairs(ref_sketches, query_sketches, result_type: int, k: int,
 
 
 def rect_triples(ref_sketches, query_sketches, estim: int, jestim: int,
-                 tile: int = DEFAULT_TILE) -> np.ndarray:
+                 tile: int = DEFAULT_TILE,
+                 ref_blocks: Optional[Sequence[int]] = None) -> np.ndarray:
     """Query x reference set triples -> (nq, nr, 3) float32 (onlyREF,
     onlyQUERY, shared), same orientation as rect_pairs (lhs = reference).
 
@@ -960,7 +961,8 @@ def rect_triples(ref_sketches, query_sketches, estim: int, jestim: int,
     mm_r = _block_minmax(rr, nr, tile)
     mm_q = _block_minmax(qq, nq, tile)
     joint = jestim == est.ERTL_JOINT_MLE
-    out = np.empty((nq, nr, 3), np.float32)
+    out = (np.zeros if ref_blocks is not None else np.empty)(
+        (nq, nr, 3), np.float32)   # zeros: unowned stripes gather clean
     rr_d, qq_d = _device_regs(rr), _device_regs(qq)
 
     def one(i0, j0):
@@ -969,8 +971,10 @@ def rect_triples(ref_sketches, query_sketches, estim: int, jestim: int,
                            kmax, joint, kmin)
         return triples_from_stats(stats, p, estim, jestim, kmin)
 
+    ref_starts = (range(0, nr, tile) if ref_blocks is None
+                  else sorted(ref_blocks))
     _windowed((((i0, j0), one(i0, j0))
-               for i0 in range(0, nr, tile)
+               for i0 in ref_starts
                for j0 in range(0, nq, tile)),
               lambda key, block: out.__setitem__(
                   (slice(key[1], key[1] + tile),

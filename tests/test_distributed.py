@@ -253,6 +253,45 @@ def test_dist_sharded_host_family_matches_single(genomes6, mode):
         assert _clean(outs[0][1]) == _clean(single)
 
 
+def test_dist_by_seq_sharded_matches_single(genomes6):
+    """dist_by_seq's compare phase stripes like dist's: rank 0 must emit
+    the identical matrix and rank 1 stay silent."""
+    tmp, names = genomes6
+    # build the per-seq sketch stream once (single process)
+    multi = tmp / "multi.fa"
+    multi.write_text("".join(
+        open(tmp / n).read() for n in names))
+    _run_single(["sketch_by_seq", "-k", "17", "-S", "12", "-o", "bysq.gz",
+                 "multi.fa"], tmp)
+    args = ["dist_by_seq", "-n", "bysq.gz.names", "bysq.gz"]
+    single = _run_single(args, tmp, extra_env=TILE_ENV)
+    outs = _run_pair(args, tmp, extra_env=TILE_ENV)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    assert _clean(outs[0][1]) == _clean(single)
+    assert "##Names" not in outs[1][1]
+
+
+def test_panel_sharded_matches_single(genomes6):
+    tmp, names = genomes6
+    import gzip as _gzip
+    _run_single(["sketch", "-k", "17", "-S", "12", "-o", "panel.db",
+                 "--avoid-sorting"] + names, tmp)
+    with _gzip.open(tmp / "panel.db.labels.gz", "rt") as f, \
+            open(tmp / "panel.db.labels", "w") as g:
+        g.write(f.read())
+    q = tmp / "pq.fa"
+    q.write_text(">pq\n" + (tmp / names[1]).read_text().splitlines()[1][:2000]
+                 + "\n")
+    args = ["panel", "-k", "17", "-o", "panel_out.tsv", "panel.db", "pq.fa"]
+    _run_single(args, tmp, extra_env=TILE_ENV)
+    single_out = (tmp / "panel_out.tsv").read_text()
+    (tmp / "panel_out.tsv").unlink()
+    outs = _run_pair(args, tmp, extra_env=TILE_ENV)
+    assert outs[0][0] == 0 and outs[1][0] == 0, (outs[0][2], outs[1][2])
+    assert (tmp / "panel_out.tsv").read_text() == single_out
+    assert names[1] in single_out     # best match is the source genome
+
+
 def test_card_two_process_matches_single(genomes):
     tmp, names = genomes
     args = ["card", "-k", "17", "-S", "12", "--avoid-sorting"] + names
