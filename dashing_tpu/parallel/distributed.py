@@ -143,7 +143,12 @@ def combine_condensed(local: np.ndarray, n: int, tile: int) -> np.ndarray:
     Every process calls this with its locally-filled vector (entries
     outside its owned rows are garbage/zero); ownership is recomputed
     deterministically on every rank, so the overlay needs no index
-    exchange — just one fixed-shape allgather."""
+    exchange — just one fixed-shape allgather.
+
+    Memory: the gather transiently holds P full condensed vectors
+    (P * n(n-1)/2 * 4 B) — fine for any n where TEXT emission is sane.
+    At the scales where that matters (n >= ~1e5), use binary -O output:
+    the mmap stripe path writes rank-locally and never gathers."""
     p = process_count()
     if p == 1:
         return local
