@@ -231,24 +231,34 @@ def dist_main(argv: List[str]) -> int:
         # rank-local stripe writes into ONE shared output file: rank 0
         # lays the file out, a barrier orders that before attaches, and
         # each rank's owned tile rows map to disjoint condensed ranges.
-        # Pre-flight: every rank must SEE the created file (the stripes
-        # assume a shared filesystem); if any cannot, fall back to the
-        # stripe-gather path instead of crashing rank!=0 in attach and
-        # deadlocking rank 0 at the fill barrier.
-        if distributed.is_main():
-            mm = distmat.create_binary_mmap(out_dists, n)
-        distributed.barrier("dashing_tpu_distmat_create")
-        visible = os.path.exists(out_dists)
-        all_visible = bool(distributed.allgather_np(
-            np.asarray([visible])).all())
-        if all_visible:
+        # Stripe boundaries fall at arbitrary byte offsets, so distinct
+        # PAGE CACHES (i.e. distinct machines) can clobber each other's
+        # boundary pages on write-back — NFS gives no byte-range
+        # coherence.  Shared-mmap stripes therefore require every rank
+        # on ONE host (one page cache) unless DASHING_TPU_SHARED_MMAP=1
+        # asserts a coherent parallel FS (Lustre/GPFS); otherwise fall
+        # back to the stripe gather.  attach_binary_mmap additionally
+        # validates the in-progress header so a stale same-sized file on
+        # a rank-local filesystem cannot be silently striped into.
+        import socket
+        host = np.frombuffer(
+            socket.gethostname().encode()[:64].ljust(64), np.uint8)
+        hosts = distributed.allgather_np(host)
+        one_host = bool((hosts == hosts[0]).all())
+        forced = os.environ.get("DASHING_TPU_SHARED_MMAP", "") not in ("",
+                                                                       "0")
+        if one_host or forced:
+            if distributed.is_main():
+                mm = distmat.create_binary_mmap(out_dists, n)
+            distributed.barrier("dashing_tpu_distmat_create")
             if not distributed.is_main():
                 mm = distmat.attach_binary_mmap(out_dists, n)
         else:
             if distributed.is_main():
-                eprint(f"note: {out_dists} is not on a filesystem shared "
-                       "by all ranks; using a stripe gather to rank 0 "
-                       "instead of shared mmap writes")
+                eprint(f"note: ranks span multiple hosts; landing "
+                       f"{out_dists} by stripe gather to rank 0 (set "
+                       "DASHING_TPU_SHARED_MMAP=1 on a coherent "
+                       "parallel filesystem for rank-local writes)")
             mm = None
             use_mmap = False
     else:

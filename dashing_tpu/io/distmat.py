@@ -87,7 +87,11 @@ def attach_binary_mmap(path: str, n: int) -> np.ndarray:
     out (multi-host stripe writes: rank 0 creates, a barrier orders the
     create before attaches, then every rank writes only its own disjoint
     condensed stripes — the reference's parallel_fill stripe discipline,
-    distmat/distmat.h:459-512, lifted across processes)."""
+    distmat/distmat.h:459-512, lifted across processes).
+
+    Validates the HEADER, not just the size: the in-progress magic + n
+    prove this is the file rank 0 just created, not a stale same-sized
+    matrix from an earlier run sitting on a rank-local filesystem."""
     import os
     ne = n * (n - 1) // 2
     total = HEADER_BYTES + 4 * ne
@@ -95,6 +99,14 @@ def attach_binary_mmap(path: str, n: int) -> np.ndarray:
     if size != total:
         raise ValueError(f"{path}: size {size} != expected {total} "
                          f"for n={n}")
+    with open(path, "rb") as fp:
+        hdr = fp.read(HEADER_BYTES)
+    magic, (file_n,) = hdr[0], struct.unpack("<Q", hdr[1:])
+    if magic != MAGIC_IN_PROGRESS or file_n != n:
+        raise ValueError(
+            f"{path}: header (magic={magic:#x}, n={file_n}) is not the "
+            f"in-progress matrix rank 0 laid out for n={n} — stale file "
+            "or non-shared filesystem")
     return np.memmap(path, np.float32, "r+", offset=HEADER_BYTES, shape=(ne,))
 
 

@@ -113,15 +113,21 @@ def allgather_np(arr: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(jnp.asarray(arr)))
 
 
-def owned_tile_rows(n: int, tile: int) -> List[int]:
-    """This process's strided share of tile-row starts range(0, n, tile).
+def owned_blocks(rank: int, nprocs: int, n: int, tile: int) -> List[int]:
+    """Tile-row starts owned by `rank` — THE one definition of stripe
+    ownership: owned_tile_rows (compute side) and the combine_* overlays
+    (merge side) both call it, so the partition scheme cannot drift
+    between them.  Strided: row block i0 carries ~(n - i0) columns of
+    upper-triangle work, monotonically shrinking, so round-robin keeps
+    per-process work within one block of even (the reference gets the
+    same effect from OMP dynamic scheduling, src/sketch_and_cmp.h:
+    704-706)."""
+    return list(range(0, n, tile))[rank::nprocs]
 
-    Strided assignment balances the upper triangle: row block i0 carries
-    ~ (n - i0) columns of work, monotonically shrinking, so round-robin
-    over the sorted starts keeps per-process work within one block of
-    even (the reference gets the same effect from OMP dynamic
-    scheduling over rows, src/sketch_and_cmp.h:704-706)."""
-    return my_shard(list(range(0, n, tile)))
+
+def owned_tile_rows(n: int, tile: int) -> List[int]:
+    """This process's share of tile-row starts (see owned_blocks)."""
+    return owned_blocks(process_index(), process_count(), n, tile)
 
 
 def _condensed_row_start(i: int, n: int) -> int:
@@ -155,8 +161,7 @@ def combine_condensed(local: np.ndarray, n: int, tile: int) -> np.ndarray:
     gathered = allgather_np(local)
     out = np.empty_like(local)
     for rank in range(p):
-        blocks = list(range(0, n, tile))[rank::p]
-        for i0 in blocks:
+        for i0 in owned_blocks(rank, p, n, tile):
             sl = condensed_stripe(i0, n, tile)
             out[sl] = gathered[rank, sl]
     return out
@@ -171,7 +176,7 @@ def combine_columns(local: np.ndarray, nr: int, tile: int) -> np.ndarray:
     gathered = allgather_np(local)
     out = np.empty_like(local)
     for rank in range(p):
-        for i0 in list(range(0, nr, tile))[rank::p]:
+        for i0 in owned_blocks(rank, p, nr, tile):
             out[:, i0:i0 + tile] = gathered[rank, :, i0:i0 + tile]
     return out
 
