@@ -243,6 +243,27 @@ def test_sketch_multik_matches_per_k(genomes, tmp_path):
             assert np.array_equal(regs, single), pa.k
 
 
+def test_sketch_multik_windows_and_spacing_match(genomes):
+    """Seam duplication must stay exact for MINIMIZER windows and spaced
+    seeds too: a duplicated window at a tile boundary has identical
+    content in both tiles, so the selected minimizer / spaced k-mer is
+    identical and dedups under register max."""
+    import numpy as np
+    path = genomes[0]
+    # minimizer windows (w > k)
+    params_w = [pipeline.SketchParams(k=k, w=k + 6) for k in (13, 21)]
+    for pa, regs in zip(params_w,
+                        pipeline.sketch_file_hll_multik(path, params_w, 11)):
+        assert np.array_equal(regs, pipeline.sketch_file_hll(path, pa, 11)), \
+            ("w", pa.k)
+    # spaced seeds
+    params_s = [pipeline.SketchParams(k=k, spacing="1x2") for k in (13, 17)]
+    for pa, regs in zip(params_s,
+                        pipeline.sketch_file_hll_multik(path, params_s, 11)):
+        assert np.array_equal(regs, pipeline.sketch_file_hll(path, pa, 11)), \
+            ("spacing", pa.k)
+
+
 def test_khset_exact_backend(genomes, capsys):
     run_cli(["dist", "-k", "17", "--use-full-khash-sets", "--avoid-sorting"]
             + genomes[:2])
