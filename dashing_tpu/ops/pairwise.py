@@ -701,6 +701,14 @@ def compare_tile_async(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
     row depends only on its own A row, so kept rows are untouched)."""
     mesh = _compare_mesh()
     if mesh is not None:
+        # NOTE: the same=True diagonal-tile identity (Z = Y^T) does NOT
+        # apply per shard — each device holds an A-row STRIPE against the
+        # full replicated B, so its local Z block is #(a_stripe<=k-1 &
+        # b<=k), which is a rectangular slice of Y^T, not a transpose of
+        # anything it computed.  Diagonal tiles on the mesh therefore pay
+        # the 3-family joint cost; a row-offset-aware slicing of a
+        # device-shared Y could recover the cut if multi-chip profiles
+        # ever show it matters.
         D = mesh.size
         a = jnp.asarray(regs_a)
         na = a.shape[0]
@@ -1118,12 +1126,16 @@ def pad_nn_candidates(best_v: np.ndarray, best_i: np.ndarray, nn: int,
 def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
                 tile: int = DEFAULT_TILE) -> np.ndarray:
     """(n, n) square matrix with 0 diagonal (FULL_TSV path,
-    reference src/sketch_and_cmp.h:851-877)."""
+    reference src/sketch_and_cmp.h:851-877).
+
+    Symmetric measures compute only the upper-triangle tiles and mirror
+    the transpose on the host — half the device work of the full grid."""
     regs = _stack_regs(sketches)
     n = regs.shape[0]
     p = sketches[0].p
     ksinv = 1.0 / k
     q = 64 - p
+    sym = is_symmetric(result_type)
     mm = _block_minmax(regs, n, tile)
     out = np.empty((n, n), np.float32)
     regs_d = _device_regs(regs)
@@ -1134,12 +1146,15 @@ def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
             result_type, ksinv, estim, jestim,
             *_pair_window(mm[i0], mm[j0], q), same=(i0 == j0))
 
+    def land(key, block):
+        i0, j0 = key
+        out[i0:i0 + tile, j0:j0 + tile] = block
+        if sym and j0 > i0:
+            out[j0:j0 + tile, i0:i0 + tile] = block.T
+
     _windowed((((i0, j0), one(i0, j0))
                 for i0 in range(0, n, tile)
-                for j0 in range(0, n, tile)),
-               lambda key, block: out.__setitem__(
-                   (slice(key[0], key[0] + tile),
-                    slice(key[1], key[1] + tile)), block),
-               redo=lambda key: one(*key))
+                for j0 in range(i0 if sym else 0, n, tile)),
+               land, redo=lambda key: one(*key))
     np.fill_diagonal(out, 0.0)
     return out

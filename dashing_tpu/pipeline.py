@@ -294,6 +294,34 @@ def _read_joined(path: str, sep_len: int) -> np.ndarray:
     return arr
 
 
+def _encode_kw(params: SketchParams, sp: Spacer, rehash=None) -> dict:
+    """THE encoder-kwargs builder: every sketch path derives its encode
+    arguments here so a new encoder parameter cannot be missed at one of
+    the (formerly 11) copy-pasted sites.  `rehash` overrides
+    params.rehash where a path needs raw codes (wj labeling) or forced
+    hashing (minhash families)."""
+    return dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
+                canon=params.canon, encoding=params.encoding,
+                rehash=params.rehash if rehash is None else rehash,
+                entropy=params.entropy)
+
+
+def _row_chunks(tiles: np.ndarray) -> Iterable[np.ndarray]:
+    """Split (rows, C) tiles into MAX_ROWS chunks, padding each chunk's
+    row count to the next power of two with all-'N' rows (invalid
+    windows only) — a handful of jit shape variants instead of one per
+    tail size."""
+    for i in range(0, tiles.shape[0], MAX_ROWS):
+        chunk = tiles[i:i + MAX_ROWS]
+        rows = chunk.shape[0]
+        target = 1 << max(rows - 1, 0).bit_length()
+        if target != rows:
+            pad = np.full((target - rows, chunk.shape[1]), ord("N"),
+                          np.uint8)
+            chunk = np.concatenate([chunk, pad])
+        yield chunk
+
+
 def _file_tiles(path: str, sp: Spacer) -> Iterable[np.ndarray]:
     """Yield (rows, CONTENT+halo) uint8 tiles covering a logical path.
 
@@ -305,17 +333,7 @@ def _file_tiles(path: str, sp: Spacer) -> Iterable[np.ndarray]:
     if padw:
         tiles = np.pad(tiles, ((0, 0), (0, padw)),
                        constant_values=ord("N"))
-    for i in range(0, tiles.shape[0], MAX_ROWS):
-        chunk = tiles[i:i + MAX_ROWS]
-        # pad row count to the next power of two (few jit cache entries)
-        rows = chunk.shape[0]
-        target = 1
-        while target < rows:
-            target *= 2
-        if target != rows:
-            pad = np.full((target - rows, chunk.shape[1]), ord("N"), np.uint8)
-            chunk = np.concatenate([chunk, pad])
-        yield chunk
+    yield from _row_chunks(tiles)
 
 
 def sketch_file_hll(path: str, params: SketchParams, p: int) -> np.ndarray:
@@ -628,9 +646,7 @@ def sketch_small_batch_async(chunks: np.ndarray, params: SketchParams,
         return _batched_packed_to_banks(
             jnp.asarray(packed), jnp.asarray(vbits), jnp.asarray(file_id),
             k=sp.k, p=p, canon=params.canon, C=C, B=B)
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash, entropy=params.entropy)
+    kw = _encode_kw(params, sp)
     kw_key = tuple(sorted(kw.items()))
     if sharded:
         return _sharded_batch_step(mesh, False, kw_key, p, B)(flat, file_id)
@@ -655,16 +671,17 @@ def sketch_file_hll_async(path: str, params: SketchParams, p: int):
     sp = params.spacer()
     if params.use_counting_filter and params.min_count > 1:
         regs = jnp.zeros(1 << p, jnp.int32)
-        kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-                  canon=params.canon, encoding=params.encoding,
-                  rehash=params.rehash, entropy=params.entropy)
+        kw = _encode_kw(params, sp)
         mesh = _sketch_mesh()
         D = mesh.size if mesh is not None else 1
         kw_key = tuple(sorted(kw.items()))
         for tile, mask in _count_filtered_tiles(path, params, sp):
             if D > 1 and tile.shape[0] % D == 0:
+                # pass the mask as-is: the CM path yields a DEVICE array
+                # and np.asarray here forced a synchronous pull + re-upload
+                # per tile (the jitted shard_map reshards on device)
                 regs = _sharded_filtered_step(mesh, kw_key, p)(
-                    tile, np.asarray(mask), regs)
+                    tile, mask, regs)
             else:
                 h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
                 regs = update_registers(regs, h, valid & mask, p)
@@ -677,9 +694,7 @@ def _sketch_chunk_stream(chunks: Iterable[np.ndarray],
     """Fold a stream of (rows, C) tiles into device registers."""
     sp = params.spacer()
     regs = jnp.zeros(1 << p, jnp.int32)
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash, entropy=params.entropy)
+    kw = _encode_kw(params, sp)
     mesh = _sketch_mesh()
     D = mesh.size if mesh is not None else 1
     kw_key = tuple(sorted(kw.items()))
@@ -780,9 +795,7 @@ def sketch_file_wj_hll(path: str, params: SketchParams, p: int
         # the counting filter's admit mask is host-side; fall back
         return None
     sp = params.spacer()
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=False, entropy=params.entropy)
+    kw = _encode_kw(params, sp, rehash=False)
     his, los, vs = [], [], []
     total = 0
     for tile in _file_tiles(path, sp):
@@ -824,16 +837,22 @@ def sketch_file_bbmh_mins(path: str, params: SketchParams, p: int
     from .ops.minhash_update import (empty_minhash_banks, minhash_banks_to_np,
                                      scatter_min_u64)
     sp = params.spacer()
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=True, entropy=params.entropy)
+    kw = _encode_kw(params, sp, rehash=True)
     mhi, mlo = empty_minhash_banks(1 << p)
     for tile in _file_tiles(path, sp):
         h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
-        idx = (h[0] >> (32 - p)).astype(jnp.int32)
-        hv = u64.shl(h, p)
-        mhi, mlo = scatter_min_u64(mhi, mlo, idx, hv, valid)
+        mhi, mlo = _bbmh_scatter_step(mhi, mlo, h, valid, p)
     return minhash_banks_to_np(mhi, mlo)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _bbmh_scatter_step(mhi, mlo, h, valid, p: int):
+    # one jitted step per tile: the idx/shift derivation ran eagerly
+    # before, dispatching 2-3 extra tunnel round-trips per chunk
+    from .ops.minhash_update import scatter_min_u64
+    idx = (h[0] >> (32 - p)).astype(jnp.int32)
+    hv = u64.shl(h, p)
+    return scatter_min_u64(mhi, mlo, idx, hv, valid)
 
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -860,9 +879,7 @@ def sketch_file_bottomk_values(path: str, params: SketchParams, kk: int
         return None
     from .ops.minhash_update import bottomk_candidates
     sp = params.spacer()
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=True, entropy=params.entropy)
+    kw = _encode_kw(params, sp, rehash=True)
     vals = np.zeros(0, np.uint64)
     for tile in _file_tiles(path, sp):
         h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
@@ -892,9 +909,7 @@ def file_kmer_hashes(path: str, params: SketchParams) -> np.ndarray:
     filter when configured.
     """
     sp = params.spacer()
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash, entropy=params.entropy)
+    kw = _encode_kw(params, sp)
     outs = []
     if params.use_counting_filter and params.min_count > 1:
         for tile, mask in _count_filtered_tiles(path, params, sp):
@@ -964,23 +979,37 @@ def _count_filtered_tiles(path: str, params: SketchParams, sp: Spacer):
     DASHING_TPU_USE_HK=1 swaps the device count-min for the native
     HeavyKeeper (the runtime analog of the reference's compile-time
     -DDASHING_USE_HK CountingSketch switch, src/dashing.h:131-136)."""
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash, entropy=params.entropy)
+    kw = _encode_kw(params, sp)
     if os.environ.get("DASHING_TPU_USE_HK", "") not in ("", "0"):
         yield from _hk_filtered_tiles(path, params, sp, kw)
         return
     nh, sz, seed = params.cm_nhashes, params.cm_size_log2, params.cm_seed
-    tiles = list(_file_tiles(path, sp))
     counts = jnp.zeros((nh, 1 << sz), jnp.int32)
-    cached = []
-    for tile in tiles:
+    # Bounded hash cache between the two passes: caching EVERY tile's
+    # (h, valid) pinned ~9 B per window position in HBM for the whole
+    # file (a 2 GB read set -> ~18 GB, device OOM); tiles past the
+    # budget recompute their hashes in pass 2 instead — hashing is pure,
+    # so the masks are identical, and the recompute costs far less than
+    # the unbounded pin (the reference streams in bounded memory too).
+    cached_h = {}
+    budget = _CM_HASH_CACHE_BYTES
+    for i, tile in enumerate(_file_tiles(path, sp)):
         h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
         counts = _cm_add(counts, h, valid, nh, sz, seed)
-        cached.append((tile, h, valid))
-    for tile, h, valid in cached:
+        cost = tile.size * 9       # 2x u32 hash words + 1 B validity
+        if budget >= cost:
+            cached_h[i] = (h, valid)
+            budget -= cost
+    for i, tile in enumerate(_file_tiles(path, sp)):
+        if i in cached_h:
+            h, valid = cached_h.pop(i)
+        else:
+            h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
         est = _cm_query(counts, h, nh, sz, seed)
         yield tile, (est >= params.min_count) & valid
+
+
+_CM_HASH_CACHE_BYTES = 256 << 20   # two-pass filter hash-cache budget
 
 
 def _hk_filtered_tiles(path: str, params: SketchParams, sp: Spacer, kw):
@@ -989,20 +1018,30 @@ def _hk_filtered_tiles(path: str, params: SketchParams, sp: Spacer, kw):
     HK insertion is inherently stream-sequential (each probabilistic decay
     decision reads the running slot state), so the structure lives on the
     host — the same placement the reference gives its CountingSketch —
-    and each tile's hashes cross the link once, reused for the query
-    pass.  Geometry comes from the same -q/-t/-R knobs as the count-min
-    path (the reference constructs either type from cmsize/nhashes,
+    and each tile's hashes cross the link once (up to the same bounded
+    cache as the count-min path; past it pass 2 recomputes).  Geometry
+    comes from the same -q/-t/-R knobs as the count-min path (the
+    reference constructs either type from cmsize/nhashes,
     src/dashing.h:471-477)."""
     from .sketch.heavykeeper import HeavyKeeper
     hk = HeavyKeeper(params.cm_nhashes, params.cm_size_log2, params.cm_seed)
-    cached = []
-    for tile in _file_tiles(path, sp):
+    cached = {}
+    budget = _CM_HASH_CACHE_BYTES
+    for i, tile in enumerate(_file_tiles(path, sp)):
         h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
         hv = u64.to_np(h)
         vm = np.asarray(valid)
         hk.add_np(hv[vm])
-        cached.append((tile, hv, vm))
-    for tile, hv, vm in cached:
+        cost = tile.size * 9
+        if budget >= cost:
+            cached[i] = (hv, vm)
+            budget -= cost
+    for i, tile in enumerate(_file_tiles(path, sp)):
+        if i in cached:
+            hv, vm = cached.pop(i)
+        else:
+            h, valid = _tile_to_hashes(jnp.asarray(tile), **kw)
+            hv, vm = u64.to_np(h), np.asarray(valid)
         est = hk.query_np(hv.reshape(-1)).reshape(vm.shape)
         yield tile, (est >= params.min_count) & vm
 
@@ -1075,9 +1114,7 @@ def sketch_records_hll(seqs: List[bytes], params: SketchParams, p: int,
     width fall back to the streaming single-sketch path.
     """
     sp = params.spacer()
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash, entropy=params.entropy)
+    kw = _encode_kw(params, sp)
     out = np.zeros((len(seqs), 1 << p), np.uint8)
     for take, tiles in _record_batches(seqs, sp.halo, batch):
         if tiles is None:
@@ -1088,6 +1125,14 @@ def sketch_records_hll(seqs: List[bytes], params: SketchParams, p: int,
         out[take] = np.clip(np.asarray(regs)[:len(take)], 0, 255
                             ).astype(np.uint8)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _idx_rank_masked(h, valid, p: int):
+    # one jitted step: the eager bucket_rank + where dispatched several
+    # extra tunnel round-trips per record batch
+    idx, rank = bucket_rank(h, p)
+    return idx, jnp.where(valid, rank, 0)
 
 
 def records_joint_triples(seqs: List[bytes], params: SketchParams,
@@ -1105,9 +1150,7 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
     from .sketch.hll import HLL, ertl_joint
 
     sp = params.spacer()
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash, entropy=params.entropy)
+    kw = _encode_kw(params, sp)
     ref_regs_d = jnp.asarray(np.asarray(ref_regs, np.int32))
     ref_hist_np = np.asarray(ref_hist, np.float32)
     hist_slices: dict = {}
@@ -1133,8 +1176,7 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
             idx, rank = keys_to_update_inputs(keys)
         else:
             h, valid = _tile_to_hashes(jnp.asarray(tiles), **kw)
-            idx, rank = bucket_rank(h, p)
-            rank = jnp.where(valid, rank, 0)
+            idx, rank = _idx_rank_masked(h, valid, p)
         # level-window the joint MLE: bins above max(query rank, ref
         # register) carry no mass, and the Newton cost is linear in the
         # bin count (~halves it).  Costs one scalar pull per batch — the
@@ -1153,19 +1195,9 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
 def sketch_file_seq(seq: bytes, params: SketchParams, p: int) -> np.ndarray:
     """One long sequence -> 2^p uint8 registers (streamed tiles)."""
     sp = params.spacer()
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions), span=sp.c,
-              canon=params.canon, encoding=params.encoding,
-              rehash=params.rehash, entropy=params.entropy)
+    kw = _encode_kw(params, sp)
     regs = jnp.zeros(1 << p, jnp.int32)
     tiles = tile_sequence(np.frombuffer(seq, np.uint8), CONTENT, sp.halo)
-    for i in range(0, tiles.shape[0], MAX_ROWS):
-        chunk = tiles[i:i + MAX_ROWS]
-        rows = chunk.shape[0]
-        target = 1
-        while target < rows:
-            target *= 2
-        if target != rows:
-            pad = np.full((target - rows, chunk.shape[1]), ord("N"), np.uint8)
-            chunk = np.concatenate([chunk, pad])
+    for chunk in _row_chunks(tiles):
         regs = _tile_to_registers(jnp.asarray(chunk), regs, **kw, p=p)
     return np.clip(np.asarray(jax.device_get(regs)), 0, 255).astype(np.uint8)
