@@ -8,9 +8,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N}
 
 vs_baseline compares against a single-thread numpy host implementation of
-the identical pipeline measured in-process (the reference binary is not
-buildable here: its bonsai submodule is absent from the mount and the
-environment has no network; SURVEY.md sec 0/6).
+the identical pipeline (the reference binary is not buildable here: its
+bonsai submodule is absent from the mount and the environment has no
+network; SURVEY.md sec 0/6).  The denominator is PINNED in BASELINE.json
+("pinned_numpy_baseline_kmers_per_sec"): re-measuring it per run on this
+shared single-core host swung the ratio 137-252 across driver rounds with
+the device rate flat (VERDICT r4 weak #6).  A fresh in-process measurement
+is still taken and reported as "host_baseline_measured" for drift
+monitoring, but the headline ratio uses the pinned constant.
 """
 from __future__ import annotations
 
@@ -147,14 +152,35 @@ def host_baseline_rate() -> float:
     return best
 
 
+def pinned_baseline() -> float:
+    """The pinned single-thread numpy denominator (BASELINE.json); falls
+    back to a fresh measurement only if the pin is absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.json")
+    try:
+        with open(path) as f:
+            v = json.load(f).get("pinned_numpy_baseline_kmers_per_sec")
+        if v:
+            return float(v)
+    except Exception:
+        pass
+    return host_baseline_rate()
+
+
 def main():
     dev = device_rate()
-    base = host_baseline_rate()
+    base = pinned_baseline()
+    try:
+        measured = host_baseline_rate()
+    except Exception:
+        measured = 0.0
     print(json.dumps({
         "metric": "kmers_sketched_per_sec_per_chip",
         "value": round(dev, 1),
         "unit": "kmers/s",
         "vs_baseline": round(dev / base, 3),
+        "baseline_pinned": base,
+        "host_baseline_measured": round(measured, 1),
     }))
 
 
