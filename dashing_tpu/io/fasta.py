@@ -147,6 +147,160 @@ def _parse_fastq(data: bytes):
 
 
 
+# ---------------------------------------------------------------------------
+# Streaming joined-bytes fallback: O(chunk) memory regardless of file size.
+# Primary path is the native incremental parser (native/fastx.cpp
+# dtpu_stream_*); this pure-Python state machine produces the identical
+# joined stream (records separated by sep_len zero bytes, kseq record
+# semantics per reference src/sketch_and_cmp.h:565-570) when the native
+# library is unavailable.
+# ---------------------------------------------------------------------------
+
+def _open_stream(path: str):
+    """Binary stream with transparent gz/zstd decompression (O(chunk))."""
+    fp = open(path, "rb")
+    head = fp.read(4)
+    fp.seek(0)
+    if head[:2] == b"\x1f\x8b":
+        return gzip.open(fp)
+    if head == b"\x28\xb5\x2f\xfd":
+        try:
+            import zstandard
+            return zstandard.ZstdDecompressor().stream_reader(fp)
+        except ImportError:
+            fp.close()
+            # last resort: materialize via the native raw reader (bounded
+            # memory is lost but correctness kept; native builds link zstd
+            # so in practice the native STREAM serves zstd before this)
+            from . import native
+            raw = native.read_raw(path)
+            if raw is None:
+                raise RuntimeError(
+                    f"{path} is zstd-compressed but neither the zstandard "
+                    "module nor a zstd-enabled native loader is available")
+            return io.BytesIO(raw)
+    return fp
+
+
+class _JoinStreamParser:
+    """Line-level incremental parser emitting the joined-byte stream.
+
+    Matches the native batch parser (native/fastx.cpp dtpu_read_fastx):
+    trailing-'\\r' runs stripped per line, FASTQ sequence wraps until a
+    line starting '+'/'@' ('>' is an error), quality consumed by LENGTH so
+    '@' quality lines never open a false record."""
+
+    def __init__(self, sep_len: int):
+        self.sep_len = sep_len
+        self.state = "detect"
+        self.carry = b""
+        self.nrecords = 0
+        self.slen = 0
+        self.qlen = 0
+
+    def _start_record(self, out: list):
+        if self.nrecords:
+            out.append(b"\x00" * self.sep_len)
+        self.nrecords += 1
+
+    def _line(self, line: bytes, out: list):
+        st = self.state
+        if st == "detect":
+            c = line[:1]
+            if c == b">":
+                self._start_record(out)
+                self.state = "fa_body"
+            elif c == b"@":
+                self._start_record(out)
+                self.state = "fq_seq"
+                self.slen = 0
+            else:
+                raise ValueError(
+                    f"not FASTA or FASTQ (starts with {c!r})")
+            return
+        if st == "fa_body":
+            if line[:1] == b">":
+                self._start_record(out)
+                return               # header line: name not needed
+            seq = line.rstrip(b"\r")
+            if seq:
+                out.append(seq)
+            return
+        if st == "fq_seq":
+            c = line[:1]
+            if c == b"+":
+                self.state = "fq_qual"
+                self.qlen = 0
+                return
+            if c == b"@":
+                self.state = "fq_bound"
+                self._line(line, out)
+                return
+            if c == b">":
+                raise ValueError("malformed FASTQ ('>' in record)")
+            seq = line.rstrip(b"\r")
+            if seq:
+                out.append(seq)
+            self.slen += len(seq)
+            return
+        if st == "fq_qual":
+            if self.qlen >= self.slen:
+                self.state = "fq_bound"
+                self._line(line, out)
+                return
+            self.qlen += len(line.rstrip(b"\r"))
+            return
+        # fq_bound: between records; the batch parser skips '\r'/'\n'
+        # bytes, i.e. blank (possibly CR-only) lines
+        l2 = line.lstrip(b"\r")
+        if not l2:
+            return
+        if l2[:1] == b"@":
+            self._start_record(out)
+            self.state = "fq_seq"
+            self.slen = 0
+            return
+        raise ValueError("malformed FASTQ (expected '@' record header)")
+
+    def feed(self, chunk: bytes) -> bytes:
+        data = self.carry + chunk
+        lines = data.split(b"\n")
+        self.carry = lines.pop()
+        out: list = []
+        for line in lines:
+            self._line(line, out)
+        return b"".join(out)
+
+    def finish(self) -> bytes:
+        out: list = []
+        if self.carry:
+            self._line(self.carry, out)
+            self.carry = b""
+        return b"".join(out)
+
+
+def stream_joined(path: str, sep_len: int, chunk_bytes: int = 4 << 20
+                  ) -> Iterator[np.ndarray]:
+    """Yield joined uint8 arrays for one file in O(chunk) memory; the
+    concatenation equals the batch parse (join_records over read_records)
+    byte-for-byte."""
+    parser = _JoinStreamParser(sep_len)
+    fp = _open_stream(path)
+    try:
+        while True:
+            chunk = fp.read(chunk_bytes)
+            if not chunk:
+                tail = parser.finish()
+                if tail:
+                    yield np.frombuffer(tail, np.uint8)
+                return
+            got = parser.feed(chunk)
+            if got:
+                yield np.frombuffer(got, np.uint8)
+    finally:
+        fp.close()
+
+
 def fname_is_fq(path: str) -> bool:
     """reference src/dashing.cpp:245-248."""
     return ".fastq" in path or ".fq" in path

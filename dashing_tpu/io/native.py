@@ -76,6 +76,16 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_int64)]
             lib.dtpu_fmt_nn_rows.restype = ctypes.c_int
+        if hasattr(lib, "dtpu_stream_open"):
+            lib.dtpu_stream_open.argtypes = [ctypes.c_char_p,
+                                             ctypes.c_uint32]
+            lib.dtpu_stream_open.restype = ctypes.c_void_p
+            lib.dtpu_stream_read.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_uint64]
+            lib.dtpu_stream_read.restype = ctypes.c_int64
+            lib.dtpu_stream_close.argtypes = [ctypes.c_void_p]
+            lib.dtpu_stream_close.restype = None
         if hasattr(lib, "dtpu_hk_create"):
             lib.dtpu_hk_create.argtypes = [ctypes.c_int, ctypes.c_int,
                                            ctypes.c_uint64, ctypes.c_double]
@@ -196,6 +206,40 @@ def fmt_nn_rows_iter(vals: np.ndarray, ids: np.ndarray, fmt: int = 0):
                 a = i * nn * slot
                 yield bytes(mv[a:a + int(seg[i])]).decode("ascii")
             r = r1
+    return gen()
+
+
+def stream_joined(path: str, sep_len: int, chunk_bytes: int = 4 << 20):
+    """Generator of joined uint8 arrays for one file in O(chunk) memory.
+
+    Concatenating the yielded arrays equals read_joined(path, sep_len)[0]
+    byte-for-byte (the incremental state machine in native/fastx.cpp
+    replicates the batch parser's kseq record semantics).  Returns None
+    when the native library lacks the streaming API or the file cannot be
+    opened (zstd without libzstd included) — callers fall back to the
+    Python streaming parser."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dtpu_stream_open"):
+        return None
+    h = lib.dtpu_stream_open(path.encode(), sep_len)
+    if not h:
+        return None
+
+    def gen():
+        buf = np.empty(chunk_bytes, np.uint8)
+        ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        try:
+            while True:
+                got = lib.dtpu_stream_read(h, ptr, chunk_bytes)
+                if got == 0:
+                    return
+                if got < 0:
+                    raise ValueError(
+                        f"{path}: malformed or unreadable FASTA/FASTQ "
+                        f"(native stream error {got})")
+                yield buf[:got].copy()
+        finally:
+            lib.dtpu_stream_close(h)
     return gen()
 
 

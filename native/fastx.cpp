@@ -234,6 +234,293 @@ int dtpu_read_raw(const char *path, uint8_t **buf, uint64_t *len) {
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming joined-bytes reader: O(chunk) host memory regardless of file
+// size.  The reference streams records through kseq over gzFile
+// (src/sketch_and_cmp.h:565-570) in O(record); dtpu_read_fastx above
+// materializes the whole decompressed file (~2x decompressed size peak),
+// which swaps on multi-GB FASTQ.  This incremental state machine produces
+// the IDENTICAL joined-byte stream (records separated by sep_len zero
+// bytes, kseq record semantics: wrapped sequence until '+', quality by
+// LENGTH, trailing-'\r' stripping per line) in bounded memory; the Python
+// side (pipeline._stream_file_tiles) re-cuts it into the same tiles.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct DtpuStream {
+    // decompression source (gz handles plain files transparently)
+    gzFile gz = nullptr;
+#ifdef DTPU_HAVE_ZSTD
+    std::FILE *zfp = nullptr;
+    ZSTD_DStream *ds = nullptr;
+    std::vector<uint8_t> zin;
+    size_t zin_pos = 0, zin_len = 0;
+    size_t zlast = 0;        // last decompressStream hint: 0 = frame done
+    bool zin_eof = false;
+#endif
+    bool is_zstd = false;
+    bool src_eof = false;
+
+    uint32_t sep_len = 0;
+    int err = 0;
+
+    enum State { DETECT, FA_HEADER, FA_BODY, FQ_BOUND, FQ_HEADER, FQ_SEQ,
+                 FQ_PLUS, FQ_QUAL };
+    int state = DETECT;
+    bool line_start = true;
+    uint64_t nrecords = 0;
+    uint64_t slen = 0;       // current FASTQ record's emitted sequence length
+    uint64_t qlen = 0;       // quality bytes consumed so far
+    uint64_t cr_held = 0;    // trailing-'\r' run withheld until resolution
+
+    std::vector<uint8_t> out;   // joined bytes ready for the caller
+    size_t out_pos = 0;
+    std::vector<uint8_t> inbuf; // current decompressed chunk
+};
+
+constexpr size_t kStreamChunk = 1 << 20;
+
+// Emit/count a span of line content with trailing-'\r' withholding: the
+// batch parsers strip ONLY the trailing run of '\r' before a newline (or
+// EOF), so a '\r' run that a chunk boundary splits must be withheld until
+// we know whether content follows on the same line.
+static void span_content(DtpuStream *s, const uint8_t *b, const uint8_t *e,
+                         bool count_only) {
+    if (b == e) return;
+    const uint8_t *t = e;
+    while (t > b && t[-1] == '\r') --t;
+    if (t == b) {                      // span is all '\r': extend the hold
+        s->cr_held += static_cast<uint64_t>(e - b);
+        return;
+    }
+    // non-CR content exists: any held CRs (and interior ones) are mid-line
+    uint64_t emitted = s->cr_held + static_cast<uint64_t>(t - b);
+    if (!count_only) {
+        s->out.insert(s->out.end(), s->cr_held, '\r');
+        s->out.insert(s->out.end(), b, t);
+        s->slen += emitted;
+    }
+    s->qlen += count_only ? emitted : 0;
+    s->cr_held = static_cast<uint64_t>(e - t);
+}
+
+static void start_record(DtpuStream *s) {
+    if (s->nrecords)
+        s->out.insert(s->out.end(), s->sep_len, 0);
+    ++s->nrecords;
+}
+
+// Parse the whole current inbuf into s->out.  Every state consumes to the
+// next newline or chunk end, so no cross-call input carry is needed.
+static void stream_parse(DtpuStream *s) {
+    const uint8_t *d = s->inbuf.data();
+    const size_t n = s->inbuf.size();
+    size_t i = 0;
+    auto find_nl = [&](size_t from) -> size_t {
+        const void *nl = std::memchr(d + from, '\n', n - from);
+        return nl ? static_cast<size_t>(static_cast<const uint8_t *>(nl) - d)
+                  : n;
+    };
+    while (i < n && !s->err) {
+        const uint8_t c = d[i];
+        switch (s->state) {
+        case DtpuStream::DETECT:
+            if (c == '>') { start_record(s); s->state = DtpuStream::FA_HEADER; ++i; }
+            else if (c == '@') { start_record(s); s->state = DtpuStream::FQ_HEADER; ++i; }
+            else s->err = -3;
+            break;
+        case DtpuStream::FA_HEADER:
+        case DtpuStream::FQ_HEADER:
+        case DtpuStream::FQ_PLUS: {
+            const size_t nl = find_nl(i);
+            if (nl == n) { i = n; s->line_start = false; break; }
+            i = nl + 1;
+            s->line_start = true;
+            if (s->state == DtpuStream::FA_HEADER)
+                s->state = DtpuStream::FA_BODY;
+            else if (s->state == DtpuStream::FQ_HEADER) {
+                s->state = DtpuStream::FQ_SEQ;
+                s->slen = 0;
+            } else {                    // FQ_PLUS
+                s->state = DtpuStream::FQ_QUAL;
+                s->qlen = 0;
+            }
+            break;
+        }
+        case DtpuStream::FA_BODY: {
+            if (s->line_start && c == '>') {
+                s->cr_held = 0;
+                start_record(s);
+                s->state = DtpuStream::FA_HEADER;
+                ++i;
+                break;
+            }
+            const size_t nl = find_nl(i);
+            span_content(s, d + i, d + nl, /*count_only=*/false);
+            if (nl == n) { i = n; s->line_start = false; }
+            else { s->cr_held = 0; i = nl + 1; s->line_start = true; }
+            break;
+        }
+        case DtpuStream::FQ_SEQ: {
+            if (s->line_start) {
+                // kseq stops sequence accumulation at '+', '@' or '>': a
+                // record missing its '+' must not swallow the next record
+                if (c == '+') { s->cr_held = 0; s->state = DtpuStream::FQ_PLUS; break; }
+                if (c == '@') { s->cr_held = 0; s->state = DtpuStream::FQ_BOUND; break; }
+                if (c == '>') { s->err = -5; break; }
+            }
+            const size_t nl = find_nl(i);
+            span_content(s, d + i, d + nl, /*count_only=*/false);
+            if (nl == n) { i = n; s->line_start = false; }
+            else { s->cr_held = 0; i = nl + 1; s->line_start = true; }
+            break;
+        }
+        case DtpuStream::FQ_QUAL: {
+            if (s->line_start && s->qlen >= s->slen) {
+                s->state = DtpuStream::FQ_BOUND;   // re-dispatch this byte
+                break;
+            }
+            const size_t nl = find_nl(i);
+            span_content(s, d + i, d + nl, /*count_only=*/true);
+            if (nl == n) { i = n; s->line_start = false; }
+            else { s->cr_held = 0; i = nl + 1; s->line_start = true; }
+            break;
+        }
+        case DtpuStream::FQ_BOUND:
+            if (c == '\n' || c == '\r') { ++i; break; }
+            if (c == '@') {
+                start_record(s);
+                s->state = DtpuStream::FQ_HEADER;
+                ++i;
+                break;
+            }
+            s->err = -5;
+            break;
+        }
+    }
+}
+
+// Refill s->inbuf with the next decompressed chunk; sets src_eof / err.
+static void stream_fill(DtpuStream *s) {
+    s->inbuf.clear();
+    if (s->is_zstd) {
+#ifdef DTPU_HAVE_ZSTD
+        s->inbuf.resize(kStreamChunk);
+        ZSTD_outBuffer zout{s->inbuf.data(), s->inbuf.size(), 0};
+        while (zout.pos == 0) {
+            if (s->zin_pos == s->zin_len) {
+                if (s->zin_eof) {
+                    // EOF mid-frame = truncated input (same policy as the
+                    // batch loader): partial bytes would mis-sketch
+                    if (s->zlast != 0) s->err = -2;
+                    s->src_eof = true;
+                    break;
+                }
+                s->zin_len = std::fread(s->zin.data(), 1, s->zin.size(),
+                                        s->zfp);
+                s->zin_pos = 0;
+                if (s->zin_len < s->zin.size()) s->zin_eof = true;
+                if (s->zin_len == 0) continue;   // loop re-checks zin_eof
+            }
+            ZSTD_inBuffer zin{s->zin.data(), s->zin_len, s->zin_pos};
+            s->zlast = ZSTD_decompressStream(s->ds, &zout, &zin);
+            s->zin_pos = zin.pos;
+            if (ZSTD_isError(s->zlast)) { s->err = -2; break; }
+        }
+        s->inbuf.resize(zout.pos);
+#else
+        s->err = -7;
+#endif
+        return;
+    }
+    s->inbuf.resize(kStreamChunk);
+    int got = gzread(s->gz, s->inbuf.data(),
+                     static_cast<unsigned>(s->inbuf.size()));
+    if (got < 0) { s->err = -2; got = 0; }
+    if (got == 0) s->src_eof = true;
+    s->inbuf.resize(static_cast<size_t>(got));
+}
+
+}  // namespace
+
+void *dtpu_stream_open(const char *path, uint32_t sep_len) {
+    auto *s = new DtpuStream();
+    s->sep_len = sep_len;
+    {   // zstd frame? (mirror the batch loader's sniff)
+        std::FILE *fp = std::fopen(path, "rb");
+        if (!fp) { delete s; return nullptr; }
+        unsigned char head[4] = {0, 0, 0, 0};
+        size_t hn = std::fread(head, 1, 4, fp);
+        std::fclose(fp);
+        if (hn == 4 && head[0] == 0x28 && head[1] == 0xb5 && head[2] == 0x2f
+            && head[3] == 0xfd)
+            s->is_zstd = true;
+    }
+    if (s->is_zstd) {
+#ifdef DTPU_HAVE_ZSTD
+        s->zfp = std::fopen(path, "rb");
+        s->ds = s->zfp ? ZSTD_createDStream() : nullptr;
+        if (!s->ds) {
+            if (s->zfp) std::fclose(s->zfp);
+            delete s;
+            return nullptr;
+        }
+        s->zin.resize(ZSTD_DStreamInSize());
+        s->zlast = 1;   // mid-frame until the first decompress says otherwise
+#else
+        delete s;       // no libzstd: let the Python fallback engage
+        return nullptr;
+#endif
+    } else {
+        s->gz = gzopen(path, "rb");
+        if (!s->gz) { delete s; return nullptr; }
+        gzbuffer(s->gz, 1 << 20);
+    }
+    return s;
+}
+
+// Copy up to `cap` joined bytes into dst.  Returns bytes written (0 = EOF)
+// or a negative error code (same codes as dtpu_read_fastx).
+int64_t dtpu_stream_read(void *h, uint8_t *dst, uint64_t cap) {
+    auto *s = static_cast<DtpuStream *>(h);
+    uint64_t written = 0;
+    for (;;) {
+        const size_t avail = s->out.size() - s->out_pos;
+        if (avail) {
+            const size_t take = static_cast<size_t>(
+                std::min<uint64_t>(avail, cap - written));
+            std::memcpy(dst + written, s->out.data() + s->out_pos, take);
+            s->out_pos += take;
+            written += take;
+            if (written == cap) return static_cast<int64_t>(written);
+            continue;
+        }
+        s->out.clear();
+        s->out_pos = 0;
+        if (s->err) return s->err;
+        if (s->src_eof) {
+            s->cr_held = 0;   // EOF strips a trailing-'\r' run (batch parity)
+            return static_cast<int64_t>(written);
+        }
+        stream_fill(s);
+        if (s->err) return s->err;
+        stream_parse(s);
+        if (s->err) return s->err;
+    }
+}
+
+void dtpu_stream_close(void *h) {
+    auto *s = static_cast<DtpuStream *>(h);
+    if (!s) return;
+    if (s->gz) gzclose(s->gz);
+#ifdef DTPU_HAVE_ZSTD
+    if (s->ds) ZSTD_freeDStream(s->ds);
+    if (s->zfp) std::fclose(s->zfp);
+#endif
+    delete s;
+}
+
 void dtpu_free_buf(uint8_t *p) { std::free(p); }
 
 void dtpu_free(DtpuFastx *r) {
