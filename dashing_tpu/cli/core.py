@@ -478,8 +478,10 @@ def device_hll_run(indexed_paths, opts: CommonOpts, put, filter_idx=None,
                 land(ids[0], np.zeros(1 << p, np.uint8))
                 return
             try:
-                arr = np.clip(np.asarray(jax.device_get(h)), 0, 255
-                              ).astype(np.uint8)
+                from .. import metrics
+                with metrics.accum("sketch.pull"):
+                    arr = np.clip(np.asarray(jax.device_get(h)), 0, 255
+                                  ).astype(np.uint8)
             except jax.errors.JaxRuntimeError as e:
                 # Transient backend failure (an interrupted transfer or a
                 # device-side FAILED_PRECONDITION observed on real TPU

@@ -46,6 +46,34 @@ def add_items(name: str, items: float):
     _counts[name] = _counts.get(name, 0.0) + items
 
 
+def add_time(name: str, dt: float, items: float = 0.0):
+    """Accumulate a measured duration into a bucket (no printing)."""
+    if not _ENABLED:
+        return
+    _totals[name] = _totals.get(name, 0.0) + dt
+    if items:
+        _counts[name] = _counts.get(name, 0.0) + items
+
+
+@contextlib.contextmanager
+def accum(name: str, items: float = 0.0):
+    """Accumulate wall time into a named bucket WITHOUT printing per call
+    (for inner-loop sites that fire thousands of times per run, e.g.
+    per-file parse or per-tile pull); totals appear in summary().
+    Thread-unsafe float adds are acceptable here: worst case a lost
+    update skews a diagnostic counter, never a result."""
+    if not _ENABLED:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        _totals[name] = _totals.get(name, 0.0) + (time.perf_counter() - t0)
+        if items:
+            _counts[name] = _counts.get(name, 0.0) + items
+
+
 def summary():
     if not _ENABLED or not _totals:
         return

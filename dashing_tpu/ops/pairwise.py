@@ -699,6 +699,15 @@ def compare_tile_async(regs_a: np.ndarray, regs_b: np.ndarray, p: int,
     padded with zero registers up to a multiple of the device count; the
     garbage rows those produce are trimmed before return — every output
     row depends only on its own A row, so kept rows are untouched)."""
+    from .. import metrics
+    with metrics.accum("compare.dispatch"):
+        return _compare_tile_async_inner(regs_a, regs_b, p, result_type,
+                                         ksinv, estim, jestim, kmax, kmin,
+                                         same)
+
+
+def _compare_tile_async_inner(regs_a, regs_b, p, result_type, ksinv, estim,
+                              jestim, kmax, kmin, same=False):
     mesh = _compare_mesh()
     if mesh is not None:
         # NOTE: the same=True diagonal-tile identity (Z = Y^T) does NOT
@@ -778,8 +787,10 @@ def _windowed(tiles, writeback, window: int = _TILE_WINDOW, redo=None):
     def to_np(d):
         # elementwise for tuples: np.asarray on the tuple itself would
         # stack mixed dtypes into one promoted float64 array
-        return (tuple(np.asarray(x) for x in d) if isinstance(d, tuple)
-                else np.asarray(d))
+        from .. import metrics
+        with metrics.accum("compare.pull"):
+            return (tuple(np.asarray(x) for x in d) if isinstance(d, tuple)
+                    else np.asarray(d))
 
     def pull(k, d):
         try:

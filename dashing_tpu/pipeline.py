@@ -74,9 +74,15 @@ def _pack_tile_host(tile: np.ndarray):
     8/byte).  The packed pair is ~0.37 B/base vs 1 B/base ASCII — the
     host->device link (tunnel or PCIe) is the real sketch pipeline's
     bottleneck, not the chip.  C must be a multiple of 8."""
+    from . import metrics
+    assert tile.shape[1] % 8 == 0, tile.shape
+    with metrics.accum("host.pack2bit", items=tile.nbytes):
+        return _pack_tile_host_inner(tile)
+
+
+def _pack_tile_host_inner(tile: np.ndarray):
     from .ops.encode import _A, _C, _G, _T   # one classification rule
     R, C = tile.shape
-    assert C % 8 == 0, C
     up = tile & 0xDF
     code = np.zeros(tile.shape, np.uint8)
     code[up == _C] = 1
@@ -180,6 +186,12 @@ def _path_stamp(path: str):
 
 
 def _read_joined_uncached(path: str, sep_len: int) -> np.ndarray:
+    from . import metrics
+    with metrics.accum("host.parse"):
+        return _read_joined_uncached_inner(path, sep_len)
+
+
+def _read_joined_uncached_inner(path: str, sep_len: int) -> np.ndarray:
     from .io import native
     parts: List[np.ndarray] = []
     for sub in split_subpaths(path):
@@ -359,6 +371,7 @@ def _should_stream(path: str) -> bool:
 def _stream_joined_parts(path: str, sep_len: int) -> Iterable[np.ndarray]:
     """Incremental joined-byte stream for a logical path; concatenating
     the yields equals _read_joined_uncached(path, sep_len) exactly."""
+    from . import metrics
     from .io import native
     sep = np.zeros(sep_len, np.uint8)
     for si, sub in enumerate(split_subpaths(path)):
@@ -367,7 +380,12 @@ def _stream_joined_parts(path: str, sep_len: int) -> Iterable[np.ndarray]:
         gen = native.stream_joined(sub, sep_len)
         if gen is None:
             gen = fasta.stream_joined(sub, sep_len)
-        yield from gen
+        while True:
+            with metrics.accum("host.parse"):
+                arr = next(gen, None)
+            if arr is None:
+                break
+            yield arr
 
 
 def _window_tiles(seg: np.ndarray, content: int, halo: int) -> np.ndarray:
@@ -878,11 +896,15 @@ def _sketch_chunk_stream(chunks: Iterable[np.ndarray],
         pending = 0
         return regs
 
+    from . import metrics
+    import time as _time
+    mx_on = metrics.enabled()
     for tile in chunks:
         # shrink the top_k survivor capacity as the registers fill
         # (overflow only costs a full-scatter slab, never correctness)
         ucap = adaptive_cap(_ROW, 1 << p, seen)
         seen += tile.shape[0] * (tile.shape[1] - sp.halo)
+        t_tile = _time.perf_counter() if mx_on else 0.0
         sharded = D > 1 and tile.shape[0] % D == 0
         use_banks = sharded and every > 1
         if use_banks and banks is None:
@@ -918,6 +940,9 @@ def _sketch_chunk_stream(chunks: Iterable[np.ndarray],
                 # chunk (no extra broadcast)
                 banks = _banks_pmax(mesh)(banks)
                 pending = 0
+        if mx_on:
+            metrics.add_time("sketch.dispatch",
+                             _time.perf_counter() - t_tile, tile.nbytes)
     return merged()
 
 
