@@ -572,6 +572,15 @@ def sketch_paths(paths_list: List[str], opts: CommonOpts):
     device_hll_run(list(enumerate(paths_list)), opts,
                    lambda i, regs: out.__setitem__(
                        i, HLL(p, opts.estim, opts.jestim, regs)))
+    if opts.cache_sketch:
+        # mkdist fuse: the fused presketch parked each (path, k) register
+        # row on device keyed by its cache filename; attaching it here
+        # lets the compare engines slice a device-resident bank instead
+        # of re-uploading it (ops.pairwise._device_regs_for)
+        for path, sk in zip(paths_list, out):
+            dev = pipeline.device_rows_get(_cache_fname(path, opts))
+            if dev is not None:
+                sk.dev_regs = dev
     return out
 
 

@@ -593,6 +593,25 @@ def _device_regs(regs: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(arr)
 
 
+def _device_regs_for(sketches, regs: np.ndarray) -> jnp.ndarray:
+    """Device register bank for a sketch list: when EVERY sketch carries a
+    device-resident row (sk.dev_regs, parked by the mkdist fused
+    presketch), stack them on device — zero host->device bank transfer;
+    otherwise upload the host stack (_device_regs).  Rows are int8-clamped
+    identically on both paths, so results are bitwise-equal."""
+    devs = [getattr(s, "dev_regs", None) for s in sketches]
+    if not devs or any(d is None for d in devs):
+        return _device_regs(regs)
+    # chunked stack: one 1000-operand concatenate is hard on the compiler
+    parts = [jnp.stack(devs[i:i + 128]) for i in range(0, len(devs), 128)]
+    arr = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    mesh = _compare_mesh()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+    return arr
+
+
 @functools.lru_cache(maxsize=None)
 def _sharded_compare_fn(mesh, p: int, result_type: int, ksinv: float,
                         estim: int, jestim: int, kmax: int, kmin: int):
@@ -905,7 +924,7 @@ def all_pairs_condensed(sketches, result_type: int, k: int,
             sel = gj > gi
             out[idx[sel]] = block[sel]
 
-    regs_d = _device_regs(regs)
+    regs_d = _device_regs_for(sketches, regs)
 
     def one(i0, j0):
         return compare_tile_async(
@@ -1149,7 +1168,7 @@ def full_square(sketches, result_type: int, k: int, estim: int, jestim: int,
     sym = is_symmetric(result_type)
     mm = _block_minmax(regs, n, tile)
     out = np.empty((n, n), np.float32)
-    regs_d = _device_regs(regs)
+    regs_d = _device_regs_for(sketches, regs)
 
     def one(i0, j0):
         return compare_tile_async(

@@ -210,9 +210,9 @@ def test_mkdist_fused_presketch_bitwise_and_engaged(genomes, tmp_path,
     calls = {"n": 0}
     orig = pipeline.sketch_file_hll_multik
 
-    def spy(path, params_list, p):
+    def spy(path, params_list, p, **kw):
         calls["n"] += 1
-        return orig(path, params_list, p)
+        return orig(path, params_list, p, **kw)
 
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(pipeline, "sketch_file_hll_multik", spy)
@@ -228,6 +228,35 @@ def test_mkdist_fused_presketch_bitwise_and_engaged(genomes, tmp_path,
     capsys.readouterr()
     assert (tmp_path / "fz.bin").read_bytes() == \
         (tmp_path / "uf.bin").read_bytes()
+
+
+def test_mkdist_device_bank_engaged(genomes, tmp_path, capsys, monkeypatch):
+    """The mkdist compare-phase fuse: per-k compare passes must slice the
+    DEVICE-RESIDENT register rows parked by the fused presketch instead
+    of re-uploading the bank (zero _device_regs uploads), and the
+    registry must be emptied when mkdist returns."""
+    from dashing_tpu.ops import pairwise as pw
+    uploads = {"n": 0}
+    orig = pw._device_regs
+
+    def spy(regs):
+        uploads["n"] += 1
+        return orig(regs)
+
+    monkeypatch.setattr(pw, "_device_regs", spy)
+    monkeypatch.chdir(tmp_path)
+    run_cli(["mkdist", "--multik", "db,15,21,2", "-S", "11",
+             "--avoid-sorting"] + genomes)
+    capsys.readouterr()
+    assert uploads["n"] == 0, "compare phase re-uploaded a register bank"
+    assert not pipeline._DEV_ROWS, "device-row registry leaked past mkdist"
+    # and the fused-bank output must equal the uploading path's bitwise
+    monkeypatch.setenv("DASHING_TPU_NO_MULTIK_FUSE", "1")
+    run_cli(["mkdist", "--multik", "nf,15,21,2", "-S", "11",
+             "--avoid-sorting"] + genomes)
+    capsys.readouterr()
+    assert (tmp_path / "db.bin").read_bytes() == \
+        (tmp_path / "nf.bin").read_bytes()
 
 
 def test_sketch_multik_matches_per_k(genomes, tmp_path):
