@@ -772,17 +772,87 @@ def _view_dump(sk, fp) -> None:
             fp.write(f"{i}\t{row}\n")
 
 
+# DTPU container header field names, by magic (spec: PARITY.md "DTPU
+# sketch container spec").  Every container is a gzip member holding the
+# 8-byte magic (7 family chars + 1 version digit) then LITTLE-ENDIAN
+# fields; all but HLL use two u32s.
+_HDR_FIELDS = {
+    b"DTPUHLL1": ("p", "estim", "jestim", "flags"),          # BBBB + u32 rsvd
+    b"DTPUBF01": ("nbits_log2", "nhashes"),
+    b"DTPURMH1": ("k", "n_values"),
+    b"DTPUCRM1": ("k", "n_values"),
+    b"DTPUBBM1": ("p", "b"),
+    b"DTPUCBB1": ("p", "b"),
+    b"DTPUWHL1": ("p", "estim_jestim_packed"),
+    b"DTPUHMH1": ("p", "regwidth"),
+    b"DTPUSMH1": ("p", "b"),
+    b"DTPUSMH2": ("p", "b"),
+}
+
+
+def _view_header(path: str, fp) -> None:
+    """Dump the raw container header (magic, family, version, endianness,
+    header fields, payload bytes) without parsing the payload — the
+    self-description surface of the DTPU container spec."""
+    import struct
+    try:
+        g = gzip.open(path, "rb")
+        head = g.read(16)
+    except OSError:
+        # reference-compatible .khs files are gzipped too but carry no
+        # magic; anything unreadable lands here
+        raise SystemExit(f"view --header: {path} is not a gzip container")
+    with g:
+        magic = head[:8]
+        fields = _HDR_FIELDS.get(magic)
+        if fields is None:
+            if path.endswith(".khs"):
+                n = struct.unpack("<Q", head[:8])[0]
+                rest = len(head) - 8 + sum(
+                    len(c) for c in iter(lambda: g.read(1 << 20), b""))
+                fp.write(f"{path}\tformat=khs (reference khset64, no magic)"
+                         f"\tendian=little\tn_keys={n}"
+                         f"\tpayload_bytes={rest}\n")
+                return
+            raise SystemExit(
+                f"view --header: {path}: unknown magic {head[:8]!r}")
+        family = core._MAGIC_TYPES.get(magic, "khset")
+        version = chr(magic[7])
+        if magic == b"DTPUHLL1":
+            vals = struct.unpack("<BBBBI", head[8:16])[:4]
+            hdr_len = 16
+        else:
+            vals = struct.unpack("<II", head[8:16])
+            hdr_len = 16
+        rest = len(head) - hdr_len + sum(
+            len(c) for c in iter(lambda: g.read(1 << 20), b""))
+        kv = "\t".join(f"{k}={v}" for k, v in zip(fields, vals))
+        fp.write(f"{path}\tmagic={magic.decode()}\tfamily={family}"
+                 f"\tversion={version}\tendian=little\t{kv}"
+                 f"\tpayload_bytes={rest}\n")
+
+
 def view_main(argv: List[str]) -> int:
     # single-writer tool: under jax.distributed only rank 0 runs it
     # (no sharded phase here; extra ranks would duplicate the output)
     from ..parallel import distributed
     if not distributed.is_main():
         return 0
-    if not argv:
-        raise SystemExit("Usage: view f1.hll [f2.bf ...] "
+    header_only = False
+    paths_ = []
+    for a in argv:
+        if a in ("--header", "-H"):
+            header_only = True
+        else:
+            paths_.append(a)
+    if not paths_:
+        raise SystemExit("Usage: view [--header] f1.hll [f2.bf ...] "
                          "(type auto-detected from the file magic)")
-    for path in argv:
-        _view_dump(core.read_sketch_auto(path, "hll"), sys.stdout)
+    for path in paths_:
+        if header_only:
+            _view_header(path, sys.stdout)
+        else:
+            _view_dump(core.read_sketch_auto(path, "hll"), sys.stdout)
     return 0
 
 
