@@ -397,6 +397,19 @@ def test_dist_p3_rect_ragged_columns(genomes8):
     assert _clean(outs[0][1]) == _clean(single)
 
 
+def test_dist_p3_tiny_gather_chunks(genomes8):
+    """Force the chunked stripe gather through many steps (a few floats
+    per collective): output must still match single-process byte-for-byte
+    for both the condensed (all-pairs TSV) and column (rect) merges."""
+    tmp, names = genomes8
+    env = dict(TILE_ENV, DASHING_TPU_GATHER_CHUNK_MB="0.00002")
+    args = ["dist", "-k", "17", "-S", "12", "--avoid-sorting"] + names
+    single = _run_single(args, tmp, extra_env=env)
+    outs = _run_procs(args, tmp, 3, extra_env=env)
+    assert all(o[0] == 0 for o in outs), [o[2][-800:] for o in outs]
+    assert _clean(outs[0][1]) == _clean(single)
+
+
 def test_owned_blocks_partition_properties():
     """owned_blocks must partition the tile-row starts exactly (disjoint,
     complete) for every (P, n, tile) regime the subprocess tests cannot
