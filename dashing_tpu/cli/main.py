@@ -1152,25 +1152,33 @@ def sketch_by_seq_main(argv: List[str]) -> int:
     namepath = ("stdout.names" if outpath == "/dev/stdout"
                 else outpath + ".names")
     p = core.hll_p_from_S(o.sketch_size)
-    records = fasta.read_records(inpath)
-    with open(namepath, "w") as namefp:
+    # Streaming: records flow through in bounded batches, so a multi-GB
+    # input never materializes (names and sketches land incrementally;
+    # per-record registers are independent of the batching, so output
+    # bytes are identical to the old whole-file path).
+    import itertools
+    rec_iter = fasta.iter_records_full(inpath)
+    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions),
+              span=sp.c, canon=o.canon, encoding=o.encoding,
+              rehash=True)
+    with open(namepath, "w") as namefp, gzip.open(outpath, "wb") as ofp:
         namefp.write(f"#k={o.k}:Names for sequences sketched\n")
-        for name, _ in records:
-            namefp.write(name.decode() + "\n")
-    with gzip.open(outpath, "wb") as ofp:
-        if o.sketch_type == "hll":
-            # batched per-record device sketching
-            seqs = [seq for _, seq in records]
-            regs = pipeline.sketch_records_hll(seqs, params, p)
-            for row in regs:
-                HLL(p, o.estim, o.jestim, row).write_record(ofp)
-        else:
-            kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions),
-                      span=sp.c, canon=o.canon, encoding=o.encoding,
-                      rehash=True)
-            for _, seq in records:
-                sk = _sketch_one_seq(seq, o, sp, kw, p)
-                sk.write_record(ofp)
+        while True:
+            batch = list(itertools.islice(rec_iter, 2048))
+            if not batch:
+                break
+            for name, _, _, _ in batch:
+                namefp.write(name.decode() + "\n")
+            if o.sketch_type == "hll":
+                # batched per-record device sketching
+                seqs = [seq for _, _, seq, _ in batch]
+                regs = pipeline.sketch_records_hll(seqs, params, p)
+                for row in regs:
+                    HLL(p, o.estim, o.jestim, row).write_record(ofp)
+            else:
+                for _, _, seq, _ in batch:
+                    sk = _sketch_one_seq(seq, o, sp, kw, p)
+                    sk.write_record(ofp)
     return 0
 
 
@@ -1472,7 +1480,9 @@ def readfilt_main(argv: List[str]) -> int:
     ref_regs = ref.regs.astype(np.int32)
     ref_hist = ref.histogram()
     CHUNK = 4096      # stream in bounded batches: read sets can be huge
-    iters = [iter(fasta.read_records_full(pth)) for pth in positional[:2]]
+    # lazy record streams: a multi-GB read set never materializes
+    # (fasta.iter_records_full == read_records_full record-for-record)
+    iters = [fasta.iter_records_full(pth) for pth in positional[:2]]
     _end = object()
     if len(iters) == 2:
         pairs_iter = itertools.zip_longest(*iters, fillvalue=_end)

@@ -301,6 +301,129 @@ def stream_joined(path: str, sep_len: int, chunk_bytes: int = 4 << 20
         fp.close()
 
 
+def iter_records_full(path: str, chunk_bytes: int = 4 << 20):
+    """Streaming equivalent of read_records_full: yields kseq-shaped
+    (name, comment, seq, qual_or_None) records in O(record + chunk)
+    memory instead of materializing the whole decompressed file (the
+    reference's kseq streaming, src/sketch_and_cmp.h:565-570).  Record
+    contents match read_records_full (fuzz-pinned in
+    tests/test_streaming_ingest.py)."""
+    fp = _open_stream(path)
+    try:
+        first = fp.read(1)
+        if not first:
+            return
+        if first == b">":
+            yield from _iter_fasta(fp, chunk_bytes)
+        elif first == b"@":
+            yield from _iter_fastq(fp, chunk_bytes)
+        else:
+            raise ValueError(
+                f"{path}: not FASTA or FASTQ (starts with {first!r})")
+    finally:
+        fp.close()
+
+
+def _iter_fasta(fp, chunk_bytes):
+    """Record boundaries at '\\n>' exactly like _parse_fasta (the leading
+    '>' was already consumed by the caller's sniff)."""
+    carry = b""
+    while True:
+        chunk = fp.read(chunk_bytes)
+        if not chunk:
+            break
+        pieces = (carry + chunk).split(b"\n>")
+        carry = pieces.pop()
+        for piece in pieces:
+            rec = _fasta_record(piece)
+            if rec is not None:
+                yield rec
+    rec = _fasta_record(carry)
+    if rec is not None:
+        yield rec
+
+
+def _fasta_record(piece: bytes):
+    if not piece:
+        return None          # batch parser skips empty chunks
+    nl = piece.find(b"\n")
+    if nl < 0:
+        header, body = piece, b""
+    else:
+        header, body = piece[:nl], piece[nl + 1:]
+    name, comment = _split_header(header)
+    return (name, comment,
+            body.replace(b"\n", b"").replace(b"\r", b""), None)
+
+
+def _iter_fastq(fp, chunk_bytes):
+    """Line-driven incremental FASTQ with the kseq record semantics of
+    _parse_fastq: sequence wraps until '+'/'@'/'>', quality consumed by
+    LENGTH.  The caller consumed the first '@' already."""
+    state = "header"
+    name = comment = None
+    parts: list = []
+    qparts: list = []
+    slen = qlen = 0
+    first_line = True
+    carry = b""
+
+    def record(qual):
+        return (name, comment, b"".join(parts), qual)
+
+    while True:
+        chunk = fp.read(chunk_bytes)
+        lines = (carry + chunk).split(b"\n")
+        carry = lines.pop()
+        if not chunk:
+            lines.append(carry)      # final (unterminated) line
+            carry = b""
+        for line in lines:
+            if first_line:
+                # the sniffed-off '@' belonged to this header line
+                line = b"@" + line
+                first_line = False
+            redo = True
+            while redo:
+                redo = False
+                if state == "header":
+                    if not line or line == b"\r":
+                        break
+                    if not line.startswith(b"@"):
+                        raise ValueError("malformed FASTQ record header")
+                    name, comment = _split_header(line[1:])
+                    parts, slen = [], 0
+                    state = "seq"
+                elif state == "seq":
+                    c = line[:1]
+                    if c == b"+":
+                        qparts, qlen = [], 0
+                        state = "qual"
+                    elif c in (b"@", b">"):
+                        yield record(None)
+                        state = "header"
+                        redo = True
+                    else:
+                        seg = line.rstrip(b"\r")
+                        parts.append(seg)
+                        slen += len(seg)
+                elif state == "qual":
+                    if qlen >= slen:
+                        yield record(b"".join(qparts))
+                        state = "header"
+                        redo = True
+                    else:
+                        seg = line.rstrip(b"\r")
+                        qparts.append(seg)
+                        qlen += len(seg)
+        if not chunk:
+            break
+    if state == "seq":
+        yield record(None)
+    elif state == "qual":
+        yield record(b"".join(qparts))
+
+
 def fname_is_fq(path: str) -> bool:
     """reference src/dashing.cpp:245-248."""
     return ".fastq" in path or ".fq" in path

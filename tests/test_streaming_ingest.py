@@ -139,6 +139,46 @@ def test_stream_malformed_raises(tmp_path):
         list(fasta.stream_joined(path, 5))
 
 
+def test_iter_records_full_matches_batch(tmp_path):
+    """The lazy record iterator behind readfilt/sketch_by_seq must yield
+    the same (name, comment, seq, qual) tuples as read_records_full."""
+    rng = random.Random(77)
+    cases = list(CASES)
+    for trial in range(40):
+        fastq = rng.random() < 0.5
+        nl = "\r\n" if rng.random() < 0.3 else "\n"
+        recs = []
+        for r in range(rng.randrange(0, 5)):
+            seqlines = ["".join(rng.choice("ACGTN")
+                                for _ in range(rng.randrange(0, 12)))
+                        for _ in range(rng.randrange(1, 4))]
+            seq = "".join(seqlines)
+            if fastq:
+                qual, qs, i = "I" * len(seq), [], 0
+                while i < len(qual):
+                    j = min(len(qual), i + rng.randrange(1, 8))
+                    qs.append(qual[i:j])
+                    i = j
+                recs.append("@r%d c%d%s%s+%s%s" % (
+                    r, trial, nl, nl.join(seqlines) + nl, nl,
+                    (nl.join(qs) + nl) if qs else ""))
+            else:
+                recs.append(">r%d c%d%s%s" % (r, trial, nl,
+                                              nl.join(seqlines) + nl))
+        cases.append("".join(recs).encode())
+    for i, data in enumerate(cases):
+        path = _write(tmp_path, "it%d.fa" % i, data)
+        try:
+            batch = fasta.read_records_full(path)
+        except ValueError:
+            with pytest.raises(ValueError):
+                list(fasta.iter_records_full(path, chunk_bytes=7))
+            continue
+        for chunk in (1, 7, 1 << 20):
+            got = list(fasta.iter_records_full(path, chunk_bytes=chunk))
+            assert got == list(batch), (i, chunk, data[:120])
+
+
 # --------------------------------------------------------------------------
 # (b) streaming _file_tiles == materializing _file_tiles, and registers
 # --------------------------------------------------------------------------
