@@ -75,8 +75,12 @@ def _pack_tile_host(tile: np.ndarray):
     host->device link (tunnel or PCIe) is the real sketch pipeline's
     bottleneck, not the chip.  C must be a multiple of 8."""
     from . import metrics
+    from .io import native
     assert tile.shape[1] % 8 == 0, tile.shape
     with metrics.accum("host.pack2bit", items=tile.nbytes):
+        got = native.pack2bit(tile)      # single-pass C++ (~30x numpy)
+        if got is not None:
+            return got
         return _pack_tile_host_inner(tile)
 
 
