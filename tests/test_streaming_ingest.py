@@ -129,6 +129,36 @@ def test_stream_gz(tmp_path):
     assert np.array_equal(_cat(fasta.stream_joined(path, 30)), batch[0])
 
 
+def test_stream_zstd(tmp_path):
+    """The native incremental parser must stream zstd frames too (the
+    reference wraps zstd behind the zlib API, Makefile:58-62)."""
+    import ctypes
+    try:
+        lib = ctypes.CDLL("libzstd.so.1")
+    except OSError:
+        pytest.skip("libzstd unavailable")
+    rng = random.Random(12)
+    raw = _gen_fasta(rng, 20, 1000, 5000)
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    bound = lib.ZSTD_compressBound(len(raw))
+    dst = ctypes.create_string_buffer(bound)
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    n = lib.ZSTD_compress(dst, bound, raw, len(raw), 3)
+    path = _write(tmp_path, "z.fa.zst", dst.raw[:n])
+    batch = native.read_joined(path, 20)
+    assert batch is not None and batch[0].size > 0
+    for chunk in (333, 1 << 20):
+        gen = native.stream_joined(path, 20, chunk_bytes=chunk)
+        assert gen is not None
+        assert np.array_equal(_cat(gen), batch[0])
+    # truncated frame must error, not silently shorten
+    path2 = _write(tmp_path, "t.fa.zst", dst.raw[:n // 2])
+    gen = native.stream_joined(path2, 20)
+    assert gen is not None
+    with pytest.raises(ValueError):
+        list(gen)
+
+
 def test_stream_malformed_raises(tmp_path):
     path = _write(tmp_path, "bad.fa", b"garbage, not fasta\n")
     gen = native.stream_joined(path, 5)
