@@ -15,7 +15,10 @@ cd /tmp
 for rep in 1 2 3 4; do
   for side in r5b r4race; do
     echo "=== il_${side}_$rep start $(date +%T) ===" | tee -a $LOG/interleave.log
-    (cd /tmp/$side && timeout 2400 python benchmarks/e2e_100.py 1) \
+    # DTPU_REPO pins the child CLI's cwd (hence the imported package) to
+    # the side's worktree; r4race's e2e copy is sed-pinned already
+    (cd /tmp/$side && timeout 2400 env DTPU_REPO=/tmp/$side \
+        python benchmarks/e2e_100.py 1) \
         >>$LOG/il_$side.out 2>>$LOG/il_$side.err
     echo "=== il_${side}_$rep rc=$? end $(date +%T) ===" | tee -a $LOG/interleave.log
   done
