@@ -69,6 +69,50 @@ def run_once(fq: str, extra, env_extra=None) -> float:
     return dt
 
 
+def exact_genome_kmers(k: int = 31) -> int:
+    """Exact distinct canonical k-mer count of the source genome (reads
+    at ~20x coverage see essentially all of them), vectorized numpy."""
+    rng = np.random.default_rng(11)            # same stream as ensure_reads
+    g = rng.integers(0, 4, 5_000_000).astype(np.uint64)
+    n = g.size - k + 1
+    fwd = np.zeros(n, np.uint64)
+    rc = np.zeros(n, np.uint64)
+    for t in range(k):
+        fwd = (fwd << np.uint64(2)) | g[t:t + n]
+        rc |= (np.uint64(3) - g[t:t + n]) << np.uint64(2 * t)
+    return int(np.unique(np.minimum(fwd, rc)).size)
+
+
+def check_accuracy(fq: str) -> bool:
+    """Sketch cardinality vs the exact distinct-kmer count: the guard
+    that a streaming-ingest regression corrupting registers cannot pass
+    the E2E campaign silently.  p=14 -> sigma ~0.8%; allow 3%."""
+    sketch_file = fq + ".w.31.spacing.14.hll"
+    if not os.path.exists(sketch_file):
+        print("accuracy: no cached sketch found, skipping", flush=True)
+        return True
+    if READS * (LEN - 30) < 3 * 5_000_000:
+        # below ~3x k-mer coverage the reads genuinely miss genome
+        # k-mers, so est < exact by design — the check only means
+        # something at the production 1M-read coverage
+        print("accuracy: coverage too low to check, skipping", flush=True)
+        return True
+    sys.path.insert(0, REPO)
+    # force CPU for the one report() jit: the env var alone is too late
+    # (sitecustomize registered the axon plugin at interpreter startup)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dashing_tpu.sketch.hll import HLL
+    est = HLL.read(sketch_file).report()
+    exact = exact_genome_kmers()
+    rel = est / exact - 1.0
+    # reads only MISS boundary k-mers, so est <= exact + estimator noise
+    ok = abs(rel) < 0.03
+    print(f"accuracy: est {est:,.0f} vs exact-genome {exact:,} "
+          f"({rel:+.3%}) -> {'OK' if ok else 'FAIL'}", flush=True)
+    return ok
+
+
 def main(reps: int = 2) -> int:
     fq = ensure_reads()
     force_stream = ({"DASHING_TPU_STREAM": "1"}
@@ -85,9 +129,12 @@ def main(reps: int = 2) -> int:
                   f"({READS / dt:,.0f} reads/s)", flush=True)
         print(f"config[2] {label}: best {min(times):.1f} s = "
               f"{READS / min(times):,.0f} reads/s", flush=True)
-    # union cardinality sanity: the sketch of all reads vs the exact
-    # distinct-kmer count of the source genome region sampling
-    return 0
+    # `sketch` always writes the per-file .hll (that IS the subcommand's
+    # output); the last plain run was countmin-free, but the countmin run
+    # overwrote it — re-run plain once, untimed, for the accuracy check
+    if run_once(fq, [], force_stream) < 0:
+        return 1
+    return 0 if check_accuracy(fq) else 2
 
 
 if __name__ == "__main__":

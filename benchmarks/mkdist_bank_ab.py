@@ -45,7 +45,7 @@ def ensure_genomes():
     return paths
 
 
-def run_mode(paths, label, env_extra, workdir):
+def run_mode(paths, label, env_extra):
     env = dict(os.environ, **env_extra)
     t0 = time.perf_counter()
     res = subprocess.run(
@@ -56,7 +56,8 @@ def run_mode(paths, label, env_extra, workdir):
     ok = res.returncode == 0
     if not ok:
         print(res.stderr.decode()[-1500:], flush=True)
-    # the per-k matrices land in cwd (/root/repo): collect + compare
+    # the per-k matrices land in cwd: collect them AND the flattened
+    # container so a per-k-only divergence between modes cannot hide
     outs = {}
     for k in (17, 21, 25, 29):
         f = os.path.join(REPO, f"_mk_{k}")
@@ -64,10 +65,10 @@ def run_mode(paths, label, env_extra, workdir):
             outs[k] = open(f, "rb").read()
             os.remove(f)
     flat = os.path.join(REPO, "mk.bin")
-    blob = open(flat, "rb").read() if os.path.exists(flat) else b""
+    outs["flat"] = open(flat, "rb").read() if os.path.exists(flat) else b""
     if os.path.exists(flat):
         os.remove(flat)
-    return dt, ok, blob
+    return dt, ok, outs
 
 
 def main(reps: int = 3) -> int:
@@ -81,16 +82,17 @@ def main(reps: int = 3) -> int:
     for label, env_extra in modes:
         times = []
         for r in range(reps):
-            dt, ok, blob = run_mode(paths, label, env_extra, GEN_DIR)
+            dt, ok, outs = run_mode(paths, label, env_extra)
             if not ok:
                 return 1
             times.append(dt)
-            blobs[label] = blob
+            blobs[label] = outs
             print(f"{label} run {r}: {dt:.1f} s", flush=True)
         print(f"{label}: best {min(times):.1f} s  "
               f"all {[round(t, 1) for t in times]}", flush=True)
     same = (blobs["fused"] == blobs["bank-off"] == blobs["unfused"])
-    print(f"flatten outputs identical across modes: {same}", flush=True)
+    print(f"per-k + flatten outputs identical across modes: {same}",
+          flush=True)
     return 0 if same else 2
 
 

@@ -805,8 +805,18 @@ def _view_header(path: str, fp) -> None:
     with g:
         magic = head[:8]
         fields = _HDR_FIELDS.get(magic)
+        if fields is None and not path.endswith(".khs") and len(head) < 16:
+            raise SystemExit(f"view --header: {path}: truncated container "
+                             f"({len(head)} bytes)")
+        if fields is not None and len(head) < 16:
+            raise SystemExit(f"view --header: {path}: truncated "
+                             f"{magic.decode(errors='replace')} header "
+                             f"({len(head)} bytes)")
         if fields is None:
             if path.endswith(".khs"):
+                if len(head) < 8:
+                    raise SystemExit(f"view --header: {path}: truncated "
+                                     ".khs header")
                 n = struct.unpack("<Q", head[:8])[0]
                 rest = len(head) - 8 + sum(
                     len(c) for c in iter(lambda: g.read(1 << 20), b""))
@@ -1061,27 +1071,30 @@ def mkdist_main(argv: List[str]) -> int:
     # dist passes then hit.  extra = cache flags to thread through; None
     # when the configuration is not fusable (non-HLL type, filters, ...)
     extra, cleanup = _mkdist_presketch(rest, ks)
-    for k in ks:
-        outp = f"_{outpref}_{k}"
-        # extra AFTER rest: the presketch's cache flags must win a
-        # last-wins parse even when the user passed their own -P
-        # (the seeded tmpdir is where the sketches actually are)
-        args = ["-b", "-O", outp, "-k", str(k)] + rest + (extra or [])
-        if jukes_cantor and "--sizes" not in args and "-Z" not in args:
-            # JC needs intersection SIZES and a stable genome order
-            args = ["--sizes", "--avoid-sorting"] + args
-        rc = dist_main(args)
-        if rc != 0:
-            pipeline.set_join_cache(False)
-            pipeline.device_rows_clear()
-            if cleanup:
-                cleanup()
-            return rc
-        fpaths.append(outp)
-    pipeline.set_join_cache(False)
-    pipeline.device_rows_clear()
-    if cleanup:
-        cleanup()
+    try:
+        for k in ks:
+            outp = f"_{outpref}_{k}"
+            # extra AFTER rest: the presketch's cache flags must win a
+            # last-wins parse even when the user passed their own -P
+            # (the seeded tmpdir is where the sketches actually are)
+            args = ["-b", "-O", outp, "-k", str(k)] + rest + (extra or [])
+            if jukes_cantor and "--sizes" not in args and "-Z" not in args:
+                # JC needs intersection SIZES and a stable genome order
+                args = ["--sizes", "--avoid-sorting"] + args
+            rc = dist_main(args)
+            if rc != 0:
+                return rc
+            fpaths.append(outp)
+    finally:
+        # ALWAYS drop the parked device rows and joined-bytes cache — an
+        # exception escaping dist_main must not leave stale device
+        # registers keyed by cache filenames (a later in-process mkdist
+        # whose inputs changed would silently compare round-1 banks) or
+        # pin up to the bank cap of HBM for the process lifetime
+        pipeline.set_join_cache(False)
+        pipeline.device_rows_clear()
+        if cleanup:
+            cleanup()
     # multi-host: the per-k dist passes sharded their compare stripes and
     # every non-main rank returned 0 from each; flattening (and the JC
     # writer below) is single-writer work — extra ranks racing open('wb')

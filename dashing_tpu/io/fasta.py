@@ -114,8 +114,12 @@ def _parse_fastq(data: bytes):
         if not header.startswith(b"@"):
             raise ValueError(f"malformed FASTQ near line {i}")
         name, comment = _split_header(header[1:])
-        if i + 2 < n and lines[i + 2][:1] == b"+":
-            # single-line sequence (the common layout)
+        if (i + 2 < n and lines[i + 2][:1] == b"+"
+                and lines[i + 1][:1] not in (b"+", b"@", b">")):
+            # single-line sequence (the common layout).  The marker guard
+            # keeps kseq semantics: a line starting '+'/'@'/'>' ends the
+            # (empty) sequence even in the 4-line shape, matching the
+            # native parser and the streaming iterator exactly.
             seq = lines[i + 1].rstrip(b"\r")
             i += 3                       # past the '+' line
             has_qual = True
@@ -156,17 +160,36 @@ def _parse_fastq(data: bytes):
 # library is unavailable.
 # ---------------------------------------------------------------------------
 
+class _ClosingStream:
+    """Read-through wrapper whose close() also closes the underlying
+    file (gzip.GzipFile and zstandard's stream_reader leave the passed
+    fileobj open, which leaks the os-level fd until GC)."""
+
+    def __init__(self, outer, inner):
+        self._outer, self._inner = outer, inner
+
+    def read(self, n=-1):
+        return self._outer.read(n)
+
+    def close(self):
+        try:
+            self._outer.close()
+        finally:
+            self._inner.close()
+
+
 def _open_stream(path: str):
     """Binary stream with transparent gz/zstd decompression (O(chunk))."""
     fp = open(path, "rb")
     head = fp.read(4)
     fp.seek(0)
     if head[:2] == b"\x1f\x8b":
-        return gzip.open(fp)
+        return _ClosingStream(gzip.open(fp), fp)
     if head == b"\x28\xb5\x2f\xfd":
         try:
             import zstandard
-            return zstandard.ZstdDecompressor().stream_reader(fp)
+            return _ClosingStream(
+                zstandard.ZstdDecompressor().stream_reader(fp), fp)
         except ImportError:
             fp.close()
             # last resort: materialize via the native raw reader (bounded
@@ -183,100 +206,153 @@ def _open_stream(path: str):
 
 
 class _JoinStreamParser:
-    """Line-level incremental parser emitting the joined-byte stream.
-
-    Matches the native batch parser (native/fastx.cpp dtpu_read_fastx):
-    trailing-'\\r' runs stripped per line, FASTQ sequence wraps until a
-    line starting '+'/'@' ('>' is an error), quality consumed by LENGTH so
-    '@' quality lines never open a false record."""
+    """Span-level incremental parser emitting the joined-byte stream —
+    a Python port of the native state machine (native/fastx.cpp
+    dtpu_stream_*), so the two are semantically one parser: trailing-
+    '\\r' runs withheld until line resolution, FASTQ sequence wraps
+    until a line starting '+'/'@' ('>' is an error), quality consumed by
+    LENGTH so '@' quality lines never open a false record.  No line
+    carry is kept: a single-line multi-hundred-MB FASTA streams through
+    in O(chunk) (the previous line-based version buffered the whole
+    line)."""
 
     def __init__(self, sep_len: int):
         self.sep_len = sep_len
         self.state = "detect"
-        self.carry = b""
+        self.line_start = True
         self.nrecords = 0
         self.slen = 0
         self.qlen = 0
+        self.cr_held = 0
 
     def _start_record(self, out: list):
         if self.nrecords:
             out.append(b"\x00" * self.sep_len)
         self.nrecords += 1
 
-    def _line(self, line: bytes, out: list):
-        st = self.state
-        if st == "detect":
-            c = line[:1]
-            if c == b">":
-                self._start_record(out)
-                self.state = "fa_body"
-            elif c == b"@":
-                self._start_record(out)
-                self.state = "fq_seq"
-                self.slen = 0
-            else:
-                raise ValueError(
-                    f"not FASTA or FASTQ (starts with {c!r})")
+    def _span(self, data: bytes, i: int, e: int, out: list,
+              count_only: bool):
+        """Content span [i, e) with trailing-'\\r' withholding."""
+        if i == e:
             return
-        if st == "fa_body":
-            if line[:1] == b">":
-                self._start_record(out)
-                return               # header line: name not needed
-            seq = line.rstrip(b"\r")
-            if seq:
-                out.append(seq)
+        t = e
+        while t > i and data[t - 1:t] == b"\r":
+            t -= 1
+        if t == i:                 # all-'\r' span: extend the hold
+            self.cr_held += e - i
             return
-        if st == "fq_seq":
-            c = line[:1]
-            if c == b"+":
-                self.state = "fq_qual"
-                self.qlen = 0
-                return
-            if c == b"@":
-                self.state = "fq_bound"
-                self._line(line, out)
-                return
-            if c == b">":
-                raise ValueError("malformed FASTQ ('>' in record)")
-            seq = line.rstrip(b"\r")
-            if seq:
-                out.append(seq)
-            self.slen += len(seq)
-            return
-        if st == "fq_qual":
-            if self.qlen >= self.slen:
-                self.state = "fq_bound"
-                self._line(line, out)
-                return
-            self.qlen += len(line.rstrip(b"\r"))
-            return
-        # fq_bound: between records; the batch parser skips '\r'/'\n'
-        # bytes, i.e. blank (possibly CR-only) lines
-        l2 = line.lstrip(b"\r")
-        if not l2:
-            return
-        if l2[:1] == b"@":
-            self._start_record(out)
-            self.state = "fq_seq"
-            self.slen = 0
-            return
-        raise ValueError("malformed FASTQ (expected '@' record header)")
+        emitted = self.cr_held + (t - i)
+        if count_only:
+            self.qlen += emitted
+        else:
+            if self.cr_held:
+                out.append(b"\r" * self.cr_held)
+            out.append(data[i:t])
+            self.slen += emitted
+        self.cr_held = e - t
 
-    def feed(self, chunk: bytes) -> bytes:
-        data = self.carry + chunk
-        lines = data.split(b"\n")
-        self.carry = lines.pop()
+    def feed(self, data: bytes) -> bytes:
         out: list = []
-        for line in lines:
-            self._line(line, out)
+        n = len(data)
+        i = 0
+        while i < n:
+            st = self.state
+            c = data[i:i + 1]
+            if st == "detect":
+                if c == b">":
+                    self._start_record(out)
+                    self.state = "fa_header"
+                elif c == b"@":
+                    self._start_record(out)
+                    self.state = "fq_header"
+                else:
+                    raise ValueError(
+                        f"not FASTA or FASTQ (starts with {c!r})")
+                i += 1
+            elif st in ("fa_header", "fq_header", "fq_plus"):
+                nl = data.find(b"\n", i)
+                if nl < 0:
+                    i = n
+                    self.line_start = False
+                else:
+                    i = nl + 1
+                    self.line_start = True
+                    if st == "fa_header":
+                        self.state = "fa_body"
+                    elif st == "fq_header":
+                        self.state = "fq_seq"
+                        self.slen = 0
+                    else:
+                        self.state = "fq_qual"
+                        self.qlen = 0
+            elif st == "fa_body":
+                if self.line_start and c == b">":
+                    self.cr_held = 0
+                    self._start_record(out)
+                    self.state = "fa_header"
+                    i += 1
+                    continue
+                nl = data.find(b"\n", i)
+                e = n if nl < 0 else nl
+                self._span(data, i, e, out, False)
+                if nl < 0:
+                    i = n
+                    self.line_start = False
+                else:
+                    self.cr_held = 0
+                    i = nl + 1
+                    self.line_start = True
+            elif st == "fq_seq":
+                if self.line_start:
+                    if c == b"+":
+                        self.cr_held = 0
+                        self.state = "fq_plus"
+                        continue
+                    if c == b"@":
+                        self.cr_held = 0
+                        self.state = "fq_bound"
+                        continue
+                    if c == b">":
+                        raise ValueError("malformed FASTQ ('>' in record)")
+                nl = data.find(b"\n", i)
+                e = n if nl < 0 else nl
+                self._span(data, i, e, out, False)
+                if nl < 0:
+                    i = n
+                    self.line_start = False
+                else:
+                    self.cr_held = 0
+                    i = nl + 1
+                    self.line_start = True
+            elif st == "fq_qual":
+                if self.line_start and self.qlen >= self.slen:
+                    self.state = "fq_bound"
+                    continue
+                nl = data.find(b"\n", i)
+                e = n if nl < 0 else nl
+                self._span(data, i, e, out, True)
+                if nl < 0:
+                    i = n
+                    self.line_start = False
+                else:
+                    self.cr_held = 0
+                    i = nl + 1
+                    self.line_start = True
+            else:  # fq_bound: between records, skip '\r'/'\n' bytes
+                if c in (b"\n", b"\r"):
+                    i += 1
+                elif c == b"@":
+                    self._start_record(out)
+                    self.state = "fq_header"
+                    i += 1
+                else:
+                    raise ValueError(
+                        "malformed FASTQ (expected '@' record header)")
         return b"".join(out)
 
     def finish(self) -> bytes:
-        out: list = []
-        if self.carry:
-            self._line(self.carry, out)
-            self.carry = b""
-        return b"".join(out)
+        self.cr_held = 0     # EOF strips a trailing-'\r' run (batch parity)
+        return b""
 
 
 def stream_joined(path: str, sep_len: int, chunk_bytes: int = 4 << 20

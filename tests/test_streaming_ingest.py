@@ -129,6 +129,22 @@ def test_stream_gz(tmp_path):
     assert np.array_equal(_cat(fasta.stream_joined(path, 30)), batch[0])
 
 
+def test_python_stream_single_line_bounded():
+    """The Python fallback parser must emit a newline-less mega-line
+    incrementally (the old line-based version buffered the WHOLE line,
+    defeating O(chunk) on single-line chromosome FASTAs)."""
+    p = fasta._JoinStreamParser(9)
+    out = p.feed(b">chr1\n")
+    assert out == b""
+    total = 0
+    for _ in range(50):
+        got = p.feed(b"ACGT" * 1000)       # no newline ever
+        total += len(got)
+    # all but at most a withheld-CR run must be emitted immediately
+    assert total == 50 * 4000
+    assert p.finish() == b""
+
+
 def test_stream_zstd(tmp_path):
     """The native incremental parser must stream zstd frames too (the
     reference wraps zstd behind the zlib API, Makefile:58-62)."""
