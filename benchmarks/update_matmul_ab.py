@@ -14,9 +14,12 @@ Run ON TPU from /root/repo:  python benchmarks/update_matmul_ab.py
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
