@@ -26,6 +26,19 @@ from ..sketch.khset import KSet
 from . import core
 from .core import CommonOpts, eprint
 
+def _process_age_s() -> float:
+    """Seconds since this PROCESS started (Linux /proc) — captures the
+    interpreter+import+backend-init overhead that no in-module timestamp
+    can see.  Returns -1 where /proc is unavailable."""
+    try:
+        with open("/proc/self/stat") as f:
+            start_ticks = float(f.read().rsplit(")", 1)[1].split()[19])
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        return uptime - start_ticks / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return -1.0
+
 RESULT_TYPES = {
     "mash": pw.MASH_DIST, "ji": pw.JI, "sizes": pw.SIZES,
     "full_mash": pw.FULL_MASH_DIST,
@@ -1661,7 +1674,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     fn = SUBCOMMANDS.get(cmd)
     if fn is not None:
         try:
-            with metrics.maybe_trace():
+            with metrics.maybe_trace(), metrics.accum("run.subcommand"):
                 rc = fn(argv[1:])
         except (FileNotFoundError, IsADirectoryError) as e:
             raise SystemExit(f"{cmd}: {e}")
@@ -1669,6 +1682,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             if os.environ.get("DASHING_TPU_DEBUG"):
                 raise
             raise SystemExit(f"{cmd}: {type(e).__name__}: {e}")
+        # process-start -> now: run.total - run.subcommand is the fixed
+        # per-process overhead (interpreter, imports, backend init)
+        age = _process_age_s()
+        if age > 0:
+            metrics.add_time("run.total", age)
         metrics.summary()
         return rc
     if fn is None:
