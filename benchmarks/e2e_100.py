@@ -14,6 +14,10 @@ import time
 
 import numpy as np
 
+# DTPU_REPO pins the child CLI's cwd (hence the imported package) to a
+# worktree, so benchmark code can be frozen against ongoing edits
+REPO = os.environ.get("DTPU_REPO", "/root/repo")
+
 # config[1] default: 100 x 2 Mbp, -S16 -k31.  config[3] shape:
 #   DTPU_E2E_N=1000 DTPU_E2E_LEN=200000 DTPU_E2E_S=14 DTPU_E2E_K=21
 N = int(os.environ.get("DTPU_E2E_N", 100))
@@ -66,7 +70,7 @@ def main(reps: int = 3):
             [sys.executable, "-m", "dashing_tpu.cli", "dist", "-k", KK,
              "-S", S, "-M", "-b", "-O", out, "-F", fofn,
              "--avoid-sorting"] + extra,
-            cwd="/root/repo", capture_output=True)
+            cwd=REPO, capture_output=True)
         dt = time.perf_counter() - t0
         ok = res.returncode == 0 and os.path.getsize(out) > 4
         times.append(dt)
