@@ -142,6 +142,99 @@ def pair_stats(a: jnp.ndarray, b: jnp.ndarray, kmax: int, joint: bool,
 # crash a run — it just falls back to XLA for that variant.
 _MLE_KERNEL_STATE: Dict[tuple, bool] = {}
 
+# ---------------------------------------------------------------------------
+# Cross-process probe-verdict cache.  The per-variant self-verification
+# probes are deterministic given (jax, jaxlib, platform, kernel source),
+# yet every fresh CLI process re-paid their compile-load + dispatch
+# round-trips — measured ~5.5 s per process on the TPU tunnel, a third
+# of a clean config[1] E2E run.  Verdicts from an actual evaluation
+# (match / mismatch / deterministic lowering failure) persist in a JSON
+# beside the XLA compile cache, keyed by a hash of the kernel-relevant
+# sources; transient backend failures are never persisted.  Disable
+# with DASHING_TPU_PROBE_CACHE=0.
+# ---------------------------------------------------------------------------
+
+_PROBE_CACHE: Optional[dict] = None
+_PROBE_CACHE_PATH: Optional[str] = None
+_PROBE_CODE_TAG: Optional[str] = None
+
+
+def _probe_code_tag() -> str:
+    global _PROBE_CODE_TAG
+    if _PROBE_CODE_TAG is None:
+        import hashlib
+        h = hashlib.sha256()
+        here = os.path.dirname(os.path.abspath(__file__))
+        for fn in ("pallas_mle.py", "pallas_jmle.py", "pairwise.py"):
+            try:
+                with open(os.path.join(here, fn), "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                h.update(b"?")
+        h.update(jax.__version__.encode())
+        try:
+            h.update(jax.devices()[0].platform.encode())
+        except Exception:
+            pass
+        _PROBE_CODE_TAG = h.hexdigest()[:16]
+    return _PROBE_CODE_TAG
+
+
+def _probe_cache_load() -> dict:
+    global _PROBE_CACHE, _PROBE_CACHE_PATH
+    if _PROBE_CACHE is not None:
+        return _PROBE_CACHE
+    if os.environ.get("DASHING_TPU_PROBE_CACHE", "1") == "0":
+        _PROBE_CACHE = {}
+        _PROBE_CACHE_PATH = None
+        return _PROBE_CACHE
+    import json
+    cache_dir = os.environ.get(
+        "DASHING_TPU_CACHE_DIR",
+        os.path.join(os.environ.get("XDG_CACHE_HOME",
+                                    os.path.join(os.path.expanduser("~"),
+                                                 ".cache")),
+                     "dashing_tpu_xla"))
+    _PROBE_CACHE_PATH = (os.path.join(cache_dir, "probe_verdicts.json")
+                         if cache_dir else None)
+    data: dict = {}
+    if _PROBE_CACHE_PATH:
+        try:
+            with open(_PROBE_CACHE_PATH) as f:
+                raw = json.load(f)
+            if raw.get("tag") == _probe_code_tag():
+                data = raw.get("verdicts", {})
+        except (OSError, ValueError):
+            pass
+    _PROBE_CACHE = data
+    return data
+
+
+def _probe_cache_store(key_str: str, verdict: bool) -> None:
+    cache = _probe_cache_load()
+    if _PROBE_CACHE_PATH is None:
+        return       # disabled: don't even record in memory — the
+                     # in-process _*_KERNEL_STATE dicts own that role
+    cache[key_str] = verdict
+    import json
+    try:
+        os.makedirs(os.path.dirname(_PROBE_CACHE_PATH), exist_ok=True)
+        tmp = _PROBE_CACHE_PATH + f".tmp{os.getpid()}"
+        # merge-on-write: concurrent processes lose at most an update
+        merged = dict(cache)
+        try:
+            with open(_PROBE_CACHE_PATH) as f:
+                raw = json.load(f)
+            if raw.get("tag") == _probe_code_tag():
+                merged = {**raw.get("verdicts", {}), **cache}
+        except (OSError, ValueError):
+            pass
+        with open(tmp, "w") as f:
+            json.dump({"tag": _probe_code_tag(), "verdicts": merged}, f)
+        os.replace(tmp, _PROBE_CACHE_PATH)
+    except OSError:
+        pass
+
 
 def _probe_driver(state: Dict[tuple, bool], key: tuple, eval_fn,
                   label: str) -> bool:
@@ -155,6 +248,11 @@ def _probe_driver(state: Dict[tuple, bool], key: tuple, eval_fn,
     verdict: ANY failure pins the variant to the XLA path."""
     if key in state:
         return state[key]
+    key_str = f"{label}:{key}"
+    persisted = _probe_cache_load().get(key_str)
+    if persisted is not None:
+        state[key] = bool(persisted)
+        return state[key]
     import concurrent.futures
     for attempt in range(3):   # transient tunnel errors get bounded retry
         try:
@@ -165,13 +263,14 @@ def _probe_driver(state: Dict[tuple, bool], key: tuple, eval_fn,
                       f"path for variant {key}; using the XLA estimator",
                       file=sys.stderr)
             state[key] = ok
+            _probe_cache_store(key_str, ok)   # deterministic verdict
             return ok
         except jax.errors.JaxRuntimeError as e:
             if attempt == 2:
                 print(f"note: {label} kernel probe hit persistent "
                       f"backend errors ({e}); using the XLA estimator "
                       f"for variant {key}", file=sys.stderr)
-                state[key] = False
+                state[key] = False   # transient: do NOT persist
                 return False
             import time
             time.sleep(2.0 * (attempt + 1))
@@ -180,6 +279,7 @@ def _probe_driver(state: Dict[tuple, bool], key: tuple, eval_fn,
                   f"({type(e).__name__}: {e}); using the XLA estimator",
                   file=sys.stderr)
             state[key] = False
+            _probe_cache_store(key_str, False)   # deterministic lowering
             return False
     return False
 

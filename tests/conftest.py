@@ -22,6 +22,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The kernel-probe tests deliberately force failures; without this the
+# cross-process probe-verdict cache would persist those poisoned
+# verdicts into the user's real cache dir (the cache itself is covered
+# by a dedicated test that re-enables it against a tmp path).
+os.environ["DASHING_TPU_PROBE_CACHE"] = "0"
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
