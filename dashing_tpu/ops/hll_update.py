@@ -33,9 +33,12 @@ from ..u64 import U64
 def bucket_rank(h: U64, p: int):
     """Split hashes into (bucket index, rank); invalid lanes handled by caller."""
     q = 64 - p
-    idx = (h[0] >> (32 - p)).astype(jnp.int32) if p <= 32 else None
-    if idx is None:
-        raise ValueError("p must be <= 32")
+    if p > 31:
+        # p == 32 would shift by 0 and the raw uint32 high word wraps
+        # NEGATIVE in the int32 index, so scatter mode="drop" silently
+        # discards every hash with the top bit set (~half of them)
+        raise ValueError("p must be <= 31 on the device update path")
+    idx = (h[0] >> (32 - p)).astype(jnp.int32)
     rest = u64.or_(u64.shl(h, p), u64.const(1 << (p - 1)))
     rank = (u64.clz(rest) + 1).astype(jnp.int32)  # in [1, q+1]
     del q
@@ -168,15 +171,28 @@ def update_from_idx_rank(regs: jnp.ndarray, idx: jnp.ndarray,
         flat_rank = jnp.pad(flat_rank, (0, pad))
         B += pad
     R = B // row
-    if R > _BLOCK_ROWS and R % _BLOCK_ROWS == 0:
+    if R > _BLOCK_ROWS:
+        # full blocks get the per-_BLOCK_ROWS threshold refresh; the
+        # remainder runs as its own slab (previously any R not divisible
+        # by 128 fell through to ONE whole-batch slab with a stale
+        # min-register threshold — overflow/escalation territory).
+        # Registers are bitwise-independent of the split: the filter
+        # only ever skips updates that cannot change a register.
         nb = R // _BLOCK_ROWS
-        idx3 = flat_idx.reshape(nb, _BLOCK_ROWS, row)
-        rank3 = flat_rank.reshape(nb, _BLOCK_ROWS, row)
+        main = nb * _BLOCK_ROWS
+        idx3 = flat_idx[:main * row].reshape(nb, _BLOCK_ROWS, row)
+        rank3 = flat_rank[:main * row].reshape(nb, _BLOCK_ROWS, row)
 
         def body(i, regs):
             return _update_slab(regs, idx3[i], rank3[i], cap, shift)
 
-        return jax.lax.fori_loop(0, nb, body, regs)
+        regs = jax.lax.fori_loop(0, nb, body, regs)
+        rem = R - main
+        if rem == 0:
+            return regs
+        return _update_slab(regs, flat_idx[main * row:].reshape(rem, row),
+                            flat_rank[main * row:].reshape(rem, row),
+                            cap, shift)
     return _update_slab(regs, flat_idx.reshape(R, row),
                         flat_rank.reshape(R, row), cap, shift)
 

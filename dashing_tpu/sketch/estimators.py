@@ -185,8 +185,10 @@ def mle_estimate(C: jnp.ndarray, p: int, iters: int = 24) -> jnp.ndarray:
 
     u = jax.lax.fori_loop(0, iters, body, u0)
     est = jnp.exp(u) * m
-    est = jnp.where(empty, 0.0, est)
-    return jnp.where(full, jnp.inf, est)
+    # full first, empty LAST: a zero-mass histogram satisfies both
+    # masks and must return 0 like the f64 oracle, not inf
+    est = jnp.where(full, jnp.inf, est)
+    return jnp.where(empty, 0.0, est)
 
 
 @partial(jax.jit, static_argnames=("p", "method"))
@@ -340,8 +342,10 @@ def mle_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
 
     u = jax.lax.fori_loop(0, iters, body, u0)
     est = jnp.exp(u) * m
-    est = jnp.where(empty, 0.0, est)
-    return jnp.where(full, jnp.inf, est)
+    # full first, empty LAST: a zero-mass histogram satisfies both
+    # masks and must return 0 like the f64 oracle, not inf
+    est = jnp.where(full, jnp.inf, est)
+    return jnp.where(empty, 0.0, est)
 
 
 def original_estimate_windowed(Cw: jnp.ndarray, p: int, kmin: int,
@@ -986,7 +990,8 @@ def _solve3_sym(H, g):
     B = c * e - b * f
     C = b * e - c * d
     det = a * A + b * B + c * C
-    det = jnp.where(jnp.abs(det) < 1e-30, jnp.sign(det) * 1e-30 + 1e-30, det)
+    det = jnp.where(jnp.abs(det) < 1e-30,
+                jnp.where(det < 0, -1e-30, 1e-30), det)
     D = a * f - c * c
     E = b * c - a * e
     F = a * d - b * b

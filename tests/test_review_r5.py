@@ -1,0 +1,59 @@
+"""Regression pins for the round-5 core-path review findings."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dashing_tpu import u64
+from dashing_tpu.ops import hll_update as hu
+from dashing_tpu.sketch import estimators as est
+
+
+def test_zero_mass_histogram_returns_zero():
+    """A zero-mass histogram satisfies both the 'empty' and 'full' masks;
+    the empty verdict must win (f64 oracle mle_estimate_np returns 0.0,
+    the device path used to return inf)."""
+    for p in (10, 14):
+        q = 64 - p
+        z = jnp.zeros(q + 2)
+        assert float(est.mle_estimate(z, p)) == 0.0
+        zw = jnp.zeros(5)
+        assert float(est.mle_estimate_windowed(zw, p, kmin=3)) == 0.0
+
+
+def test_solve3_sym_negative_tiny_det_finite():
+    """The singular-det floor must keep the SIGN: sign(det)*1e-30 + 1e-30
+    was exactly 0.0 for tiny negative determinants, making the Newton
+    step inf/nan for the near-singular case the guard exists for."""
+    # symmetric matrix with det ~ -2.5e-31 (a=1e-10, d=-5e-11, f=5e-11)
+    H = jnp.array([[1e-10, 0.0, 0.0],
+                   [0.0, -5e-11, 0.0],
+                   [0.0, 0.0, 5e-11]])
+    g = jnp.array([1.0, 1.0, 1.0])
+    x = est._solve3_sym(H, g)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_bucket_rank_rejects_p32():
+    h = (jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.uint32))
+    with pytest.raises(ValueError, match="31"):
+        hu.bucket_rank(h, 32)
+    idx, rank = hu.bucket_rank(h, 31)     # 31 stays valid
+    assert int(jnp.max(idx)) >= 0
+
+
+def test_update_remainder_blocks_bitwise(rng):
+    """R not divisible by _BLOCK_ROWS must produce the same registers as
+    the unfiltered reference scatter (the filter only skips updates that
+    cannot change a register, whatever the block split)."""
+    p = 12
+    row = hu._ROW
+    R = hu._BLOCK_ROWS + 17           # forces main blocks + remainder
+    n = R * row
+    hi = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+    valid = jnp.ones(n, bool)
+    want = np.asarray(hu.update_registers(
+        jnp.zeros(1 << p, jnp.int32), (hi, lo), valid, p))
+    got = np.asarray(hu.update_registers_filtered(
+        jnp.zeros(1 << p, jnp.int32), (hi, lo), valid, p, cap=64))
+    assert np.array_equal(want, got)
