@@ -142,7 +142,19 @@ def sparse_joint_triples(idx: jnp.ndarray, rank: jnp.ndarray,
     `sparse::pair_query(rmap, hll, &hllhist)` (readfilt.cpp:103).
     `kbins` as in sparse_pair_stats (level window [0, kbins))."""
     stats = sparse_pair_stats(idx, rank, ref_regs, ref_hist, p, kbins)
-    return jax.vmap(lambda s: est.joint_mle(s, p))(stats)
+    # the reference histogram is the SAME for every read of the batch:
+    # solve its cardinality once and broadcast, instead of B identical
+    # 12-iteration windowed-MLE solves inside the vmap (the same
+    # per-pair-recomputation redundancy the all-pairs engine avoids via
+    # joint_mle's cards parameter)
+    c_b = est.mle_estimate_windowed(stats["hist_b"][0], p, 0)
+
+    def one(s):
+        cards = (est.mle_estimate_windowed(s["hist_a"], p, 0), c_b,
+                 est.mle_estimate_windowed(s["hist_u"], p, 0))
+        return est.joint_mle(s, p, cards=cards)
+
+    return jax.vmap(one)(stats)
 
 
 def level_window_bins(max_rank: int, q: int) -> int:
