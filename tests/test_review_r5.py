@@ -41,6 +41,27 @@ def test_bucket_rank_rejects_p32():
     assert int(jnp.max(idx)) >= 0
 
 
+def test_full_vs_windowed_estimators_agree(rng):
+    """The full-histogram estimators and their *_windowed(kmin=0) twins
+    are intentionally SEPARATE implementations (different reduction
+    orders -> last-ulp f32 differences; delegating would shift emitted
+    digits and golden files).  This pin bounds the allowed drift so the
+    two cannot diverge materially without a test failing."""
+    import jax.numpy as jnp
+    for p in (10, 14):
+        q = 64 - p
+        for _ in range(10):
+            C = jnp.asarray(rng.multinomial(
+                1 << p, np.ones(q + 2) / (q + 2)).astype(np.float64))
+            for full, win in ((est.mle_estimate, est.mle_estimate_windowed),
+                              (est.original_estimate,
+                               est.original_estimate_windowed),
+                              (est.improved_estimate,
+                               est.improved_estimate_windowed)):
+                a, b = float(full(C, p)), float(win(C, p, 0))
+                assert a == pytest.approx(b, rel=1e-5), (p, full.__name__)
+
+
 def test_update_remainder_blocks_bitwise(rng):
     """R not divisible by _BLOCK_ROWS must produce the same registers as
     the unfiltered reference scatter (the filter only skips updates that
