@@ -79,6 +79,10 @@ def parse_spacing(spacing: str, k: int) -> List[int]:
             gaps.extend([int(skip)] * int(times))
         else:
             gaps.append(int(part))
+    if any(g < 0 for g in gaps):
+        # negative gaps would sample non-monotonic/duplicate positions
+        # (silently degenerate sketches) or drive the span to zero
+        raise ValueError(f"spacing gaps must be >= 0, got {gaps}")
     if len(gaps) > k - 1:
         raise ValueError(f"spacing defines {len(gaps)} gaps but k={k} allows {k - 1}")
     gaps.extend([0] * (k - 1 - len(gaps)))
@@ -268,21 +272,30 @@ def encode_tile(tile: jnp.ndarray, *, k: int, w: int, positions: Tuple[int, ...]
         # in-record, no ambiguous bases).  This matches the reference's
         # full-window minimizer emission for clean sequence; windows touching
         # Ns or record edges are dropped rather than emitting subset minima.
-        inv = (~wvalid).astype(jnp.int32)
-        csum = jnp.cumsum(inv, axis=-1)
-        pad = jnp.zeros(csum.shape[:-1] + (1,), jnp.int32)
-        csum = jnp.concatenate([pad, csum], axis=-1)
-        wvalid = (csum[..., win:] - csum[..., :-win]) == 0
+        wvalid = full_window_valid(wvalid, win)
     return km, wvalid
+
+
+def full_window_valid(wvalid: jnp.ndarray, win: int) -> jnp.ndarray:
+    """A w-window emits only when every k-mer inside it is valid — THE
+    single source of the full-window emission mask (the bonsai encoder
+    above and ops/rolling.py both use it; the semantics are byte-compat
+    load-bearing, so the padded-cumsum trick must not fork)."""
+    inv = (~wvalid).astype(jnp.int32)
+    csum = jnp.cumsum(inv, axis=-1)
+    pad = jnp.zeros(csum.shape[:-1] + (1,), jnp.int32)
+    csum = jnp.concatenate([pad, csum], axis=-1)
+    return (csum[..., win:] - csum[..., :-win]) == 0
 
 
 def _entropy_sliding_min(km: U64, wvalid: jnp.ndarray, code: jnp.ndarray,
                          positions, win: int) -> U64:
     """Minimizer selection by base-composition entropy.
 
-    Key per k-mer = (quantized entropy << 21) | in-row offset, so a sliding
-    u64-min picks the lowest-entropy k-mer (ties to the leftmost), whose
-    value is then gathered by offset.  Invalid k-mers get the sentinel.
+    Key per k-mer = u64(hi=quantized entropy (capped at 2^20-1),
+    lo=in-row offset), so a sliding u64-min picks the lowest-entropy
+    k-mer (ties to the leftmost), whose value is then gathered by
+    offset.  Invalid k-mers get the sentinel.
     """
     k = len(positions)
     W = km[0].shape[-1]

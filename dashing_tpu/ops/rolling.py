@@ -102,16 +102,12 @@ def rolling_hash_tile(tile: jnp.ndarray, *, k: int, kind: str, canon: bool,
             rh = u64.xor(rh, _gather4(c_t, rtab[t]))
     h = u64.min_(fh, rh) if canon else fh
     if w > k:
-        from .encode import _SENTINEL, sliding_min
+        from .encode import _SENTINEL, full_window_valid, sliding_min
         win = w - k + 1
         sent = u64.full(h[0].shape, _SENTINEL)
         h = u64.select(wvalid, h, sent)
         h = sliding_min(h, win)
-        inv = (~wvalid).astype(jnp.int32)
-        csum = jnp.cumsum(inv, axis=-1)
-        pad = jnp.zeros(csum.shape[:-1] + (1,), jnp.int32)
-        csum = jnp.concatenate([pad, csum], axis=-1)
-        wvalid = (csum[..., win:] - csum[..., :-win]) == 0
+        wvalid = full_window_valid(wvalid, win)
     return h, wvalid
 
 

@@ -121,9 +121,12 @@ def _packed_to_keys(packed: jnp.ndarray, vbits: jnp.ndarray, *, k: int,
 
 def _packed_ok(params: SketchParams, sp: Spacer, p: int) -> bool:
     """Conditions under which the packed-upload fused path applies."""
+    # p >= 2 keeps rank <= 63 inside the fused kernel's 6-bit rank field
+    # ((idx << 6) | rank packing, ops/pallas_encode.py) — at p < 2 a
+    # 2-in-2^64 hash could overflow rank into the bucket bits
     return (_pallas_available() and params.encoding == "bonsai"
             and not params.entropy and params.rehash
-            and sp.w == sp.c and not sp.spaced and p <= 25)
+            and sp.w == sp.c and not sp.spaced and 2 <= p <= 25)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "positions", "span",
