@@ -116,6 +116,31 @@ def finalize_binary_mmap(path: str):
         fp.write(bytes([MAGIC_FLOAT]))
 
 
+def read_binary_lazy(path: str):
+    """Returns (n, condensed float32 array-like) WITHOUT loading the
+    payload: plain files come back as a read-only memmap (out-of-core
+    matrices stream in O(batch)); gzip falls back to read_binary."""
+    import gzip
+    import os
+    with open(path, "rb") as probe:
+        head = probe.read(2)
+    if head == b"\x1f\x8b":
+        return read_binary(path)
+    with open(path, "rb") as fp:
+        magic = fp.read(1)[0]
+        if magic == MAGIC_IN_PROGRESS:
+            raise ValueError(f"{path}: incomplete distance matrix (the "
+                             "writing run crashed before finalizing)")
+        if magic != MAGIC_FLOAT:
+            raise ValueError(f"unsupported distance-matrix dtype code {magic}")
+        (n,) = struct.unpack("<Q", fp.read(8))
+    ne = n * (n - 1) // 2
+    if os.path.getsize(path) < HEADER_BYTES + 4 * ne:
+        raise EOFError("truncated distance matrix")
+    return n, np.memmap(path, np.float32, "r", offset=HEADER_BYTES,
+                        shape=(ne,))
+
+
 def read_binary(path: str):
     """Returns (n, condensed float32 array).  Accepts gzip like the ref."""
     import gzip
@@ -138,10 +163,12 @@ def read_binary(path: str):
     return n, data.copy()
 
 
-def _fmt(v: float, scientific: bool = False) -> str:
-    # -e/--use-scientific switches the emitted float format (the
-    # reference's %le vs %lf toggle, src/sketch_and_cmp.h emitters)
-    return ("%e" if scientific else "%.6g") % v
+# NOTE on -e/--use-scientific: the reference's dist-mode matrix emitters
+# HARDCODE "\t%.6g" / "%0.6g" and ignore the flag (sketch_and_cmp.h:17
+# constexpr fmt; :851-877) — it only affects the cardinality table
+# (:244) and printmat -s.  Ours honors -e for matrix output too, as the
+# flag's own help text promises; deliberate divergence, recorded in
+# PARITY.md (without -e the bytes match the reference exactly).
 
 
 def _row_segments(vals: np.ndarray, counts: np.ndarray, fmt_code: int):
@@ -259,19 +286,39 @@ def condensed_to_square(condensed: np.ndarray, n: int, diag: float = 0.0
 
 def print_binary(in_path: str, fp, use_scientific: bool = False):
     """The `printmat` subcommand (reference src/dashing.cpp:425-452):
-    binary condensed matrix -> TSV dump."""
-    n, data = read_binary(in_path)
-    sq = condensed_to_square(data, n)
-    counts = np.full(n, n, np.int64)
-    segs = _row_segments(np.ascontiguousarray(sq).reshape(-1), counts,
-                         1 if use_scientific else 2)
-    for seg in segs:
-        fp.write(seg[1:] + "\n")
+    binary condensed matrix -> TSV dump.
+
+    Streams the square in bounded row batches straight from the condensed
+    layout (upper slice + mirrored column gather), so an out-of-core
+    matrix written by create_binary_mmap prints in O(batch) memory like
+    the reference's mmap-backed DistanceMatrix::printf — the previous
+    condensed_to_square materialized 4*n^2 bytes."""
+    n, data = read_binary_lazy(in_path)
+    fmt_code = 1 if use_scientific else 2
+    rows_per_batch = max(1, (8 << 20) // max(4 * n, 1))
+    for i0 in range(0, n, rows_per_batch):
+        i1 = min(n, i0 + rows_per_batch)
+        block = np.zeros((i1 - i0, n), np.float32)
+        for r, i in enumerate(range(i0, i1)):
+            start = (i * (2 * n - i - 1)) // 2
+            block[r, i + 1:] = data[start:start + (n - i - 1)]
+            if i:
+                j = np.arange(i, dtype=np.int64)
+                block[r, :i] = data[(j * (2 * n - j - 1)) // 2 + i - j - 1]
+        segs = _row_segments(block.reshape(-1),
+                             np.full(i1 - i0, n, np.int64), fmt_code)
+        for seg in segs:
+            fp.write(seg[1:] + "\n")
 
 
 # -- flatten (multi-k) -------------------------------------------------------
 
 def flatten_all(in_paths: List[str], out_path: str, k_values: List[int]) -> int:
+    if len(in_paths) != len(k_values):
+        # np.empty below would otherwise write uninitialized heap bytes
+        # for the unmatched k columns
+        raise ValueError(f"flatten: {len(in_paths)} matrices for "
+                         f"{len(k_values)} k values")
     mats = [read_binary(p) for p in in_paths]
     ne = mats[0][1].size
     if any(m[1].size != ne for m in mats):
@@ -283,17 +330,33 @@ def flatten_all(in_paths: List[str], out_path: str, k_values: List[int]) -> int:
     with open(out_path, "wb") as fp:
         fp.write(struct.pack("<I", nk))
         fp.write(struct.pack("<Q", ne))
-        fp.write(struct.pack("<Q", mats[0][0]))
+        # byte parity with the reference writer (flatten_all.cpp:30):
+        # `number_sets = fpaths.size()` — i.e. this u64 duplicates nk,
+        # despite the name.  (The reference's own dormant JC reader,
+        # background.cpp:134, reads it as genome count — a reference
+        # inconsistency; consumers here derive n from ne instead.)
+        fp.write(struct.pack("<Q", len(in_paths)))
         fp.write(np.asarray(k_values, np.uint32).tobytes())
         fp.write(inter.tobytes())
     return 0
 
 
+def n_from_entries(ne: int) -> int:
+    """Genome count from a condensed entry count: ne = n(n-1)/2."""
+    n = int(round((1 + (1 + 8 * ne) ** 0.5) / 2))
+    if n * (n - 1) // 2 != ne:
+        raise ValueError(f"{ne} is not a condensed n(n-1)/2 entry count")
+    return n
+
+
 def read_flattened(path: str):
+    """Returns (n_genomes, k_values, (ne, nk) data).  The genome count is
+    derived from the entry count, NOT the header's nsets field — the
+    reference writer stores fpaths.size() there (see flatten_all)."""
     with open(path, "rb") as fp:
         (nk,) = struct.unpack("<I", fp.read(4))
         (ne,) = struct.unpack("<Q", fp.read(8))
-        (nsets,) = struct.unpack("<Q", fp.read(8))
+        fp.read(8)    # 'number_sets' = matrix count in reference bytes
         ks = np.frombuffer(fp.read(4 * nk), np.uint32)
         data = np.frombuffer(fp.read(4 * nk * ne), np.float32).reshape(ne, nk)
-    return nsets, ks, data
+    return n_from_entries(ne), ks, data

@@ -21,15 +21,15 @@ import numpy as np
 
 class KSet:
     def __init__(self, keys: np.ndarray = None):
+        # dedup+sort up front: full_set_comparison uses intersect1d with
+        # assume_unique=True, so duplicate keys from the public
+        # constructor would yield impossible set algebra (e.g. JI > 1)
         self.keys = (np.zeros(0, np.uint64) if keys is None
-                     else np.asarray(keys, np.uint64))
-        self._finalized = False
+                     else np.unique(np.asarray(keys, np.uint64)))
 
     @classmethod
     def from_values(cls, values: np.ndarray) -> "KSet":
-        ks = cls(np.unique(np.asarray(values, np.uint64)))
-        ks._finalized = True
-        return ks
+        return cls(values)
 
     def addh_np(self, values: np.ndarray):
         self.keys = np.union1d(self.keys, np.asarray(values, np.uint64))
@@ -38,7 +38,6 @@ class KSet:
 
     def finalize(self):
         self.keys = np.unique(self.keys)
-        self._finalized = True
 
     # -- set algebra ---------------------------------------------------------
     def cardinality_estimate(self) -> float:
@@ -80,7 +79,7 @@ class KSet:
 
     # -- io -------------------------------------------------------------------
     def write_record(self, fp: IO[bytes]):
-        keys = np.sort(np.unique(self.keys))
+        keys = np.unique(self.keys)   # unique output is already sorted
         fp.write(struct.pack("<Q", keys.size))
         fp.write(keys.astype("<u8").tobytes())
 

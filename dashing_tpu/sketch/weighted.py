@@ -67,8 +67,10 @@ def cm_estimated_counts(kmers: np.ndarray, cmsize_log2: int = 22,
     for row in range(nhashes):
         h = wang_hash_np(uniq ^ np.uint64((seed + row * 0x9E3779B9) | 1))
         idx = (h >> np.uint64(64 - cmsize_log2)).astype(np.int64)
-        table = np.zeros(m, np.int64)
-        np.add.at(table, idx, counts)
+        # bincount is several-fold faster than np.add.at's buffered
+        # ufunc loop for this scatter-add (identical integer results)
+        table = np.bincount(idx, weights=counts, minlength=m
+                            ).astype(np.int64)
         v = table[idx]
         est = v if est is None else np.minimum(est, v)
     return uniq, est

@@ -62,6 +62,68 @@ def test_full_vs_windowed_estimators_agree(rng):
                 assert a == pytest.approx(b, rel=1e-5), (p, full.__name__)
 
 
+def test_kset_constructor_dedupes():
+    """intersect1d(assume_unique=True) demands unique keys; the public
+    constructor must dedupe (duplicates used to give JI = 2.0)."""
+    from dashing_tpu.sketch.khset import KSet
+    a = KSet(np.array([5, 5, 7], np.uint64))
+    b = KSet(np.array([5], np.uint64))
+    assert a.keys.size == 2
+    assert a.jaccard_index(b) == pytest.approx(0.5)
+
+
+def test_flatten_length_mismatch_raises(tmp_path):
+    from dashing_tpu.io import distmat
+    p = str(tmp_path / "m.bin")
+    distmat.write_binary(p, np.array([0.5, 0.25, 0.125], np.float32), 3)
+    with pytest.raises(ValueError, match="k values"):
+        distmat.flatten_all([p], str(tmp_path / "f.bin"), [15, 17])
+
+
+def test_flatten_nsets_matches_reference_bytes(tmp_path):
+    """The nsets u64 must hold fpaths.size() like the reference writer
+    (flatten_all.cpp:30), and readers must derive the genome count from
+    the entry count."""
+    import struct
+    from dashing_tpu.io import distmat
+    ps = []
+    for i in range(2):
+        p = str(tmp_path / f"m{i}.bin")
+        distmat.write_binary(p, np.arange(6, dtype=np.float32) + i, 4)
+        ps.append(p)
+    out = str(tmp_path / "f.bin")
+    distmat.flatten_all(ps, out, [15, 17])
+    raw = open(out, "rb").read()
+    assert struct.unpack("<I", raw[:4])[0] == 2          # nk
+    assert struct.unpack("<Q", raw[4:12])[0] == 6        # ne
+    assert struct.unpack("<Q", raw[12:20])[0] == 2       # nsets == nk!
+    n, ks, data = distmat.read_flattened(out)
+    assert n == 4 and list(ks) == [15, 17]
+
+
+def test_printmat_streams_bounded(tmp_path):
+    """print_binary must produce the same text as the old materializing
+    path while reading the condensed payload lazily (memmap)."""
+    import io as _io
+    from dashing_tpu.io import distmat
+    rng2 = np.random.default_rng(3)
+    n = 37
+    cond = rng2.random(n * (n - 1) // 2).astype(np.float32)
+    p = str(tmp_path / "m.bin")
+    distmat.write_binary(p, cond, n)
+    buf = _io.StringIO()
+    distmat.print_binary(p, buf)
+    # reference output: full square with zero diagonal, '%f' rows
+    sq = distmat.condensed_to_square(cond, n)
+    want = _io.StringIO()
+    segs = distmat._row_segments(
+        np.ascontiguousarray(sq).reshape(-1),
+        np.full(n, n, np.int64), 2)
+    for seg in segs:
+        want.write(seg[1:] + "\n")
+    assert buf.getvalue() == want.getvalue()
+
+
 def test_update_remainder_blocks_bitwise(rng):
     """R not divisible by _BLOCK_ROWS must produce the same registers as
     the unfiltered reference scatter (the filter only skips updates that
