@@ -642,14 +642,21 @@ def check_compatible(sketches):
         raise SystemExit(
             f"sketches have mixed precisions p={sorted(ps)}; re-sketch with "
             "a common -S or fold the larger ones down (dashing_tpu fold)")
-    # bottom-k family sizes (kk) must match too: comparing kk=128 against
-    # kk=1024 truncates to the left operand and gives an asymmetric JI
-    kks = {getattr(s, "kk", None) for s in sketches}
-    kks.discard(None)
-    if len(kks) > 1:
-        raise SystemExit(
-            f"minhash sketches have mixed sizes kk={sorted(kks)}; re-sketch "
-            "with a common -S")
+    # family-specific geometry must match too — mixed values either
+    # compare garbage silently (b-bit widths) or blow up with a shape
+    # error deep in the batched engines (bloom bitset sizes):
+    #   kk   bottom-k size      b        b-bit width / superminhash b
+    #   nbits_log2, nhashes     bloom    regwidth  hyperminhash
+    for attr, what in (("kk", "minhash sizes"), ("b", "register widths"),
+                       ("nbits_log2", "bloom filter sizes"),
+                       ("nhashes", "bloom hash counts"),
+                       ("regwidth", "hyperminhash register widths")):
+        vals = {getattr(s, attr, None) for s in sketches}
+        vals.discard(None)
+        if len(vals) > 1:
+            raise SystemExit(
+                f"sketches have mixed {what} {attr}={sorted(vals)}; "
+                "re-sketch with common parameters")
     types = {type(s).__name__ for s in sketches}
     if len(types) > 1:
         raise SystemExit(f"mixed sketch types {sorted(types)} cannot be "
@@ -833,10 +840,14 @@ def emit_cardinalities(fp, names: Sequence[str], sketches, integer: bool = True,
     (reference src/sketch_and_cmp.h:372-385; card uses float formats)."""
     batch_hll_reports(sketches)
     fp.write("#Path\tSize (est.)\n")
+    import math
     for name, sk in zip(names, sketches):
         card = sk.report()
         if integer:
-            fp.write(f"{name}\t{int(card)}\n")
+            # a saturated sketch (e.g. an overfull bloom filter) reports
+            # inf; int(inf) would abort the run AFTER all sketching
+            val = "inf" if not math.isfinite(card) else str(int(card))
+            fp.write(f"{name}\t{val}\n")
         elif use_scientific:
             fp.write(f"{name}\t{card:0.12g}\n")
         else:

@@ -24,6 +24,7 @@ unknown types (callers fall back to the per-pair loop).
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -160,8 +161,9 @@ def _bf_rect(A: List[BloomFilter], B) -> np.ndarray:
     k = float(A[0].nhashes)
 
     def fill_card(bits):
-        return np.where(bits >= m, np.inf,
-                        -(m / k) * np.log1p(-bits / m))
+        with np.errstate(divide="ignore"):   # log1p(-1) -> -inf is the
+            return np.where(bits >= m, np.inf,  # saturated case, handled
+                            -(m / k) * np.log1p(-bits / m))
 
     ca, cb = fill_card(pa.astype(np.float64)), fill_card(pb.astype(np.float64))
     na, nb = ba.shape[0], bb.shape[0]
@@ -172,7 +174,11 @@ def _bf_rect(A: List[BloomFilter], B) -> np.ndarray:
             ba[sl][:, None, :] & bb[None, :, :]).sum(-1).astype(np.int64)
         union_bits = pa[sl][:, None] + pb[None, :] - inter
         cu = fill_card(union_bits.astype(np.float64))
-        sh = np.maximum(0.0, ca[sl][:, None] + cb[None, :] - cu)
+        with np.errstate(invalid="ignore"):
+            sh = ca[sl][:, None] + cb[None, :] - cu
+        # inf - inf -> nan here; the per-pair path's Python max(0.0, nan)
+        # returns 0.0, so match it (saturated-filter comparisons)
+        sh = np.where(np.isnan(sh), 0.0, np.maximum(sh, 0.0))
         tris[sl, :, 0] = np.maximum(ca[sl][:, None] - sh, 0.0)
         tris[sl, :, 1] = np.maximum(cb[None, :] - sh, 0.0)
         tris[sl, :, 2] = sh
@@ -264,24 +270,58 @@ def supports(sketches) -> bool:
                                  BottomK)
 
 
+_ENGINES = {}
+
+
+def _engine_for(t):
+    if not _ENGINES:
+        _ENGINES.update({
+            BBitMinHash: _bbmh_rect,
+            CountingBBitMinHash: _cbbmh_rect,
+            DensifiedMinHash: _densified_rect,
+            SuperMinHash: _smh_rect,
+            HyperMinHash: _hmh_rect,
+            BloomFilter: _bf_rect,
+            CountingBottomK: lambda A, B: _bottomk_rect(A, B, True),
+            BottomK: lambda A, B: _bottomk_rect(A, B, False),
+        })
+    return _ENGINES.get(t)
+
+
+def _row_nbytes(s) -> int:
+    """Approximate bytes ONE B-side sketch contributes per A row in the
+    broadcast temporaries (with slack for the boolean/count intermediates
+    that live alongside)."""
+    if hasattr(s, "bits"):
+        return int(np.asarray(s.bits).nbytes) * 4
+    if hasattr(s, "_regs_b"):
+        return int(np.asarray(s._regs_b()).nbytes) * 8
+    if hasattr(s, "regs"):
+        return int(np.asarray(s.regs).nbytes) * 4
+    if hasattr(s, "values"):
+        return int(getattr(s, "kk", 256)) * 16
+    return 1 << 16
+
+
 def batch_triples(A, B) -> Optional[np.ndarray]:
     """(na, nb, 3) float64 triples with [i, j] = A[i].full_set_comparison(
-    B[j]), or None when the type has no batched engine."""
-    t = type(A[0])
-    if t is BBitMinHash:
-        return _bbmh_rect(A, B)
-    if t is CountingBBitMinHash:
-        return _cbbmh_rect(A, B)
-    if t is DensifiedMinHash:
-        return _densified_rect(A, B)
-    if t is SuperMinHash:
-        return _smh_rect(A, B)
-    if t is HyperMinHash:
-        return _hmh_rect(A, B)
-    if t is BloomFilter:
-        return _bf_rect(A, B)
-    if t is CountingBottomK:
-        return _bottomk_rect(A, B, counting=True)
-    if t is BottomK:
-        return _bottomk_rect(A, B, counting=False)
-    return None
+    B[j]), or None when the type has no batched engine.
+
+    The engines tile the A axis internally (_TILE rows), and THIS wrapper
+    tiles the B axis so the (tile_A, nb, m) broadcast temporaries stay
+    bounded (~DASHING_TPU_HOST_TILE_MB, default 256) no matter how many
+    sketches the caller passes — compare_condensed hands in entire
+    sketches[i0:] suffixes, which at bloom -S 20 x 1000 genomes used to
+    materialize tens of GB.  Per-pair values are computed independently,
+    so B-chunking is bitwise-exact."""
+    fn = _engine_for(type(A[0]))
+    if fn is None:
+        return None
+    budget = int(float(os.environ.get(
+        "DASHING_TPU_HOST_TILE_MB", "256")) * 1e6)
+    per_b = _TILE * _row_nbytes(B[0])
+    b_tile = max(16, budget // max(per_b, 1))
+    if len(B) <= b_tile:
+        return fn(A, B)
+    return np.concatenate([fn(A, B[j0:j0 + b_tile])
+                           for j0 in range(0, len(B), b_tile)], axis=1)

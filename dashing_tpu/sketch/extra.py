@@ -46,6 +46,7 @@ class WideHLL:
         self.jestim = int(jestim)
         self.regs = (np.zeros(1 << p, np.uint16) if regs is None
                      else np.asarray(regs, np.uint16))
+        self._card_cache = None
 
     @property
     def q(self) -> int:
@@ -60,6 +61,7 @@ class WideHLL:
         rest = (hashes << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
         rank = clz64_np(rest) + 1
         np.maximum.at(self.regs, idx, rank.astype(np.uint16))
+        self._card_cache = None
 
     def finalize(self):
         pass
@@ -68,9 +70,13 @@ class WideHLL:
         return np.bincount(self.regs, minlength=self.q + 2).astype(np.float32)
 
     def report(self) -> float:
-        import jax.numpy as jnp
-        return float(est.estimate(jnp.asarray(self.histogram()), self.p,
-                                  self.estim))
+        # cached: est.estimate is a device dispatch (~6-9 ms tunnel RTT),
+        # and the batched compare engines re-request cards per row block
+        if self._card_cache is None:
+            import jax.numpy as jnp
+            self._card_cache = float(est.estimate(
+                jnp.asarray(self.histogram()), self.p, self.estim))
+        return self._card_cache
 
     cardinality_estimate = report
 
@@ -103,6 +109,7 @@ class WideHLL:
 
     def __iadd__(self, other: "WideHLL") -> "WideHLL":
         np.maximum(self.regs, other.regs, out=self.regs)
+        self._card_cache = None
         return self
 
     def compress(self, new_p: int) -> "WideHLL":
@@ -181,6 +188,7 @@ class HyperMinHash:
         self.rbits = max(self.regwidth - 6, 2)  # sub-hash bits
         self.regs = (np.zeros(1 << p, np.uint32) if regs is None
                      else np.asarray(regs, np.uint32))
+        self._card_cache = None
 
     @property
     def q(self) -> int:
@@ -202,6 +210,7 @@ class HyperMinHash:
         mask = (1 << self.rbits) - 1
         key = (rank << self.rbits | (mask - sub)).astype(np.uint32)
         np.maximum.at(self.regs, idx, key)
+        self._card_cache = None
 
     def finalize(self):
         pass
@@ -213,9 +222,13 @@ class HyperMinHash:
         return np.bincount(self._ranks(), minlength=self.q + 2).astype(np.float32)
 
     def getcard(self) -> float:
-        import jax.numpy as jnp
-        return float(est.estimate(jnp.asarray(self.histogram()), self.p,
-                                  est.ERTL_MLE))
+        # cached like WideHLL.report: one device dispatch per call, and
+        # the batched compare engines re-request cards per row block
+        if self._card_cache is None:
+            import jax.numpy as jnp
+            self._card_cache = float(est.estimate(
+                jnp.asarray(self.histogram()), self.p, est.ERTL_MLE))
+        return self._card_cache
 
     report = getcard
     cardinality_estimate = getcard
@@ -246,6 +259,7 @@ class HyperMinHash:
 
     def __iadd__(self, other: "HyperMinHash") -> "HyperMinHash":
         np.maximum(self.regs, other.regs, out=self.regs)
+        self._card_cache = None
         return self
 
     def write_record(self, fp: IO[bytes]):

@@ -124,6 +124,67 @@ def test_printmat_streams_bounded(tmp_path):
     assert buf.getvalue() == want.getvalue()
 
 
+def test_batch_compare_b_tiling_exact(rng, monkeypatch):
+    """Forcing a tiny B-axis budget (many chunks) must not change a
+    single triple — B-chunking is per-pair independent."""
+    from dashing_tpu.sketch import batch_compare as bc
+    from dashing_tpu.sketch.setsketches import BBitMinHash, BloomFilter
+    sks = []
+    for i in range(9):
+        s = BBitMinHash(p=8, b=16)
+        s.addh_np(rng.integers(0, 2**63, 300, dtype=np.uint64))
+        s.finalize()
+        sks.append(s)
+    want = bc.batch_triples(sks, sks)
+    monkeypatch.setenv("DASHING_TPU_HOST_TILE_MB", "0.000001")
+    got = bc.batch_triples(sks, sks)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+    bfs = []
+    for i in range(5):
+        s = BloomFilter(nbits_log2=10, nhashes=3)
+        s.addh_np(rng.integers(0, 2**63, 200, dtype=np.uint64))
+        bfs.append(s)
+    monkeypatch.delenv("DASHING_TPU_HOST_TILE_MB")
+    want = bc.batch_triples(bfs, bfs)
+    monkeypatch.setenv("DASHING_TPU_HOST_TILE_MB", "0.000001")
+    got = bc.batch_triples(bfs, bfs)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_saturated_bloom_matches_per_pair(rng):
+    """A saturated bloom filter reports inf; the batched engine must
+    match the per-pair path's max(0.0, nan) = 0.0 shared component
+    instead of emitting NaN, and the cardinality TSV must not crash."""
+    import io as _io
+    from dashing_tpu.cli import core
+    from dashing_tpu.sketch import batch_compare as bc
+    from dashing_tpu.sketch.setsketches import BloomFilter
+    full = BloomFilter(nbits_log2=6, nhashes=2)
+    full.bits = np.full_like(full.bits, np.uint64(0xFFFFFFFFFFFFFFFF))
+    normal = BloomFilter(nbits_log2=6, nhashes=2)
+    normal.addh_np(rng.integers(0, 2**63, 5, dtype=np.uint64))
+    tri = np.asarray(bc.batch_triples([full, normal], [full, normal]))
+    per_pair = np.array([[full.full_set_comparison(full),
+                          full.full_set_comparison(normal)],
+                         [normal.full_set_comparison(full),
+                          normal.full_set_comparison(normal)]])
+    assert np.array_equal(tri, per_pair), (tri, per_pair)
+    buf = _io.StringIO()
+    core.emit_cardinalities(buf, ["a", "b"], [full, normal])
+    assert "\tinf" in buf.getvalue()
+
+
+def test_check_compatible_rejects_mixed_geometry():
+    from dashing_tpu.cli import core
+    from dashing_tpu.sketch.setsketches import BBitMinHash, BloomFilter
+    with pytest.raises(SystemExit, match="register widths"):
+        core.check_compatible([BBitMinHash(p=8, b=8),
+                               BBitMinHash(p=8, b=16)])
+    with pytest.raises(SystemExit, match="bloom"):
+        core.check_compatible([BloomFilter(nbits_log2=10, nhashes=3),
+                               BloomFilter(nbits_log2=12, nhashes=3)])
+
+
 def test_update_remainder_blocks_bitwise(rng):
     """R not divisible by _BLOCK_ROWS must produce the same registers as
     the unfiltered reference scatter (the filter only skips updates that
