@@ -120,22 +120,30 @@ def _jit_gf64_mul():
 gf64_mul = _jit_gf64_mul()
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _clhash_compiled(s: int):
+    # module scope: a function-local lru_cache was rebuilt every call, so
+    # both it and the jit lambda missed their caches and each clhash()
+    # call re-traced the full GF(2^64) multiply (~0.6 s on CPU, a fresh
+    # device compile over the tunnel)
+    import jax
+    k1 = int(wang_hash_np(np.asarray([s ^ 0x2127599BF4325C37],
+                                     np.uint64))[0])
+    k2 = int(wang_hash_np(np.asarray([s ^ 0x9FB21C651E98DF25],
+                                     np.uint64))[0]) | 1
+    return jax.jit(lambda v: gf64_mul(u64.xor(v, u64.const(k1)),
+                                      u64.full((), k2)))
+
+
 def clhash(x: U64, seed: int = 0) -> U64:
     """Carry-less universal hash of a 64-bit key: (x ^ K1) * K2 in
     GF(2^64), keys derived from the seed by WangHash (the single-word
-    case of the CLHASH family).  One jitted dispatch per call."""
-    import functools
-    import jax
-
-    @functools.lru_cache(maxsize=64)
-    def compiled(s):
-        k1 = int(wang_hash_np(np.asarray([s ^ 0x2127599BF4325C37],
-                                         np.uint64))[0])
-        k2 = int(wang_hash_np(np.asarray([s ^ 0x9FB21C651E98DF25],
-                                         np.uint64))[0]) | 1
-        return jax.jit(lambda v: gf64_mul(u64.xor(v, u64.const(k1)),
-                                          u64.full((), k2)))
-    return compiled(int(seed))(x)
+    case of the CLHASH family).  One jitted dispatch per call (the
+    compiled multiply is cached per seed)."""
+    return _clhash_compiled(int(seed))(x)
 
 
 def gf64_mul_np(a: np.ndarray, b) -> np.ndarray:

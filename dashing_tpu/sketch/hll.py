@@ -19,7 +19,6 @@ reference src/sketch_and_cmp.h:529-536).
 from __future__ import annotations
 
 import gzip
-import io
 import struct
 from typing import IO, Optional, Tuple, Union
 
@@ -28,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import u64
-from ..hashes import wang_hash, wang_hash_np, clz64_np
+from ..hashes import wang_hash_np, clz64_np
 from ..ops import hll_update
 from . import estimators as est
 
@@ -149,7 +148,14 @@ class HLL:
     creport = report
     cardinality_estimate = report
 
+    def _check_same_p(self, other):
+        if self.p != other.p:
+            raise ValueError(
+                f"can't compare HLLs of different p ({self.p} vs "
+                f"{other.p}); fold the larger one down first")
+
     def union_size(self, other: "HLL") -> float:
+        self._check_same_p(other)
         u = np.maximum(self.regs, other.regs)
         C = jnp.asarray(np.bincount(u, minlength=self.q + 2).astype(np.float32))
         return float(est.estimate(C, self.p, self.estim))
@@ -157,6 +163,7 @@ class HLL:
     def full_set_comparison(self, other: "HLL") -> Tuple[float, float, float]:
         """(|A\\B|, |B\\A|, |A&B|); joint-MLE when jestim selects it, else
         inclusion-exclusion (mirrors hll_t behavior described in SURVEY)."""
+        self._check_same_p(other)
         if self.jestim == est.ERTL_JOINT_MLE:
             a = jnp.asarray(self.regs.astype(np.int32))
             b = jnp.asarray(other.regs.astype(np.int32))

@@ -59,6 +59,17 @@ def _expect_magic(fp, magic: bytes):
     return a, b
 
 
+def _triple_from_ji(ji: float, ca: float, cb: float
+                    ) -> "Tuple[float, float, float]":
+    """(onlyA, onlyB, shared) from a Jaccard estimate and two
+    cardinalities via the (ca+cb)/(1+ji) union estimate — THE shared
+    tail of every minhash-family full_set_comparison (reference
+    src/dashing.h:554-556); previously four hand-synced copies."""
+    cu = (ca + cb) / (1.0 + ji)
+    shared = ji * cu
+    return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+
+
 class BloomFilter:
     """bf::bf_t replacement: m bits, nh seeded hash functions.
 
@@ -188,10 +199,7 @@ class BottomK:
 
     def full_set_comparison(self, other: "BottomK") -> Tuple[float, float, float]:
         ji = self.jaccard_index(other)
-        ca, cb = self.report(), other.report()
-        cu = (ca + cb) / (1.0 + ji) if (1.0 + ji) else 0.0
-        shared = ji * cu
-        return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+        return _triple_from_ji(ji, self.report(), other.report())
 
     def union_size(self, other: "BottomK") -> float:
         a, b, x = self.full_set_comparison(other)
@@ -270,7 +278,10 @@ class CountingBottomK(BottomK):
         summed = np.zeros(uniq.size, np.int64)
         np.add.at(summed, inv, allc)
         self.values = uniq[:self.kk]
-        self.counts = summed[:self.kk].astype(np.uint32)
+        # saturate instead of wrapping at 2^32 (the same deliberate
+        # policy as CountingBBitMinHash's COUNT_MAX clamps)
+        self.counts = np.minimum(summed[:self.kk],
+                                 0xFFFFFFFF).astype(np.uint32)
 
     def __iadd__(self, other: "CountingBottomK") -> "CountingBottomK":
         self._merge(np.asarray(other.values, np.uint64),
@@ -282,10 +293,7 @@ class CountingBottomK(BottomK):
         # emitted measure then derives from the WEIGHTED Jaccard, matching
         # similarity<CRMFinal> (reference src/dashing.h:142-144)
         ji = self.histogram_intersection(other)
-        ca, cb = self.report(), other.report()
-        cu = (ca + cb) / (1.0 + ji) if (1.0 + ji) else 0.0
-        shared = ji * cu
-        return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+        return _triple_from_ji(ji, self.report(), other.report())
 
     def write_record(self, fp: IO[bytes]):
         fp.write(_HDR.pack(self.MAGIC, self.kk, self.values.size))
@@ -337,6 +345,7 @@ class BBitMinHash:
         # bucket value: the remaining bits (so values are uniform in bucket)
         val = hashes << np.uint64(self.p)
         np.minimum.at(self.mins, idx, val)
+        self._finalized = False   # inserts invalidate the cached cardinality
 
     def finalize(self):
         if self._finalized:
@@ -359,6 +368,11 @@ class BBitMinHash:
     cardinality_estimate = report
 
     def jaccard_index(self, other: "BBitMinHash") -> float:
+        if self.p != other.p or self.b != other.b:
+            raise ValueError(
+                f"can't compare b-bit minhash sketches of different "
+                f"geometry (p={self.p},b={self.b}) vs "
+                f"(p={other.p},b={other.b})")
         # mutually-EMPTY buckets compare equal (both all-ones) but carry no
         # evidence — counting them would report JI ~1 for two tiny disjoint
         # sets; exclude them (a single-empty bucket is a true mismatch)
@@ -373,10 +387,7 @@ class BBitMinHash:
 
     def full_set_comparison(self, other: "BBitMinHash") -> Tuple[float, float, float]:
         ji = self.jaccard_index(other)
-        ca, cb = self.report(), other.report()
-        cu = (ca + cb) / (1.0 + ji)
-        shared = ji * cu
-        return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+        return _triple_from_ji(ji, self.report(), other.report())
 
     def union_size(self, other: "BBitMinHash") -> float:
         """reference src/dashing.h:554-556: (ca+cb)/(1+ji)."""
@@ -516,10 +527,7 @@ class CountingBBitMinHash(BBitMinHash):
 
     def full_set_comparison(self, other) -> Tuple[float, float, float]:
         ji = self.histogram_intersection(other)
-        ca, cb = self.report(), other.report()
-        cu = (ca + cb) / (1.0 + ji)
-        shared = ji * cu
-        return (max(ca - shared, 0.0), max(cb - shared, 0.0), shared)
+        return _triple_from_ji(ji, self.report(), other.report())
 
     def write_record(self, fp: IO[bytes]):
         self.finalize()
