@@ -149,7 +149,12 @@ def dist_main(argv: List[str]) -> int:
     if not o.presketched and not o.avoid_sorting:
         inpaths = paths.sort_paths_by_fsize(inpaths)
         querypaths = paths.sort_paths_by_fsize(querypaths)
-    allpaths = inpaths + querypaths
+    # the asymmetric auto-switch duplicates the path list; alias the
+    # sketch OBJECTS instead of sketching every file twice (the sketch
+    # phase is the dominant cost and the copies are identical)
+    mirror_queries = bool(querypaths) and querypaths == inpaths \
+        and not o.presketched
+    allpaths = inpaths + ([] if mirror_queries else querypaths)
 
     # special case: one presketched file may be a stream of many sketches
     # (reference src/sketch_and_cmp.h:298-309)
@@ -168,6 +173,9 @@ def dist_main(argv: List[str]) -> int:
     else:
         with metrics.phase("sketch", items=len(allpaths), unit="files"):
             sketches = core.sketch_paths(allpaths, o)
+    if mirror_queries:
+        sketches = sketches + sketches       # aliased query half
+        names = names + names
     for sk in sketches:
         if hasattr(sk, "estim"):
             sk.estim = o.estim
@@ -1087,10 +1095,13 @@ def mkdist_main(argv: List[str]) -> int:
     try:
         for k in ks:
             outp = f"_{outpref}_{k}"
-            # extra AFTER rest: the presketch's cache flags must win a
-            # last-wins parse even when the user passed their own -P
-            # (the seeded tmpdir is where the sketches actually are)
-            args = ["-b", "-O", outp, "-k", str(k)] + rest + (extra or [])
+            # injected flags AFTER rest: getopt is last-wins, so the
+            # per-k '-k' and the forced binary '-O' must not be
+            # overridden by a stray -k/-O in the user's dist options
+            # (previously 'mkdist --multik mk,15,31,4 -k 21' silently
+            # computed every pass at k=21); the presketch's cache flags
+            # go last so its seeded tmpdir wins over a user -P too
+            args = rest + ["-b", "-O", outp, "-k", str(k)] + (extra or [])
             if jukes_cantor and "--sizes" not in args and "-Z" not in args:
                 # JC needs intersection SIZES and a stable genome order
                 args = ["--sizes", "--avoid-sorting"] + args
@@ -1182,11 +1193,13 @@ def sketch_by_seq_main(argv: List[str]) -> int:
     # input never materializes (names and sketches land incrementally;
     # per-record registers are independent of the batching, so output
     # bytes are identical to the old whole-file path).
+    import dataclasses as _dc
     import itertools
     rec_iter = fasta.iter_records_full(inpath)
-    kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions),
-              span=sp.c, canon=o.canon, encoding=o.encoding,
-              rehash=True)
+    # THE encoder-kwargs builder (a hand-built dict here once dropped
+    # the entropy flag for the non-HLL families)
+    kw = pipeline._encode_kw(_dc.replace(params, rehash=True), sp)
+    use_filter = o.use_counting_filter and o.mincount > 1
     with open(namepath, "w") as namefp, gzip.open(outpath, "wb") as ofp:
         namefp.write(f"#k={o.k}:Names for sequences sketched\n")
         while True:
@@ -1195,17 +1208,48 @@ def sketch_by_seq_main(argv: List[str]) -> int:
                 break
             for name, _, _, _ in batch:
                 namefp.write(name.decode() + "\n")
-            if o.sketch_type == "hll":
+            seqs = [seq for _, _, seq, _ in batch]
+            if use_filter:
+                # reference sketch_by_seq_core clears its CM after EVERY
+                # record (src/sketch_and_cmp.h:568-579): multiplicity is
+                # within-record.  Records are small, so we count EXACTLY
+                # (np.unique on the RAW k-mer codes; WangHash is a
+                # bijection, so raw and hashed multiplicities agree)
+                # instead of approximating with a CM — deliberate
+                # divergence recorded in PARITY.md.
+                raw_params = _dc.replace(params, rehash=False)
+                for raw in pipeline.records_kmer_hashes(seqs, raw_params):
+                    vals, cnts = np.unique(raw, return_counts=True)
+                    admitted = vals[cnts >= o.mincount]
+                    sk = _sketch_from_kmers(admitted, o, p)
+                    sk.write_record(ofp)
+            elif o.sketch_type == "hll":
                 # batched per-record device sketching
-                seqs = [seq for _, _, seq, _ in batch]
                 regs = pipeline.sketch_records_hll(seqs, params, p)
                 for row in regs:
                     HLL(p, o.estim, o.jestim, row).write_record(ofp)
             else:
-                for _, _, seq, _ in batch:
+                for seq in seqs:
                     sk = _sketch_one_seq(seq, o, sp, kw, p)
                     sk.write_record(ofp)
     return 0
+
+
+def _sketch_from_kmers(kmers: np.ndarray, o: CommonOpts, p: int):
+    """Build one sketch of the requested family from RAW k-mer codes
+    (the per-record filtered path; each family applies its own hashing
+    exactly as the unfiltered _sketch_one_seq path does)."""
+    if o.sketch_type == "hll":
+        h = HLL(p, o.estim, o.jestim)
+        h.addh_np(kmers)
+        return h
+    if o.sketch_type == "khset":
+        return KSet.from_values(kmers)
+    from ..sketch.setsketches import make_typed
+    sk = make_typed(o.sketch_type, o)
+    sk.addh_np(kmers)
+    sk.finalize()
+    return sk
 
 
 def _sketch_one_seq(seq: bytes, o: CommonOpts, sp, kw, p: int):

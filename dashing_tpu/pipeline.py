@@ -605,10 +605,8 @@ def sketch_file_hll_multik(path: str, params_list: Sequence[SketchParams],
             else:
                 if dev_ascii is None:
                     dev_ascii = jnp.asarray(tile)
-                kw = dict(k=sp.k, w=sp.w, positions=tuple(sp.positions),
-                          span=sp.c, canon=pa.canon, encoding=pa.encoding,
-                          rehash=pa.rehash, entropy=pa.entropy)
-                regs[i] = _tile_to_registers(dev_ascii, regs[i], **kw,
+                regs[i] = _tile_to_registers(dev_ascii, regs[i],
+                                             **_encode_kw(pa, sp),
                                              p=p, ucap=ucap)
     host = [np.clip(np.asarray(jax.device_get(r)), 0, 255).astype(np.uint8)
             for r in regs]
@@ -1364,6 +1362,15 @@ def sketch_records_hll(seqs: List[bytes], params: SketchParams, p: int,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("k", "p", "canon", "C"))
+def _packed_idx_rank(packed, vbits, *, k: int, p: int, canon: bool, C: int):
+    # one jitted step for the packed branch too: the eager
+    # keys_to_update_inputs split cost ~2 tunnel round-trips per batch
+    from .ops.pallas_encode import keys_to_update_inputs
+    keys = _packed_to_keys(packed, vbits, k=k, p=p, canon=canon, C=C)
+    return keys_to_update_inputs(keys)
+
+
 @functools.partial(jax.jit, static_argnames=("p",))
 def _idx_rank_masked(h, valid, p: int):
     # one jitted step: the eager bucket_rank + where dispatched several
@@ -1405,12 +1412,10 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
                 out[i] = ertl_joint(q, ref_hll)
             continue
         if use_packed and tiles.shape[0] % 8 == 0 and tiles.shape[1] % 8 == 0:
-            from .ops.pallas_encode import keys_to_update_inputs
             packed, vbits = _pack_tile_host(tiles)
-            keys = _packed_to_keys(jnp.asarray(packed), jnp.asarray(vbits),
-                                   k=sp.k, p=p, canon=params.canon,
-                                   C=tiles.shape[1])
-            idx, rank = keys_to_update_inputs(keys)
+            idx, rank = _packed_idx_rank(
+                jnp.asarray(packed), jnp.asarray(vbits), k=sp.k, p=p,
+                canon=params.canon, C=tiles.shape[1])
         else:
             h, valid = _tile_to_hashes(jnp.asarray(tiles), **kw)
             idx, rank = _idx_rank_masked(h, valid, p)
@@ -1427,6 +1432,41 @@ def records_joint_triples(seqs: List[bytes], params: SketchParams,
                                    p, kb)
         out[take] = np.asarray(tri)[:len(take)]
     return out
+
+
+def records_kmer_hashes(seqs: Sequence[bytes], params: SketchParams,
+                        batch: int = 512) -> List[np.ndarray]:
+    """Per-record (hashed or raw per params.rehash) k-mer values, batched
+    on device like sketch_records_hll (per-record dispatches cost one
+    tunnel RTT each).  Feeds the per-record counting filter of
+    sketch_by_seq (reference src/sketch_and_cmp.h:568: the CM is CLEARED
+    after every record, so multiplicity is within-record)."""
+    sp = params.spacer()
+    kw = _encode_kw(params, sp)
+    out: List = [None] * len(seqs)
+    for take, tiles in _record_batches(seqs, sp.halo, batch):
+        if tiles is None:
+            for i in take:
+                out[i] = seq_kmer_hashes(seqs[i], params)
+            continue
+        h, valid = _tile_to_hashes(jnp.asarray(tiles), **kw)
+        hv = u64.to_np(h)
+        vv = np.asarray(valid)
+        for slot, i in enumerate(take):
+            out[i] = hv[slot][vv[slot]]
+    return out
+
+
+def seq_kmer_hashes(seq: bytes, params: SketchParams) -> np.ndarray:
+    """All k-mer values of ONE long sequence (streamed tiles)."""
+    sp = params.spacer()
+    kw = _encode_kw(params, sp)
+    outs = []
+    tiles = tile_sequence(np.frombuffer(seq, np.uint8), CONTENT, sp.halo)
+    for chunk in _row_chunks(tiles):
+        h, valid = _tile_to_hashes(jnp.asarray(chunk), **kw)
+        outs.append(u64.to_np(h)[np.asarray(valid)])
+    return np.concatenate(outs) if outs else np.zeros(0, np.uint64)
 
 
 def sketch_file_seq(seq: bytes, params: SketchParams, p: int) -> np.ndarray:

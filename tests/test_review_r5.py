@@ -185,6 +185,77 @@ def test_check_compatible_rejects_mixed_geometry():
                                BloomFilter(nbits_log2=12, nhashes=3)])
 
 
+def _write_genomes(tmp_path, rng, n=3, L=3000):
+    names = []
+    for i in range(n):
+        p = tmp_path / f"rg{i}.fa"
+        p.write_text(">g%d\n%s\n" % (
+            i, "".join(rng.choice(list("ACGT"), L))))
+        names.append(str(p))
+    return names
+
+
+def test_mkdist_user_k_does_not_override_per_k(tmp_path, rng, monkeypatch):
+    """A stray -k in the dist options must NOT win over the injected
+    per-k flag (it used to: every pass silently computed at the user k)."""
+    from dashing_tpu.cli import main as climain
+    from dashing_tpu.io import distmat
+    genomes = _write_genomes(tmp_path, rng)
+    monkeypatch.chdir(tmp_path)
+    assert climain.main(["mkdist", "--multik", "a,15,19,2", "-S", "11",
+                         "--avoid-sorting"] + genomes) == 0
+    assert climain.main(["mkdist", "--multik", "b,15,19,2", "-S", "11",
+                         "-k", "17", "--avoid-sorting"] + genomes) == 0
+    assert (tmp_path / "a.bin").read_bytes() == \
+        (tmp_path / "b.bin").read_bytes()
+    # and the two per-k matrices genuinely differ (different k)
+    assert (tmp_path / "_a_15").read_bytes() != \
+        (tmp_path / "_a_17").read_bytes()
+
+
+def test_sketch_by_seq_countmin_filter_applies(tmp_path, rng, monkeypatch):
+    """sketch_by_seq -b -n N must drop k-mers below N within-record
+    multiplicity (it used to accept the flags and ignore them)."""
+    import gzip
+    from dashing_tpu.cli import main as climain
+    from dashing_tpu.sketch.hll import HLL
+    uniq = "".join(rng.choice(list("ACGT"), 400))
+    rep = "".join(rng.choice(list("ACGT"), 60))
+    (tmp_path / "r.fa").write_text(">r1\n%s\n" % (uniq + rep * 3))
+    monkeypatch.chdir(tmp_path)
+    assert climain.main(["sketch_by_seq", "-k", "17", "-S", "12",
+                         "-o", "plain.gz", "r.fa"]) == 0
+    assert climain.main(["sketch_by_seq", "-k", "17", "-S", "12",
+                         "-b", "-n", "2", "-o", "filt.gz", "r.fa"]) == 0
+    with gzip.open("plain.gz", "rb") as f:
+        plain = HLL.read_record(f)
+    with gzip.open("filt.gz", "rb") as f:
+        filt = HLL.read_record(f)
+    # filtered sketch keeps only the repeated block's k-mers
+    assert 0 < filt.report() < plain.report()
+
+
+def test_asymmetric_autoswitch_sketches_once(tmp_path, rng, monkeypatch,
+                                             capsys):
+    """The no-Q asymmetric promotion must alias sketches, not sketch the
+    whole input list twice."""
+    from dashing_tpu.cli import main as climain, core
+    genomes = _write_genomes(tmp_path, rng)
+    seen = {}
+    orig = core.sketch_paths
+
+    def spy(paths_list, opts):
+        seen["n"] = len(paths_list)
+        return orig(paths_list, opts)
+
+    monkeypatch.setattr(core, "sketch_paths", spy)
+    monkeypatch.chdir(tmp_path)
+    assert climain.main(["dist", "-k", "17", "-S", "11", "--avoid-sorting",
+                         "--containment-index"] + genomes) == 0
+    capsys.readouterr()
+    assert seen["n"] == len(genomes)
+
+
 def test_update_remainder_blocks_bitwise(rng):
     """R not divisible by _BLOCK_ROWS must produce the same registers as
     the unfiltered reference scatter (the filter only skips updates that
