@@ -24,10 +24,14 @@ _tried = False
 
 
 class _DtpuFastx(ctypes.Structure):
+    # `names` must be a raw pointer, NOT c_char_p: attribute access on a
+    # c_char_p field converts to a NUL-truncated bytes object, and
+    # string_at(that, names_len) then reads past the short buffer —
+    # leaked heap bytes (or a crash) for any header containing a NUL
     _fields_ = [
         ("seq", ctypes.POINTER(ctypes.c_uint8)),
         ("seq_len", ctypes.c_uint64),
-        ("names", ctypes.c_char_p),
+        ("names", ctypes.POINTER(ctypes.c_char)),
         ("names_len", ctypes.c_uint64),
         ("nrecords", ctypes.c_uint64),
         ("rec_ends", ctypes.POINTER(ctypes.c_uint64)),
@@ -42,9 +46,20 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         try:
             # always invoke make: a no-op when up to date, and it rebuilds
-            # after fastx.cpp edits instead of serving a stale .so
-            subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
-                           check=True, capture_output=True, timeout=120)
+            # after fastx.cpp edits instead of serving a stale .so.  An
+            # exclusive flock serializes concurrent first-builds (two
+            # same-host ranks compiling -o the same .so interleaved
+            # writes and left a corrupt fresh-mtime library behind).
+            import fcntl
+            lock_path = os.path.join(_REPO, "native", ".build.lock")
+            with open(lock_path, "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    subprocess.run(
+                        ["make", "-C", os.path.join(_REPO, "native")],
+                        check=True, capture_output=True, timeout=120)
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
         except Exception:
             if not os.path.exists(_SO):
                 return None

@@ -32,8 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BB = 128           # pair-block lane width (vreg lane count)
-_VMEM_BUDGET = 15 * 1024 * 1024 + 512 * 1024
+from .pallas_common import BB, VMEM_BUDGET as _VMEM_BUDGET
 
 
 def _vmem_need(ba: int, K: int) -> int:
@@ -45,10 +44,12 @@ def _vmem_need(ba: int, K: int) -> int:
     keeps the three per-level chain stacks plus the log/P stacks live
     simultaneously — at 22 the K=14, ba=64 geometry AOT-compiled to a
     15.52M scoped stack against a 15.25M grantable limit and the
-    compile helper 500'd (real-TPU jmle_kernel_check).  The JMLE kernel
-    has no per-variant runtime probe (unlike the union-MLE kernel), so
-    the static estimate must be conservative enough that every
-    pick_geometry outcome actually compiles."""
+    compile helper 500'd (real-TPU jmle_kernel_check).  Since round 4
+    the JMLE kernel ALSO has a fail-closed per-(p, kmin, K) runtime
+    probe (pairwise._jmle_kernel_probe) that degrades a crashing
+    geometry to the XLA path, but a mispredicted estimate still costs
+    that variant the kernel speedup — keep the estimate honest rather
+    than leaning on the safety net."""
     blk = K * ba * BB * 4
     return 3 * 2 * blk + 30 * blk + (3 << 20)
 

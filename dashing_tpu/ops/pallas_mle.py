@@ -30,8 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..sketch import estimators as est
 
-BB = 128           # pair-block lane width (vreg lane count)
-_VMEM_BUDGET = 15 * 1024 * 1024 + 512 * 1024
+from .pallas_common import BB, VMEM_BUDGET as _VMEM_BUDGET
 
 
 def _vmem_need(ba: int, K: int) -> int:

@@ -33,11 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BB = 128          # B-side rows per block (output minor dim: must be 128)
+from .pallas_common import BB   # B-side rows per block (output minor dim)
 _MS = 2048        # register sub-slab width per MXU dot
 # Hard scoped-VMEM ceiling on this target is 16 MiB (a raised
 # vmem_limit_bytes crashes the AOT compile helper); leave headroom.
-_VMEM_BUDGET = 15 * 1024 * 1024 + 512 * 1024
+from .pallas_common import VMEM_BUDGET as _VMEM_BUDGET
 
 
 def _vmem_need(ba: int, slab: int, K: int) -> int:

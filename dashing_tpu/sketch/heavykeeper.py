@@ -128,7 +128,12 @@ class HeavyKeeper:
                 elif self._fps[r, i] == fp:
                     if self._cnts[r, i] != 0xFFFFFFFF:
                         self._cnts[r, i] += 1
-                elif self._next_u01() < self.base ** -float(self._cnts[r, i]):
+                elif self._cnts[r, i] < 1024 and \
+                        self._next_u01() < self.base ** -float(
+                            self._cnts[r, i]):
+                    # same >= 1024 draw-skip cutoff as native/hk.cpp
+                    # (decay prob < 4e-35 there) so the two RNG streams
+                    # stay in lockstep for the parity tests
                     self._cnts[r, i] -= 1
                     if self._cnts[r, i] == 0:
                         self._fps[r, i], self._cnts[r, i] = fp, 1

@@ -135,11 +135,15 @@ int dtpu_read_fastx(const char *path, uint32_t sep_len, DtpuFastx *out) {
             std::memchr(s, '\n', static_cast<size_t>(end - s)));
         return nl ? nl : end;
     };
+    size_t named_records = 0;
     auto push_name = [&](const uint8_t *s, const uint8_t *e) {
-        // first whitespace-delimited token
+        // first whitespace-delimited token.  Separator decision tracks
+        // the RECORD count, not names.empty(): a leading empty header
+        // used to emit no separator, shifting every later name onto the
+        // wrong record in the Python-side split.
         const uint8_t *t = s;
         while (t < e && *t != ' ' && *t != '\t' && *t != '\r') ++t;
-        if (!names.empty()) names.push_back('\n');
+        if (named_records++) names.push_back('\n');
         names.append(reinterpret_cast<const char *>(s),
                      static_cast<size_t>(t - s));
     };

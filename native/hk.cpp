@@ -32,6 +32,8 @@ struct Slot {
     uint32_t count;
 };
 
+constexpr uint32_t HK_POW_TAB = 1024;
+
 struct HK {
     int nrows;
     int size_log2;
@@ -39,6 +41,7 @@ struct HK {
     double base;
     uint64_t rng;
     std::vector<Slot> slots;  // nrows * (1 << size_log2)
+    double pow_tab[HK_POW_TAB];  // base^-count, count < HK_POW_TAB
 };
 
 // WangHash (public-domain mixing constants; same function the hash stack
@@ -88,6 +91,8 @@ void *dtpu_hk_create(int nrows, int size_log2, uint64_t seed,
         hk->size_log2 = size_log2;
         hk->seed = seed;
         hk->base = decay_base;
+        for (uint32_t c = 0; c < HK_POW_TAB; ++c)
+            hk->pow_tab[c] = std::pow(decay_base, -(double)c);
         hk->rng = wang(seed | 1);
         hk->slots.assign((size_t)nrows << size_log2, Slot{0, 0});
         return hk;
@@ -113,8 +118,13 @@ void dtpu_hk_add(void *p, const uint64_t *keys, int64_t n) {
                 s.count = 1;
             } else if (s.fp == fp) {
                 if (s.count != UINT32_MAX) ++s.count;
-            } else if (uniform01(hk->rng) <
-                       std::pow(hk->base, -(double)s.count)) {
+            } else if (s.count < HK_POW_TAB &&
+                       uniform01(hk->rng) < hk->pow_tab[s.count]) {
+                // table replaces a libm pow per mismatch in the per-kmer
+                // hot loop; counts >= HK_POW_TAB skip the draw entirely
+                // (decay prob < 4e-35 there).  The Python fallback
+                // implements the SAME cutoff so the two RNG streams stay
+                // in lockstep (parity tests).
                 if (--s.count == 0) {
                     s.fp = fp;
                     s.count = 1;
