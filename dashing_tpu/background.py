@@ -36,9 +36,14 @@ def nuc_freqs(paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]
             for _, seq in fasta.read_records(sub):
                 arr = lut[np.frombuffer(seq, np.uint8)]
                 counts += np.bincount(arr[arr >= 0], minlength=4)[:4]
+                sizes[gi] += len(seq)
                 numseqs[gi] += 1
+        # sizes[gi] accumulated TOTAL sequence length above, including
+        # N/ambiguous bases — the reference sums ks->seq.l
+        # (background.cpp) and jukes_cantor_p's corrected k-mer count
+        # uses that length; frequencies stay ACGT-conditional (the
+        # reference's freqs are counts over the same 4 bins)
         total = counts.sum()
-        sizes[gi] = total
         freqs[gi] = counts / max(total, 1)
     return freqs, sizes, numseqs
 
@@ -87,13 +92,17 @@ def mkmat2jcdistmat(flat_path: str, genome_paths: Sequence[str]) -> np.ndarray:
     nsets, ks, data = read_flattened(flat_path)   # data: (ne, nk)
     freqs, sizes, numseqs = nuc_freqs(genome_paths)
     n = int(nsets)
-    assert len(genome_paths) == n
+    if len(genome_paths) != n:
+        raise SystemExit(
+            f"jukes-cantor: {len(genome_paths)} genome paths but the "
+            f"flattened matrix holds {n} sets")
     out = np.empty(data.shape[0], np.float32)
+    ks_list = [int(k) for k in ks]
     pos = 0
     for i in range(n):
         for j in range(i + 1, n):
             bg = background_match(freqs[i], freqs[j])
-            p = jukes_cantor_p(list(map(int, ks)), data[pos], bg,
+            p = jukes_cantor_p(ks_list, data[pos], bg,
                                float(sizes[i]), float(sizes[j]),
                                int(numseqs[i]), int(numseqs[j]))
             out[pos] = jcp2dist(p) if p == p else float("nan")

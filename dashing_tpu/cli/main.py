@@ -1102,9 +1102,17 @@ def mkdist_main(argv: List[str]) -> int:
             # computed every pass at k=21); the presketch's cache flags
             # go last so its seeded tmpdir wins over a user -P too
             args = rest + ["-b", "-O", outp, "-k", str(k)] + (extra or [])
-            if jukes_cantor and "--sizes" not in args and "-Z" not in args:
-                # JC needs intersection SIZES and a stable genome order
-                args = ["--sizes", "--avoid-sorting"] + args
+            if jukes_cantor:
+                # JC needs intersection SIZES and a stable genome order;
+                # inject each INDEPENDENTLY (a user-passed --sizes used
+                # to suppress --avoid-sorting too, so the dist passes
+                # sorted by fsize while mkmat2jcdistmat paired the
+                # matrix with the unsorted path list — every JC distance
+                # silently misassigned)
+                if "--sizes" not in args and "-Z" not in args:
+                    args = ["--sizes"] + args
+                if "--avoid-sorting" not in args and "-n" not in args:
+                    args = ["--avoid-sorting"] + args
             rc = dist_main(args)
             if rc != 0:
                 return rc

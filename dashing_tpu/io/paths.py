@@ -20,8 +20,13 @@ def get_paths(list_path: str) -> List[str]:
     out = []
     with open(list_path) as fp:
         for line in fp:
-            line = line.rstrip("\r\n")   # CRLF path lists
-            if line.strip():
+            # strip surrounding whitespace, not just CRLF: a trailing
+            # space survives into make_fname's first-space split and
+            # collapses the cache basename to "" — every such line then
+            # COLLIDES on one cache file (interior spaces stay: they are
+            # the multi-file FNAME_SEP)
+            line = line.strip()
+            if line:
                 out.append(line)
     return out
 
@@ -44,7 +49,12 @@ def path_size(path: str) -> int:
 
 
 def sort_paths_by_fsize(paths: List[str]) -> List[str]:
-    """Descending file-size order (stable), as the reference does."""
+    """Descending file-size order.  The KEY truncates to uint32 exactly
+    like the reference (its fsizes buffer is u32, finalizers.cpp:6-28),
+    so >4 GiB genomes land where a reference run puts them — the sort
+    order is an output surface (row/label order).  Ties break stably
+    (the reference's std::sort leaves tie order unspecified)."""
     if len(paths) < 2:
         return paths
-    return sorted(paths, key=path_size, reverse=True)
+    return sorted(paths, key=lambda p: path_size(p) & 0xFFFFFFFF,
+                  reverse=True)

@@ -42,10 +42,6 @@ def phase(name: str, items: float = 0.0, unit: str = "items"):
         print(f"[metrics] {name}: {dt:.3f}s{rate}", file=sys.stderr)
 
 
-def add_items(name: str, items: float):
-    _counts[name] = _counts.get(name, 0.0) + items
-
-
 def add_time(name: str, dt: float, items: float = 0.0):
     """Accumulate a measured duration into a bucket (no printing)."""
     if not _ENABLED:

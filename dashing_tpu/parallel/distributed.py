@@ -107,9 +107,17 @@ def barrier(name: str = "dashing_tpu_barrier") -> None:
 
 
 def allgather_np(arr: np.ndarray) -> np.ndarray:
-    """(P, *arr.shape) stack of every process's same-shaped array."""
+    """(P, *arr.shape) stack of every process's same-shaped array.
+
+    64-bit dtypes ride as uint32 pairs: jnp.asarray under the default
+    x64-disabled config silently NARROWS int64->int32 / float64->float32
+    (combine_nn's int64 reference ids would wrap at 2^31)."""
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype.itemsize == 8:
+        out = allgather_np(arr.view(np.uint32))
+        return out.view(arr.dtype)
     return np.asarray(multihost_utils.process_allgather(jnp.asarray(arr)))
 
 
