@@ -256,6 +256,35 @@ def test_asymmetric_autoswitch_sketches_once(tmp_path, rng, monkeypatch,
     assert seen["n"] == len(genomes)
 
 
+def test_jukes_cantor_user_sizes_keeps_path_pairing(tmp_path, rng,
+                                                    monkeypatch, capsys):
+    """A user-passed --sizes must not suppress the --avoid-sorting
+    injection: the dist passes used to sort genomes by fsize while the
+    JC post-pass paired the matrix with the UNSORTED path list."""
+    from dashing_tpu.cli import main as climain
+    from dashing_tpu.io import distmat
+    monkeypatch.chdir(tmp_path)
+    base = "".join(rng.choice(list("ACGT"), size=3000))
+    # very different file sizes so fsize-sorting would reorder
+    (tmp_path / "small.fa").write_text(">s\n" + base + "\n")
+    (tmp_path / "big.fa").write_text(">b\n" + base * 4 + "\n")
+    ps = ["small.fa", "big.fa"]
+    assert climain.main(["mkdist", "--multik", "x,15,23,4",
+                         "--jukes-cantor", "-S", "12"] + ps) == 0
+    assert climain.main(["mkdist", "--multik", "y,15,23,4",
+                         "--jukes-cantor", "--sizes", "-S", "12"] + ps) == 0
+    capsys.readouterr()
+    assert (tmp_path / "x.jcd").read_bytes() == \
+        (tmp_path / "y.jcd").read_bytes()
+
+
+def test_get_paths_strips_trailing_whitespace(tmp_path):
+    from dashing_tpu.io import paths as P
+    f = tmp_path / "fofn.txt"
+    f.write_text("a.fa \nb.fa\t\n  \n")
+    assert P.get_paths(str(f)) == ["a.fa", "b.fa"]
+
+
 def test_update_remainder_blocks_bitwise(rng):
     """R not divisible by _BLOCK_ROWS must produce the same registers as
     the unfiltered reference scatter (the filter only skips updates that
